@@ -1,0 +1,91 @@
+"""B2 — tokenization + (term, doc_id, tf, dl) explode.
+
+Engine-default tokenizer (pinned, SURVEY.md §2.B2):
+  1. Unicode NFD normalize,
+  2. casefold,
+  3. tokens = maximal runs of word characters excluding underscore
+     (regex ``[^\\W_]+`` with Python/Unicode semantics — letters + digits;
+     combining marks produced by NFD act as separators),
+  4. empty tokens dropped.
+
+For the driver's ASCII fixture vocabulary this is exactly
+``lower(text)`` split on ``[^a-z0-9]+`` — which is what the DuckDB oracle
+SQL uses (see __spark_entry__.oracle_sql).
+
+DrQA-parity mode (operators/drqa.py) swaps in the SimpleTokenizer +
+ngram/stopword semantics of the reference stack (SURVEY.md §2.A3-A5).
+
+Scale notes:
+- ``tokenize_postings`` runs as ONE ``mapInPandas`` stage: each Arrow batch
+  is tokenized, term frequencies are counted *within the document* (a doc is
+  entirely contained in one row, so per-batch counting is final — map-side
+  aggregation for free; nothing to combine later). The shuffled long table is
+  therefore already tf-aggregated: |postings| rows, not |tokens| rows.
+- all pandas ops are column-level (Series.str / groupby); no Spark row UDFs.
+
+Reference analog (public, file-level): DrQA
+``drqa/tokenizers/simple_tokenizer.py`` + ``scripts/retriever/build_tfidf.py``
+(multiprocessing Counter per doc batch) — SURVEY.md §2.A3/A6.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+TOKEN_RE = re.compile(r"[^\W_]+", re.UNICODE)
+
+POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("tf", T.IntegerType(), False),
+        T.StructField("dl", T.IntegerType(), False),
+    ]
+)
+
+
+def tokenize_one(text: str | None) -> list[str]:
+    """Scalar reference implementation (tests + query-side tokenization)."""
+    if text is None:
+        return []
+    return TOKEN_RE.findall(unicodedata.normalize("NFD", text).casefold())
+
+
+def _batch_postings(pdf: pd.DataFrame, id_col: str, text_col: str) -> pd.DataFrame:
+    texts = pdf[text_col]
+    norm = pd.Series(
+        [unicodedata.normalize("NFD", t).casefold() if isinstance(t, str) else "" for t in texts],
+        index=texts.index,
+        dtype=object,
+    )
+    toks = norm.str.findall(TOKEN_RE)
+    dl = toks.str.len().astype("int32")
+    long = pd.DataFrame({"doc_id": pdf[id_col].astype("int64"), "dl": dl, "term": toks}).explode("term")
+    long = long.dropna(subset=["term"])
+    if long.empty:
+        return pd.DataFrame({"term": pd.Series(dtype=object), "doc_id": pd.Series(dtype="int64"),
+                             "tf": pd.Series(dtype="int32"), "dl": pd.Series(dtype="int32")})
+    out = (
+        long.groupby(["doc_id", "dl", "term"], sort=False, observed=True)
+        .size()
+        .rename("tf")
+        .reset_index()
+    )
+    out["tf"] = out["tf"].astype("int32")
+    return out[["term", "doc_id", "tf", "dl"]]
+
+
+def tokenize_postings(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """corpus(doc_id, text, ...) -> postings_long(term, doc_id, tf, dl)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _batch_postings(pdf, id_col, text_col)
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema=POSTINGS_SCHEMA)

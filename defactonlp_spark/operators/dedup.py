@@ -1,0 +1,200 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All four families, each expressed so Catalyst keeps the plan shuffling only
+what it must (see scale notes per function):
+
+- exact:          hash-groupBy on the text (one shuffle on a high-entropy key)
+- n-gram Jaccard: shingle explode -> self-join on shingle -> pair aggregate
+- MinHash + LSH:  md5-based minhash signatures -> band keys -> bucket join
+- SimHash:        per-term hash bits, tf-weighted majority vote per bit
+
+Portability contract: every hash used here is md5 (identical in Spark and
+DuckDB), and minhash minima are taken over fixed-width HEX STRINGS, so the
+DuckDB oracle can reproduce signatures exactly — no engine-specific hash.
+
+Embedding-cosine near-dup lives in operators/similarity.py.
+
+These are engine extensions (no DeFactoNLP analog): the reference corpus
+(FEVER wiki-pages) was pre-deduplicated upstream; at Common-Crawl scale
+dedup is a first-class build stage (BASELINE.json webtext tier).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def tokens_col(text_col: str = "text"):
+    """lower + split + drop empties — the SQL-portable tokenizer (matches the
+    engine tokenizer on ASCII corpora; DuckDB twin in __spark_entry__)."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT), lambda t: t != ""
+    )
+
+
+def shingles_col(n: int = 3, text_col: str = "text"):
+    """Distinct word n-gram shingles as an array column."""
+    toks = tokens_col(text_col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Representative (min id) + duplicate count per distinct text.
+
+    Scale: one shuffle keyed by md5(text) (fixed 32-byte key instead of the
+    full document — the groupBy key stays small even for 1 MB documents).
+    """
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All-pairs word-n-gram Jaccard similarity >= threshold (a < b).
+
+    Plan: explode distinct shingles -> self-join on shingle (the classic
+    inverted-index join: only docs SHARING a shingle ever meet — no cartesian)
+    -> count shared -> jaccard from |A|,|B|,|A∩B|. At scale the hot shingles
+    are head-skewed: drop shingles with document frequency above a cap before
+    the join (they create quadratic pair blowup and never decide near-dup).
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(shingles_col(n, text_col)).alias("sh")
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "shared", "jaccard")
+    )
+
+
+N_MINHASH = 16
+LSH_BANDS = 4  # 4 bands x 4 rows
+
+
+def minhash_signature(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, mh_0..mh_15): per permutation i, min over shingles of
+    substr(md5(i || ':' || shingle), 1, 8) — a fixed-width hex string, so the
+    min is a plain string min and reproducible in any SQL engine."""
+    sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(shingles_col(n, text_col)).alias("sh")
+    )
+    aggs = [
+        F.min(F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh"))), 1, 8)).alias(f"mh_{i}")
+        for i in range(N_MINHASH)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Candidate near-dup pairs: docs agreeing on ALL rows of >=1 LSH band.
+
+    Scale: the band key is a 32-hex concat -> groupBy band -> pairs within
+    bucket. Bucket sizes are bounded by near-dup cluster sizes, not corpus
+    size; the shuffle is |docs| x LSH_BANDS rows of ~40 bytes.
+    """
+    sig = minhash_signature(docs, n, id_col, text_col)
+    rows_per_band = N_MINHASH // LSH_BANDS
+    bands = []
+    for b in range(LSH_BANDS):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(
+            sig.select(
+                "id", F.lit(b).alias("band"), F.concat_ws("", *cols).alias("band_key")
+            )
+        )
+    allbands = bands[0]
+    for x in bands[1:]:
+        allbands = allbands.unionByName(x)
+    a, b_ = allbands.alias("a"), allbands.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+SIMHASH_BITS = 16
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """tf-weighted SimHash over terms (SIMHASH_BITS-bit, md5-derived).
+
+    bit_j(doc) = 1 iff sum over terms of tf * (+1 if bit_j(md5(term)) else -1) > 0.
+    Portable: term hash = first 4 hex chars of md5 -> 16-bit int via conv.
+    """
+    toks = docs.select(F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("term"))
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    h = tf.withColumn("h", F.conv(F.substring(F.md5("term"), 1, 4), 16, 10).cast("long"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(-F.col("tf"))
+        ).alias(f"s_{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = h.groupBy("id").agg(*bit_sums)
+    sig = sum(
+        (F.when(F.col(f"s_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(SIMHASH_BITS)),
+        F.lit(0),
+    )
+    return agg.select("id", sig.cast("long").alias("simhash"))
+
+
+def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 2, **kw) -> DataFrame:
+    """Near-dup candidates by SimHash Hamming distance <= max_hamming.
+
+    Sandbox-scale join is a broadcast self-join on popcount(xor); at web
+    scale one pivots to multi-probe tables on simhash bit-bands (same LSH
+    trick as minhash) — documented, not needed at this corpus size.
+    """
+    s = simhash(docs, **kw)
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .withColumn("hamming", F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
+    )

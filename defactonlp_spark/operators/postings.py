@@ -1,0 +1,116 @@
+"""Corpus preparation + postings long table + corpus/term statistics.
+
+Pipeline stage E1 steps 1-5 (SURVEY.md §3.1). All relational — Catalyst
+handles pushdown/pruning; the only Python is the tokenizer kernel.
+
+Scale notes (100 TB):
+- url-dedup is a window over ``partitionBy(url)`` — one shuffle on url, the
+  natural key; skew-free (urls are unique-ish by construction).
+- doc_id assignment at sandbox scale uses a global ``row_number`` (single
+  shuffle, acceptable to ~10^8 rows). At 10^12-doc scale the documented path
+  is ``monotonically_increasing_id()`` + a persisted (url -> doc_id) mapping
+  table; ids only need to be stable + dense-ish for delta compression, not
+  consecutive. ``assign_doc_ids(strategy="partitioned")`` implements the
+  scale path: ids = partition_id * 2^40 + local row index, computed with zero
+  global shuffles.
+- term_stats/corpus_stats are partial+final hash aggregations (map-side
+  combine for free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from defactonlp_spark.config import EngineConfig
+from defactonlp_spark.functions.tokenize import tokenize_postings
+
+
+def latest_per_url(pages: DataFrame) -> DataFrame:
+    """Keep the latest crawl per url (recrawl dedup; SURVEY.md §2.C date/time)."""
+    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+    return (
+        pages.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def assign_doc_ids(pages: DataFrame, strategy: str = "global") -> DataFrame:
+    """Add a deterministic ``doc_id`` keyed by url.
+
+    strategy="global": dense rank of url (bit-stable across runs & cluster
+    sizes; one global sort — fine to ~10^8 docs).
+    strategy="partitioned": scale path — stable but sparse ids derived from a
+    repartition-by-url + per-partition index; no global sort. Deterministic
+    because the url-hash partitioner and within-partition sort are pinned.
+    """
+    if strategy == "global":
+        w = Window.orderBy("url")
+        return pages.withColumn("doc_id", F.row_number().over(w).cast("long") - 1)
+    if strategy == "partitioned":
+        n = pages.sparkSession.sparkContext.defaultParallelism * 4
+        # capture the url-hash partition id as data BEFORE the window's own
+        # shuffle re-partitions rows (spark_partition_id() is stage-local)
+        parted = (
+            pages.repartition(n, "url")
+            .withColumn("_pid", F.spark_partition_id())
+        )
+        part_w = Window.partitionBy("_pid").orderBy("url")
+        return (
+            parted.withColumn(
+                "doc_id",
+                (F.col("_pid").cast("long") * F.lit(1 << 40))
+                + F.row_number().over(part_w).cast("long"),
+            ).drop("_pid")
+        )
+    raise ValueError(strategy)
+
+
+def build_postings(corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """corpus -> postings_long(term, doc_id, tf, dl). One mapInPandas stage."""
+    return tokenize_postings(corpus, id_col=id_col, text_col=text_col)
+
+
+def term_stats(postings: DataFrame) -> DataFrame:
+    """(term, df). Exact distinct-doc counts: postings are already unique per
+    (term, doc), so df == count(*) per term — no countDistinct shuffle."""
+    return postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
+def corpus_stats(postings: DataFrame) -> DataFrame:
+    """One row: (n_docs, avgdl, total_tokens). dl repeats per posting of the
+    same doc, so aggregate per doc first, then globally."""
+    per_doc = postings.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    return per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        F.sum("dl").cast("long").alias("total_tokens"),
+    )
+
+
+def salt_plan(stats: DataFrame, n_docs: int, cfg: EngineConfig) -> DataFrame:
+    """Head terms (df > salt_df_ratio * n_docs) -> n_salts sub-lists.
+
+    Returned plan: (term, n_salts). Broadcast-joined onto postings; absent
+    terms default to 1 salt. SURVEY.md §2.B3 / BASELINE.json skew mandate.
+    """
+    thresh = max(int(n_docs * cfg.salt_df_ratio), 1)
+    return stats.filter(F.col("df") > thresh).select(
+        "term", F.lit(cfg.n_salts).cast("int").alias("n_salts")
+    )
+
+
+def with_salt(postings: DataFrame, plan: DataFrame) -> DataFrame:
+    """Add ``salt`` = doc_id % n_salts for head terms, 0 otherwise."""
+    return (
+        postings.join(F.broadcast(plan), "term", "left")
+        .withColumn(
+            "salt",
+            F.when(
+                F.col("n_salts").isNotNull(),
+                (F.col("doc_id") % F.col("n_salts")).cast("int"),
+            ).otherwise(F.lit(0).cast("int")),
+        )
+        .drop("n_salts")
+    )

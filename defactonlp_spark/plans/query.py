@@ -1,0 +1,80 @@
+"""E2 — batch claim queries over a built index (SURVEY.md §3.2).
+
+Two paths, contractually rank-identical (tests/test_topk_parity.py):
+
+- ``query_wand``     — block-max WAND over compressed segments (B7), the
+                       production path: decodes only the blocks it must.
+- ``query_exhaustive`` — decode-everything + DataFrame BM25 (B6), the oracle.
+
+Both take claims as a DataFrame (claim_id, claim) and return
+results(claim_id, rank, doc_id, score).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from defactonlp_spark.config import EngineConfig
+from defactonlp_spark.operators.bm25 import claim_terms, score_exhaustive
+from defactonlp_spark.operators.segments import decode_slice
+from defactonlp_spark.operators.wand import wand_topk
+from defactonlp_spark.plans.build import IndexReader
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("tf", T.IntegerType(), False),
+        T.StructField("dl", T.IntegerType(), False),
+    ]
+)
+
+
+def decode_segments(segments: DataFrame) -> DataFrame:
+    """segments -> postings_long(term, doc_id, tf, dl). Vectorized decode."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for _, row in pdf.iterrows():
+                ids, tfs, dls = decode_slice(row)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "term": row["term"],
+                            "doc_id": ids,
+                            "tf": tfs.astype(np.int32),
+                            "dl": dls.astype(np.int32),
+                        }
+                    )
+                )
+            yield pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+                {"term": [], "doc_id": [], "tf": [], "dl": []}
+            )
+
+    return segments.mapInPandas(gen, schema=DECODED_SCHEMA)
+
+
+def query_wand(reader: IndexReader, claims: DataFrame, k: int = 5, cfg: EngineConfig | None = None) -> DataFrame:
+    cfg = cfg or EngineConfig()
+    q = claim_terms(claims)
+    return wand_topk(reader.segments(), q, reader.n_docs, reader.avgdl, k=k, cfg=cfg)
+
+
+def query_exhaustive(reader: IndexReader, claims: DataFrame, k: int = 5, cfg: EngineConfig | None = None) -> DataFrame:
+    cfg = cfg or EngineConfig()
+    q = claim_terms(claims)
+    terms = [r["term"] for r in q.select("term").distinct().collect()]
+    hits = reader.segments().filter(F.col("term").isin(terms))
+    # full-term df is carried on every slice; one row per (term) suffices
+    stats = hits.groupBy("term").agg(F.first("df").alias("df"))
+    postings = decode_segments(hits)
+    return score_exhaustive(
+        postings, stats, q, reader.n_docs, reader.avgdl, k=k, params=cfg.bm25
+    )

@@ -1,0 +1,142 @@
+"""TableIO — minimal Iceberg-style table abstraction (SURVEY.md §4.3).
+
+Production backend is Apache Iceberg (``spark.read.format("iceberg")`` /
+``df.writeTo(tbl).append()``); the sandbox has no Iceberg runtime jar and no
+network, so the ``localparquet`` backend provides an honest miniature of the
+same metadata model:
+
+- a table is a directory of parquet data files plus ``metadata/`` holding
+  numbered snapshot JSONs (``v00000001.json`` ...) and a ``VERSION_HINT``
+  pointer, both committed via atomic rename (os.replace),
+- each snapshot records: snapshot_id, parent_id, operation, the full data
+  file list, row counts, and free-form properties (build lineage lives here),
+- readers resolve the current snapshot and read exactly its file list, so a
+  concurrent writer can never expose a half-written table.
+
+This gives the engine the three Iceberg properties the north rule leans on:
+snapshot isolation for resumable builds, lineage (input_snapshot recorded in
+checkpoints/metrics), and append-only segment generations for merge.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: str
+    parent_id: str | None
+    operation: str
+    files: list[str]
+    total_rows: int
+    properties: dict = field(default_factory=dict)
+    version: int = 0
+
+    def to_json(self) -> dict:
+        return self.__dict__.copy()
+
+
+class LocalTable:
+    """One table = one directory. Thread-unsafe by design (single driver)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.meta_dir = os.path.join(path, "metadata")
+        self.data_dir = os.path.join(path, "data")
+
+    # -- metadata ---------------------------------------------------------
+    def _hint_path(self) -> str:
+        return os.path.join(self.meta_dir, "VERSION_HINT")
+
+    def current_version(self) -> int:
+        try:
+            with open(self._hint_path()) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return 0
+
+    def current_snapshot(self) -> Snapshot | None:
+        v = self.current_version()
+        if v == 0:
+            return None
+        with open(os.path.join(self.meta_dir, f"v{v:08d}.json")) as f:
+            d = json.load(f)
+        return Snapshot(**d)
+
+    def _commit(self, snap: Snapshot) -> Snapshot:
+        os.makedirs(self.meta_dir, exist_ok=True)
+        v = self.current_version() + 1
+        snap.version = v
+        final = os.path.join(self.meta_dir, f"v{v:08d}.json")
+        tmp = final + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(snap.to_json(), f, indent=1)
+        os.replace(tmp, final)
+        tmp_hint = self._hint_path() + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp_hint, "w") as f:
+            f.write(str(v))
+        os.replace(tmp_hint, self._hint_path())
+        return snap
+
+    # -- data -------------------------------------------------------------
+    def _write_files(self, df: DataFrame) -> tuple[list[str], int]:
+        part = os.path.join(self.data_dir, f"part-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(part)
+        files = sorted(
+            os.path.join(dp, fn)
+            for dp, _, fns in os.walk(part)
+            for fn in fns
+            if fn.endswith(".parquet")
+        )
+        return files, df.count()
+
+    def overwrite(self, df: DataFrame, properties: dict | None = None) -> Snapshot:
+        files, rows = self._write_files(df)
+        parent = self.current_snapshot()
+        return self._commit(
+            Snapshot(
+                snapshot_id=uuid.uuid4().hex,
+                parent_id=parent.snapshot_id if parent else None,
+                operation="overwrite",
+                files=files,
+                total_rows=rows,
+                properties=dict(properties or {}, committed_at=time.time()),
+            )
+        )
+
+    def append(self, df: DataFrame, properties: dict | None = None) -> Snapshot:
+        files, rows = self._write_files(df)
+        parent = self.current_snapshot()
+        prev_files = parent.files if parent else []
+        prev_rows = parent.total_rows if parent else 0
+        return self._commit(
+            Snapshot(
+                snapshot_id=uuid.uuid4().hex,
+                parent_id=parent.snapshot_id if parent else None,
+                operation="append",
+                files=prev_files + files,
+                total_rows=prev_rows + rows,
+                properties=dict(properties or {}, committed_at=time.time()),
+            )
+        )
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Read the current (or a time-travel ``version``) snapshot."""
+        if version is None:
+            snap = self.current_snapshot()
+        else:
+            with open(os.path.join(self.meta_dir, f"v{version:08d}.json")) as f:
+                snap = Snapshot(**json.load(f))
+        if snap is None or not snap.files:
+            raise FileNotFoundError(f"table {self.path} has no committed snapshot")
+        return spark.read.parquet(*snap.files)
+
+    def exists(self) -> bool:
+        return self.current_version() > 0

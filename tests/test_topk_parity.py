@@ -1,0 +1,94 @@
+"""The load-bearing guarantee (BASELINE.json:6): block-max WAND top-k is
+rank-identical — docIDs AND bit-equal float64 scores — to exhaustive BM25,
+for every fixture claim. Dual oracle: WAND vs pure-numpy, and the Spark
+exhaustive DataFrame path vs pure-numpy (tolerance-equal; Spark sum order is
+not pinned, WAND + numpy both sum in ascending term order)."""
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from defactonlp_spark.config import EngineConfig
+from defactonlp_spark.plans.build import IndexBuild, IndexReader, prepare_webpages
+from defactonlp_spark.plans.query import query_exhaustive, query_wand
+from defactonlp_spark.sources.fixtures import gen_claims, gen_webpages
+from tests.oracle_bm25 import bm25_topk_oracle
+
+K = 5
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx"))
+    pages = spark.createDataFrame(gen_webpages(n=600, seed=42))
+    corpus = prepare_webpages(pages)
+    cfg = EngineConfig(n_buckets=8)
+    props = IndexBuild(out, cfg, build_id="parity").run(spark, corpus, input_snapshot="fixture:600")
+    reader = IndexReader(spark, out)
+    texts = {r["doc_id"]: r["text"] for r in corpus.select("doc_id", "text").collect()}
+    return reader, texts, cfg
+
+
+@pytest.fixture(scope="module")
+def claims_pdf():
+    return gen_claims(n=120)
+
+
+def test_wand_bitexact_vs_numpy_oracle(spark, built, claims_pdf):
+    reader, texts, cfg = built
+    claims = spark.createDataFrame(claims_pdf[["claim_id", "claim"]])
+    got = query_wand(reader, claims, k=K, cfg=cfg).toPandas()
+    oracle = bm25_topk_oracle(
+        texts,
+        dict(zip(claims_pdf["claim_id"], claims_pdf["claim"])),
+        k=K,
+        avgdl_override=reader.avgdl,
+        n_override=reader.n_docs,
+    )
+    got_by_claim = {
+        cid: [(int(r.doc_id), float(r.score)) for r in g.sort_values("rank").itertuples()]
+        for cid, g in got.groupby("claim_id")
+    }
+    checked = 0
+    for cid, expect in oracle.items():
+        mine = got_by_claim.get(cid, [])
+        assert [d for d, _ in mine] == [d for d, _ in expect], f"claim {cid} doc order"
+        for (d1, s1), (d2, s2) in zip(mine, expect):
+            assert s1 == s2, f"claim {cid} doc {d1}: {s1!r} != {s2!r} (bit-exact required)"
+            checked += 1
+    assert checked > 100  # the fixture produces plenty of non-empty claims
+
+
+def test_exhaustive_spark_matches_oracle(spark, built, claims_pdf):
+    reader, texts, cfg = built
+    sub = claims_pdf.iloc[:40]
+    claims = spark.createDataFrame(sub[["claim_id", "claim"]])
+    got = query_exhaustive(reader, claims, k=K, cfg=cfg).toPandas()
+    oracle = bm25_topk_oracle(
+        texts, dict(zip(sub["claim_id"], sub["claim"])), k=K,
+        avgdl_override=reader.avgdl, n_override=reader.n_docs,
+    )
+    for cid, g in got.groupby("claim_id"):
+        mine = [(int(r.doc_id), float(r.score)) for r in g.sort_values("rank").itertuples()]
+        expect = oracle[cid]
+        assert [d for d, _ in mine] == [d for d, _ in expect]
+        for (_, s1), (_, s2) in zip(mine, expect):
+            assert math.isclose(s1, s2, rel_tol=1e-12, abs_tol=1e-12)
+
+
+def test_wand_vs_exhaustive_spark_ids(spark, built, claims_pdf):
+    reader, _, cfg = built
+    sub = claims_pdf.iloc[40:80]
+    claims = spark.createDataFrame(sub[["claim_id", "claim"]])
+    w = query_wand(reader, claims, k=K, cfg=cfg).toPandas().sort_values(["claim_id", "rank"])
+    e = query_exhaustive(reader, claims, k=K, cfg=cfg).toPandas().sort_values(["claim_id", "rank"])
+    assert list(w["claim_id"]) == list(e["claim_id"])
+    assert list(w["doc_id"]) == list(e["doc_id"])
+
+
+def test_oov_claim_returns_empty(spark, built):
+    reader, _, cfg = built
+    claims = spark.createDataFrame([(999, "zzzqqq xxyyzz")], "claim_id long, claim string")
+    assert query_wand(reader, claims, k=K, cfg=cfg).count() == 0
