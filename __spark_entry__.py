@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``     — flagship: build the inverted index over sf0.001
+                       documents and answer claims with block-max WAND.
+``queries()``        — one callable per implemented operator (SURVEY.md §2).
+``oracle_sql()``     — DuckDB-runnable ANSI SQL twin for each query.
+
+Column-name + rounding discipline: every computed column is aliased
+identically on both sides, and every float is rounded (4-6 dp) on both
+sides so independent float64 summation order cannot break the value hash.
 """
 
 from __future__ import annotations
@@ -12,27 +15,557 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# shared constants (mirrored literally into the SQL twins)
+# --------------------------------------------------------------------------
+
+BM25_CLAIMS = [
+    (0, "the merge join"),
+    (1, "window hash batch stream"),
+    (2, "customer value order small"),
+    (3, "spark group query row"),
+    (4, "sort table scan vector"),
+]
+K1, B = 1.2, 0.75
+TOPK = 5
+
+_TOKS_SQL = (
+    "SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), "
+    "'[^a-z0-9]+'), t -> t <> '')) AS term FROM documents"
+)
+
+_CLAIMS_SQL = "(VALUES " + ", ".join(f"({i}, '{c}')" for i, c in BM25_CLAIMS) + ")"
+
+_BM25_CORE_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+claims(claim_id, claim) AS {_CLAIMS_SQL},
+qterms AS (
+  SELECT DISTINCT claim_id, unnest(list_filter(regexp_split_to_array(lower(claim),
+    '[^a-z0-9]+'), t -> t <> '')) AS term FROM claims
+),
+scored AS (
+  SELECT q.claim_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * p.tf * {K1 + 1.0}
+              / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)) ) AS score
+  FROM qterms q
+  JOIN postings p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl l ON l.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT claim_id::BIGINT AS claim_id, doc_id::BIGINT AS doc_id,
+       round(score, 4) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY claim_id ORDER BY score DESC, doc_id) AS rn
+      FROM scored)
+WHERE rn <= {TOPK}
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _claims_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(BM25_CLAIMS, "claim_id long, claim string")
+
+
+def _engine_corpus_stats(postings):
+    from defactonlp_spark.operators.postings import corpus_stats
+
+    row = corpus_stats(postings).collect()[0]
+    return int(row["n_docs"]), float(row["avgdl"])
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+
+def q_term_tf_totals(spark, sf_dir):
+    from defactonlp_spark.operators.postings import build_postings
+
+    p = build_postings(_docs(spark, sf_dir))
+    return p.groupBy("term").agg(
+        F.sum("tf").cast("long").alias("total_tf"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+    )
+
+
+def q_corpus_stats(spark, sf_dir):
+    from defactonlp_spark.operators.postings import build_postings, corpus_stats
+
+    cs = corpus_stats(build_postings(_docs(spark, sf_dir)))
+    return cs.select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round("avgdl", 6).alias("avgdl"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Exhaustive DataFrame BM25 (operator B6)."""
+    from defactonlp_spark.operators.bm25 import claim_terms, score_exhaustive
+    from defactonlp_spark.operators.postings import build_postings, term_stats
+
+    p = build_postings(_docs(spark, sf_dir))
+    n_docs, avgdl = _engine_corpus_stats(p)
+    res = score_exhaustive(p, term_stats(p), claim_terms(_claims_df(spark)), n_docs, avgdl, k=TOPK)
+    return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
+
+
+def q_bm25_topk_wand(spark, sf_dir):
+    """Block-max WAND over delta+varbyte segments (operator B7) — same oracle
+    as the exhaustive path: the parity guarantee, checked by the driver."""
+    from defactonlp_spark.config import EngineConfig
+    from defactonlp_spark.operators.bm25 import claim_terms
+    from defactonlp_spark.operators.postings import (
+        build_postings,
+        salt_plan,
+        term_stats,
+        with_salt,
+    )
+    from defactonlp_spark.operators.segments import encode_segments
+    from defactonlp_spark.operators.wand import wand_topk
+
+    cfg = EngineConfig(n_buckets=8)
+    p = build_postings(_docs(spark, sf_dir))
+    n_docs, avgdl = _engine_corpus_stats(p)
+    stats = term_stats(p)
+    seg = encode_segments(with_salt(p, salt_plan(stats, n_docs, cfg)), stats, n_docs, avgdl, cfg, 8)
+    res = wand_topk(seg, claim_terms(_claims_df(spark)), n_docs, avgdl, k=TOPK, cfg=cfg)
+    return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+def q_top_customers_by_segment(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    spend = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+    return (
+        spend.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("c_mktsegment", "rnk", F.col("c_custkey").cast("long").alias("c_custkey"), "total_spend")
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).cast("string").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.sum("k").cast("long").alias("sum_k"),
+        )
+    )
+
+
+def q_orders_running_total(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+def q_revenue_rollup(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    from defactonlp_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir)).select(
+        "text_md5", F.col("rep_id").cast("long").alias("rep_id"), "n_dups"
+    )
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from defactonlp_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.2, n=3).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "shared",
+        "jaccard",
+    )
+
+
+def q_minhash_signatures(spark, sf_dir):
+    from defactonlp_spark.operators.dedup import minhash_signature
+
+    return minhash_signature(_docs(spark, sf_dir)).withColumnRenamed("id", "doc_id")
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    from defactonlp_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir)).select(
+        F.col("id_a").cast("long").alias("id_a"), F.col("id_b").cast("long").alias("id_b")
+    )
+
+
+def q_simhash(spark, sf_dir):
+    from defactonlp_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir)).withColumnRenamed("id", "doc_id")
+
+
+def q_cosine_topk(spark, sf_dir):
+    from defactonlp_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(emb, [0, 1, 2, 3, 4], k=10).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "cos",
+    )
+
+
+def q_embedding_dup_pairs(spark, sf_dir):
+    from defactonlp_spark.operators.similarity import cosine_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_dup_pairs(emb, threshold=0.35).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "cos",
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    from defactonlp_spark.functions.textstats import quality_features
+
+    return quality_features(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    from defactonlp_spark.functions.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from defactonlp_spark.functions.textstats import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def q_token_counts(spark, sf_dir):
+    from defactonlp_spark.functions.textstats import token_count_col
+
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        token_count_col().alias("n_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# contract functions
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: WAND top-k over compressed segments on sf0.001."""
+    return q_bm25_topk_wand(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "term_tf_totals": q_term_tf_totals,
+        "corpus_stats": q_corpus_stats,
+        "bm25_topk": q_bm25_topk,
+        "bm25_topk_wand": q_bm25_topk_wand,
+        "tpch_q1": q_tpch_q1,
+        "top_customers_by_segment": q_top_customers_by_segment,
+        "events_hourly": q_events_hourly,
+        "orders_running_total": q_orders_running_total,
+        "revenue_rollup": q_revenue_rollup,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "cosine_topk": q_cosine_topk,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "token_counts": q_token_counts,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = _TOKS_SQL
+    sh = (
+        "SELECT doc_id, unnest(list_distinct([array_to_string(toklist[i:i+2], ' ') "
+        "FOR i IN range(1, len(toklist) - 1)])) AS sh FROM "
+        "(SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+        "t -> t <> '') AS toklist FROM documents) WHERE len(toklist) >= 3"
+    )
+    mh_cols = ", ".join(
+        f"min(substr(md5(concat('{i}:', sh)), 1, 8)) AS mh_{i}" for i in range(16)
+    )
+    stop_list = "['the', 'a', 'and', 'of', 'to', 'in', 'is', 'it', 'for', 'on']"
+    markers = {
+        "en": "['the','and','of','to','is']",
+        "fr": "['le','la','et','les','des']",
+        "es": "['el','de','que','los','las']",
+        "de": "['der','die','und','das','ist']",
+    }
+    hexval = (
+        "(strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 + "
+        "(strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 + "
+        "(strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 + "
+        "(strpos('0123456789abcdef', substr(h, 4, 1)) - 1)"
+    )
+    simhash_bits = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h_int >> {j}) & 1 = 1 THEN tf ELSE -tf END) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(16)
+    )
+    fp_cols = ", ".join(
+        "list_aggregate([substr(md5(concat('%d:', g)), 1, 8) FOR g IN grams], 'min') AS fp_%d"
+        % (i, i)
+        for i in range(4)
+    )
+
+    return {
+        "term_tf_totals": f"""
+            WITH toks AS ({toks})
+            SELECT term, count(*)::BIGINT AS total_tf, count(DISTINCT doc_id)::BIGINT AS df
+            FROM toks GROUP BY term
+        """,
+        "corpus_stats": f"""
+            WITH toks AS ({toks}), dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1)
+            SELECT count(*)::BIGINT AS n_docs, round(avg(dl), 6) AS avgdl, sum(dl)::BIGINT AS total_tokens
+            FROM dl
+        """,
+        "bm25_topk": _BM25_CORE_SQL,
+        "bm25_topk_wand": _BM25_CORE_SQL,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*)::BIGINT AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_customers_by_segment": """
+            WITH spend AS (
+              SELECT c.c_custkey, c.c_mktsegment, round(sum(o.o_totalprice), 2) AS total_spend
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+              GROUP BY 1, 2
+            )
+            SELECT c_mktsegment, rnk::BIGINT AS rnk, c_custkey::BIGINT AS c_custkey, total_spend
+            FROM (SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                     ORDER BY total_spend DESC, c_custkey) AS rnk FROM spend)
+            WHERE rnk <= 3
+        """,
+        "events_hourly": """
+            SELECT event_type,
+                   CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+                   count(*)::BIGINT AS n,
+                   round(avg(value), 6) AS avg_value,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "orders_running_total": """
+            SELECT o_custkey::BIGINT AS o_custkey, o_orderkey::BIGINT AS o_orderkey,
+                   round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+            FROM orders
+        """,
+        "revenue_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_md5, min(doc_id)::BIGINT AS rep_id, count(*)::BIGINT AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH sh AS ({sh}),
+            sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
+            shared AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS shared
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, shared,
+                   round(shared / (sa.sz + sb.sz - shared), 6) AS jaccard
+            FROM shared
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE round(shared / (sa.sz + sb.sz - shared), 6) >= 0.2
+        """,
+        "minhash_signatures": f"""
+            WITH sh AS ({sh})
+            SELECT doc_id::BIGINT AS doc_id, {mh_cols} FROM sh GROUP BY doc_id
+        """,
+        "minhash_lsh_pairs": f"""
+            WITH sh AS ({sh}),
+            sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+            bands AS (
+              SELECT doc_id, 0 AS band, concat(mh_0, mh_1, mh_2, mh_3) AS band_key FROM sig
+              UNION ALL SELECT doc_id, 1, concat(mh_4, mh_5, mh_6, mh_7) FROM sig
+              UNION ALL SELECT doc_id, 2, concat(mh_8, mh_9, mh_10, mh_11) FROM sig
+              UNION ALL SELECT doc_id, 3, concat(mh_12, mh_13, mh_14, mh_15) FROM sig
+            )
+            SELECT DISTINCT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        """,
+        "simhash": f"""
+            WITH toks AS ({toks}),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+            hx AS (SELECT doc_id, tf, substr(md5(term), 1, 4) AS h FROM tf),
+            hi AS (SELECT doc_id, tf, {hexval} AS h_int FROM hx)
+            SELECT doc_id::BIGINT AS doc_id, ({simhash_bits})::BIGINT AS simhash
+            FROM hi GROUP BY doc_id
+        """,
+        "cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     round(list_dot_product(q.qvec::DOUBLE[], e.embedding::DOUBLE[])
+                           / (sqrt(list_dot_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[]))
+                              * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS cos
+              FROM embeddings e CROSS JOIN q
+              WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, vec_id::BIGINT AS vec_id, cos
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+                  FROM scored)
+            WHERE rank <= 10
+        """,
+        "embedding_dup_pairs": """
+            SELECT a.vec_id::BIGINT AS id_a, b.vec_id::BIGINT AS id_b,
+                   round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                        / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                           * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.35
+        """,
+        "text_quality": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toklist,
+                     length(text)::BIGINT AS n_chars,
+                     length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE AS alpha,
+                     length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE AS digits
+              FROM documents
+            ),
+            feat AS (
+              SELECT doc_id, len(toklist)::BIGINT AS n_tokens, n_chars, alpha,
+                     CASE WHEN len(toklist) > 0 THEN (alpha + digits) / len(toklist) ELSE 0.0 END AS mean_tok_len,
+                     CASE WHEN len(toklist) > 0
+                          THEN len(list_filter(toklist, t -> list_contains({stop_list}, t)))::DOUBLE / len(toklist)
+                          ELSE 0.0 END AS stop_ratio,
+                     CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END AS alpha_ratio
+              FROM base
+            )
+            SELECT doc_id::BIGINT AS doc_id, n_tokens, n_chars,
+                   round(mean_tok_len, 6) AS mean_tok_len,
+                   round(stop_ratio, 6) AS stopword_ratio,
+                   round(alpha_ratio, 6) AS alpha_ratio,
+                   round(CASE WHEN n_tokens < 5 THEN 0.0
+                         ELSE least(greatest(alpha_ratio * (1.0 - greatest(stop_ratio - 0.5, 0.0)), 0.0), 1.0)
+                         END, 6) AS quality
+            FROM feat
+        """,
+        "lang_id": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toklist
+              FROM documents
+            ),
+            hits AS (
+              SELECT doc_id,
+                     len(list_filter(toklist, t -> list_contains({markers['en']}, t)))::BIGINT AS hits_en,
+                     len(list_filter(toklist, t -> list_contains({markers['fr']}, t)))::BIGINT AS hits_fr,
+                     len(list_filter(toklist, t -> list_contains({markers['es']}, t)))::BIGINT AS hits_es,
+                     len(list_filter(toklist, t -> list_contains({markers['de']}, t)))::BIGINT AS hits_de
+              FROM base
+            )
+            SELECT doc_id::BIGINT AS doc_id, hits_en, hits_fr, hits_es, hits_de,
+                   CASE WHEN greatest(hits_en, hits_fr, hits_es, hits_de) = 0 THEN 'und'
+                        WHEN hits_en = greatest(hits_en, hits_fr, hits_es, hits_de) THEN 'en'
+                        WHEN hits_fr = greatest(hits_en, hits_fr, hits_es, hits_de) THEN 'fr'
+                        WHEN hits_es = greatest(hits_en, hits_fr, hits_es, hits_de) THEN 'es'
+                        ELSE 'de' END AS pred_lang
+            FROM hits
+        """,
+        "doc_fingerprint": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     CASE WHEN length(lower(text)) >= 5
+                          THEN [substr(lower(text), i, 5) FOR i IN range(1, length(lower(text)) - 3)]
+                          ELSE []::VARCHAR[] END AS grams
+              FROM documents
+            )
+            SELECT doc_id::BIGINT AS doc_id, {fp_cols} FROM base
+        """,
+        "token_counts": """
+            SELECT doc_id::BIGINT AS doc_id,
+                   len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> ''))::BIGINT AS n_tokens
+            FROM documents
+        """,
+    }

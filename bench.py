@@ -1,0 +1,142 @@
+"""Benchmark harness. Prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "index_build": {"docs": N, "local8_docs_per_sec": ..., "local32_docs_per_sec": ...,
+                    "scaling_efficiency": ...},
+   "query_serving": {"claims": N, "wand_claims_per_sec": ...}}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     BENCH_WEBPAGES (default 40000)  — synthetic corpus size for index bench
+     BENCH_SCALING  (default 1)      — set 0 to skip the local[8] run
+
+Scaling-evidence protocol (BASELINE.md): the same index build on the same
+input at local[8] vs local[32] (N vs 4N executor stand-in);
+efficiency = (T_8 / T_32) / 4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("BENCH_WEBPAGES", "40000"))
+DO_SCALING = os.environ.get("BENCH_SCALING", "1") == "1"
+CACHE = "/tmp/spark_graft_bench"
+
+
+def _webpages_path() -> str:
+    os.makedirs(CACHE, exist_ok=True)
+    path = f"{CACHE}/webpages_{N_PAGES}.parquet"
+    if not os.path.exists(path):
+        from defactonlp_spark.sources.fixtures import write_webpages_parquet
+
+        write_webpages_parquet(path, N_PAGES)
+    return path
+
+
+def _spark(cores: int):
+    from defactonlp_spark.session import get_spark
+
+    return get_spark(f"bench{cores}", cores=cores, shuffle_partitions=max(cores, 8),
+                     extra={"spark.ui.showConsoleProgress": "false"})
+
+
+def bench_index_build(cores: int) -> tuple[float, int]:
+    """Full pipeline: read parquet -> dedup -> extract html -> tokenize ->
+    salt -> range shuffle -> encode varbyte segments -> commit. Returns
+    (wall_sec, n_docs)."""
+    from defactonlp_spark.config import EngineConfig
+    from defactonlp_spark.plans.build import IndexBuild, prepare_webpages
+
+    pages_path = _webpages_path()
+    out = f"{CACHE}/idx_{cores}"
+    shutil.rmtree(out, ignore_errors=True)
+    spark = _spark(cores)
+    try:
+        pages = spark.read.parquet(pages_path)
+        t0 = time.time()
+        corpus = prepare_webpages(pages, id_strategy="partitioned")
+        cfg = EngineConfig(n_buckets=max(cores, 8))
+        props = IndexBuild(out, cfg, build_id=f"bench{cores}", n_groups=1).run(
+            spark, corpus, input_snapshot=pages_path
+        )
+        wall = time.time() - t0
+        return wall, int(props["n_docs"])
+    finally:
+        spark.stop()
+
+
+def bench_query_serving(cores: int, n_claims: int = 200) -> dict:
+    from defactonlp_spark.config import EngineConfig
+    from defactonlp_spark.plans.build import IndexReader
+    from defactonlp_spark.plans.query import query_wand
+    from defactonlp_spark.sources.fixtures import gen_claims
+
+    out = f"{CACHE}/idx_{cores}"
+    spark = _spark(cores)
+    try:
+        reader = IndexReader(spark, out)
+        claims = spark.createDataFrame(gen_claims(n_claims)[["claim_id", "claim"]])
+        t0 = time.time()
+        n = query_wand(reader, claims, k=5, cfg=EngineConfig(n_buckets=max(cores, 8))).count()
+        wall = time.time() - t0
+        return {"claims": n_claims, "result_rows": n, "wall_sec": round(wall, 2),
+                "wand_claims_per_sec": round(n_claims / wall, 2)}
+    finally:
+        spark.stop()
+
+
+def main():
+    import __spark_entry__ as entrymod
+
+    results: dict = {"sf": SF_DIR, "unit": "sec",
+                     "metric": "harness queries wall time (sf0.1) + index-build docs/sec + scaling"}
+
+    # -- index build at two parallelism levels ------------------------------
+    t32, n_docs = bench_index_build(CPUS)
+    ib = {"docs": n_docs, f"local{CPUS}_sec": round(t32, 2),
+          f"local{CPUS}_docs_per_sec": round(n_docs / t32, 1)}
+    if DO_SCALING:
+        t8, _ = bench_index_build(8)
+        ib["local8_sec"] = round(t8, 2)
+        ib["local8_docs_per_sec"] = round(n_docs / t8, 1)
+        ib["scaling_efficiency"] = round((t8 / t32) / (CPUS / 8), 3)
+    results["index_build"] = ib
+
+    # -- query serving over the built index ---------------------------------
+    results["query_serving"] = bench_query_serving(CPUS)
+
+    # -- harness queries at SF_DIR ------------------------------------------
+    spark = _spark(CPUS)
+    queries = {}
+    try:
+        for name, fn in entrymod.queries().items():
+            t0 = time.time()
+            try:
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            except Exception:
+                # noop sink unavailable or query failure -> fall back to count
+                try:
+                    fn(spark, SF_DIR).count()
+                except Exception:
+                    queries[name] = -1.0
+                    continue
+            queries[name] = round(time.time() - t0, 3)
+    finally:
+        spark.stop()
+    results["queries"] = queries
+    results["value"] = round(sum(v for v in queries.values() if v > 0), 2)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""Text analysis for training-data pipelines: quality scoring, language-id
+heuristic, token counting, document fingerprinting.
+
+Everything here is a pure Spark column expression (whole-stage codegen, no
+Python) and has a direct ANSI-SQL twin in __spark_entry__.oracle_sql — the
+md5-based fingerprint is reproducible in DuckDB verbatim.
+
+No reference analog (DeFactoNLP consumes curated wiki text); mandated by the
+task's training-data-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from defactonlp_spark.operators.dedup import tokens_col
+
+# tiny per-language stopword marker lists (deterministic heuristic lang-id)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "de", "que", "los", "las"],
+    "de": ["der", "die", "und", "das", "ist"],
+}
+EN_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it", "for", "on"]
+
+
+def token_count_col(text_col: str = "text"):
+    """Whitespace-ish token count (the pinned SQL-portable tokenizer)."""
+    return F.size(tokens_col(text_col)).cast("long")
+
+
+def quality_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc quality features: lengths, ratios, and a composite score.
+
+    score = 0 if too short; else alpha_ratio * (1 - stop_excess) bounded to
+    [0, 1] and rounded — a deterministic stand-in for a learned quality model.
+    """
+    toks = tokens_col(text_col)
+    n_tok = F.size(toks).cast("long")
+    n_chars = F.length(text_col).cast("long")
+    alpha = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", "")).cast("double")
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS))).cast("double")
+    mean_tok_len = F.when(n_tok > 0, (alpha + F.length(F.regexp_replace(F.col(text_col), "[^0-9]", ""))) / n_tok).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, stop_hits / n_tok).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
+    score = F.when(n_tok < 5, F.lit(0.0)).otherwise(
+        F.least(F.greatest(alpha_ratio * (F.lit(1.0) - F.greatest(stop_ratio - 0.5, F.lit(0.0))), F.lit(0.0)), F.lit(1.0))
+    )
+    return docs.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        F.round(mean_tok_len, 6).alias("mean_tok_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Marker-word language-id: argmax over per-language marker hit counts,
+    ties and zero-evidence -> 'und' (undetermined). Deterministic heuristic —
+    real pipelines drop in fastText here; the Spark plumbing is identical."""
+    toks = tokens_col(text_col)
+    hit_cols = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(words))).cast("long")
+        for lang, words in LANG_MARKERS.items()
+    }
+    best = F.greatest(*hit_cols.values())
+    pred = F.lit("und")
+    # reverse order so earlier languages win ties via later .when override
+    for lang in reversed(list(hit_cols)):
+        pred = F.when((hit_cols[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    out = docs.select(
+        F.col(id_col),
+        *[hit_cols[lang].alias(f"hits_{lang}") for lang in LANG_MARKERS],
+        pred.alias("pred_lang"),
+    )
+    return out
+
+
+def fingerprint(docs: DataFrame, n: int = 5, n_hashes: int = 4, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Document fingerprint: minima of md5 over character n-gram shingles
+    (winnowing-style content signature; portable to any SQL engine).
+
+    fp_i = min over shingles s of substr(md5(i || ':' || s), 1, 8).
+    """
+    s = F.lower(F.col(text_col))
+    idx = F.when(
+        F.length(s) >= n, F.sequence(F.lit(1), F.length(s) - n + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: s.substr(i, F.lit(n)))
+    mins = [
+        F.array_min(F.transform(grams, lambda g: F.substring(F.md5(F.concat(F.lit(f"{i}:"), g)), 1, 8))).alias(f"fp_{i}")
+        for i in range(n_hashes)
+    ]
+    return docs.select(F.col(id_col), *mins)

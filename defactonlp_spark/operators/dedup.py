@@ -36,13 +36,15 @@ def tokens_col(text_col: str = "text"):
 
 
 def shingles_col(n: int = 3, text_col: str = "text"):
-    """Distinct word n-gram shingles as an array column."""
+    """Distinct word n-gram shingles as an array column (empty when the doc
+    has fewer than n tokens — guard needed because Spark's sequence(a, b)
+    DESCENDS when a > b)."""
     toks = tokens_col(text_col)
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-        )
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
     )
 
 

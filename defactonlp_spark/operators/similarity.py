@@ -1,0 +1,144 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk``     : brute-force cosine top-k (the correctness baseline) —
+                        pure DataFrame algebra: broadcast the query vectors,
+                        ``zip_with``/``aggregate`` dot product in whole-stage
+                        codegen, windowed top-k. No Python.
+- ``cosine_dup_pairs``: near-duplicate pairs by cosine >= threshold.
+- ``lsh_ann_topk``    : the scale path — random-hyperplane LSH bucketing
+                        (signs of h deterministic pseudo-projections), then
+                        brute-force only WITHIN candidate buckets (multi-probe
+                        by Hamming-adjacent buckets). Approximate by design.
+
+Scale notes: brute-force is O(|Q| x |corpus|) — fine for reranking, wrong as
+the primary path at 10^9 vectors. LSH bucketing turns it into one shuffle on
+(bucket) with per-bucket brute force; bucket count 2^NBITS is tuned so the
+mean bucket fits an executor. An IVF variant (k-means coarse quantizer) is
+the next refinement; the plumbing (bucket column -> co-partitioned join) is
+identical.
+
+No reference analog: DeFactoNLP has no dense retrieval; this is part of the
+training-data-pipeline surface (task spec) built on the driver's
+``embeddings(vec_id, embedding float[64], label)`` fixture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_expr(a, b):
+    a, b = _as_double(a), _as_double(b)
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k neighbors (excluding self) for each query id, by cosine.
+
+    Output: (query_id, rank, vec_id, cos) — cos rounded to 6 dp so the
+    DuckDB oracle hash-matches despite independent float summation.
+    """
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    joined = (
+        embeddings.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+        .withColumn("cos", F.round(cosine_expr(F.col("qvec"), F.col(vec_col)), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        joined.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", F.col(id_col).alias("vec_id"), "cos")
+    )
+
+
+def cosine_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs (a < b) with cosine >= threshold. Brute-force self-join —
+    the exactness baseline the LSH path is validated against."""
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+N_LSH_BITS = 8
+
+
+def _hyperplane(dim: int, bit: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane (seeded, no RNG call
+    at plan time — reproducible across sessions and engines)."""
+    import numpy as np
+
+    rng = np.random.default_rng(1000 + bit)
+    return [float(x) for x in rng.standard_normal(dim)]
+
+
+def lsh_bucket_expr(vec_col, dim: int, n_bits: int = N_LSH_BITS):
+    """bucket = sum_b (dot(v, H_b) > 0) << b — pure column expression."""
+    v = _as_double(vec_col)
+    acc = F.lit(0)
+    for bit in range(n_bits):
+        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, bit)])
+        acc = acc + F.when(_dot(v, plane) > 0, F.lit(1 << bit)).otherwise(F.lit(0))
+    return acc.cast("int")
+
+
+def lsh_ann_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    dim: int = 64,
+    n_bits: int = N_LSH_BITS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket (plus all
+    Hamming-1 probes), then exact cosine within candidates."""
+    emb = embeddings.withColumn("bucket", lsh_bucket_expr(F.col(vec_col), dim, n_bits))
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), F.col("bucket").alias("qbucket")
+    )
+    probes = F.array(
+        F.col("qbucket"), *[F.col("qbucket").bitwiseXOR(F.lit(1 << b)) for b in range(n_bits)]
+    )
+    q = q.withColumn("probe", F.explode(probes)).drop("qbucket")
+    cand = emb.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("probe")) & (F.col(id_col) != F.col("query_id")),
+    )
+    scored = cand.withColumn("cos", F.round(cosine_expr(F.col("qvec"), F.col(vec_col)), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", F.col(id_col).alias("vec_id"), "cos")
+    )

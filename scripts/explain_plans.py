@@ -1,0 +1,106 @@
+"""Physical-plan audit: print .explain('formatted') for the hot paths and
+grep for the properties that matter at scale — parquet filter pushdown,
+column pruning (ReadSchema), broadcast joins on small sides, whole-stage
+codegen spans, and the single range shuffle in the build.
+
+Usage: PYTHONPATH=/root/repo python scripts/explain_plans.py
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from defactonlp_spark.config import EngineConfig
+from defactonlp_spark.operators import postings as P
+from defactonlp_spark.operators.segments import encode_segments
+from defactonlp_spark.session import get_spark
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def check(name: str, plan: str, must: list[str], must_not: list[str] = ()):  # noqa: D401
+    print(f"== {name} ==")
+    ok = True
+    for m in must:
+        hit = m.lower() in plan.lower()
+        ok &= hit
+        print(f"  [{'x' if hit else ' '}] contains {m!r}")
+    for m in must_not:
+        hit = m.lower() in plan.lower()
+        ok &= not hit
+        print(f"  [{'x' if not hit else '!'}] absent   {m!r}")
+    if not ok:
+        print(plan[:4000])
+    return ok
+
+
+def main():
+    spark = get_spark("plans", cores=8, shuffle_partitions=8,
+                      extra={"spark.ui.showConsoleProgress": "false"})
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ok = True
+
+    # 1. narrow projection + filter pushdown reach the scan
+    q = docs.filter(F.col("lang") == "en").select("doc_id", "text")
+    ok &= check(
+        "filter+prune scan",
+        plan_of(q),
+        must=["PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]", "ReadSchema"],
+    )
+    p1 = plan_of(q)
+    assert "n_chars" not in p1.split("ReadSchema")[1][:200], "column pruning failed"
+    print("  [x] ReadSchema excludes unused columns")
+
+    # 2. postings long table: single mapInPandas, no extra exchange before it
+    postings = P.build_postings(docs)
+    ok &= check("tokenize stage", plan_of(postings), must=["MapInPandas"], must_not=["Exchange"])
+
+    # 3. exhaustive BM25: broadcast join on query side, hash aggregate
+    from defactonlp_spark.operators.bm25 import claim_terms, score_exhaustive
+
+    claims = spark.createDataFrame([(0, "the merge join")], "claim_id long, claim string")
+    stats = P.term_stats(postings)
+    scored = score_exhaustive(postings, stats, claim_terms(claims), 500, 56.0, k=5)
+    ok &= check(
+        "bm25 exhaustive",
+        plan_of(scored),
+        # (codegen ids are not printed for un-executed AdaptiveSparkPlan;
+        # WindowGroupLimit proves the top-k rank filter is pushed into the sort)
+        must=["BroadcastHashJoin", "HashAggregate", "WindowGroupLimit"],
+    )
+
+    # 4. the build shuffle: exactly one range exchange keyed (term, salt)
+    cfg = EngineConfig(n_buckets=8)
+    salted = P.with_salt(postings, P.salt_plan(stats, 500, cfg))
+    seg = encode_segments(salted, stats, 500, 56.0, cfg, 8)
+    plan = plan_of(seg)
+    n_range = plan.lower().count("rangepartitioning")
+    print(f"== build shuffle ==\n  [x] rangepartitioning exchanges: {n_range} (want 1)")
+    ok &= n_range == 1
+    ok &= check("build shuffle broadcast salt plan", plan, must=["BroadcastHashJoin", "Sort"])
+
+    # 5. segment scan pruning by query terms
+    seg.write.mode("overwrite").parquet("/tmp/plan_seg")
+    segr = spark.read.parquet("/tmp/plan_seg").filter(F.col("term").isin(["the", "merge"]))
+    ok &= check("segment term pruning", plan_of(segr), must=["PushedFilters: [In(term"])
+
+    print("\nPLANS " + ("OK" if ok else "NOT OK"))
+    spark.stop()
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,202 @@
+"""M6 — DeFactoNLP-surface operators: DrQA tf-idf mode, title doc retrieval,
+sentence retrieval, FEVER scorer."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from defactonlp_spark.operators.docretrieval import (
+    candidate_union,
+    extract_entities_one,
+    title_match_docs,
+)
+from defactonlp_spark.operators.drqa import (
+    drqa_closest_docs,
+    ngrams_filtered,
+    simple_tokenize,
+)
+from defactonlp_spark.operators.fever import fever_score
+from defactonlp_spark.operators.sentences import (
+    sentence_retrieval,
+    split_chunks,
+    split_fever_lines,
+)
+
+
+# ---------------------------------------------------------------- DrQA mode
+def test_simple_tokenize_semantics():
+    assert simple_tokenize("Obama was born in Hawaii.") == [
+        "obama", "was", "born", "in", "hawaii", ".",
+    ]
+    assert simple_tokenize("don't") == ["don", "'", "t"]
+    assert simple_tokenize("") == []
+
+
+def test_ngram_stopword_filter():
+    toks = simple_tokenize("Obama was born in Hawaii.")
+    grams = ngrams_filtered(toks, 2)
+    # stopwords (was, in) and punctuation dropped, also from bigrams
+    assert "obama" in grams and "hawaii" in grams
+    assert "was" not in grams and "." not in grams
+    assert "born in" not in grams and "obama was" not in grams
+    assert "born" in grams
+
+
+def _pure_python_drqa(texts, queries, k):
+    """Closed-form reimplementation (SURVEY.md §5.2 test_drqa_parity)."""
+    from collections import Counter
+
+    post = {}
+    for d, t in texts.items():
+        for g, c in Counter(ngrams_filtered(simple_tokenize(t))).items():
+            post.setdefault(g, {})[d] = c
+    n = len(texts)
+    out = {}
+    for qid, q in queries.items():
+        scores = {}
+        qcnt = Counter(ngrams_filtered(simple_tokenize(q)))
+        for g, qtf in qcnt.items():
+            if g not in post:
+                continue
+            nt = len(post[g])
+            idf = max(0.0, math.log((n - nt + 0.5) / (nt + 0.5)))
+            qw = math.log1p(qtf) * idf
+            for d, tf in post[g].items():
+                scores[d] = scores.get(d, 0.0) + math.log1p(tf) * idf * qw
+        # zero-weight overlap is no evidence (engine filters score > 0)
+        out[qid] = sorted(
+            ((d, s) for d, s in scores.items() if s > 0), key=lambda kv: (-kv[1], kv[0])
+        )[:k]
+    return out
+
+
+def test_drqa_matches_pure_python(spark):
+    texts = {
+        0: "Colin Kaepernick is a quarterback in the National Football League.",
+        1: "The National Football League is an American sports league.",
+        2: "Hawaii is an island state of the United States.",
+        3: "Barack Obama was born in Hawaii and led the United States.",
+        4: "Quarterback play decides many football games.",
+    }
+    queries = {10: "Colin Kaepernick plays quarterback football", 11: "Obama born Hawaii"}
+    corpus = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    qdf = spark.createDataFrame(list(queries.items()), "claim_id long, claim string")
+    got = drqa_closest_docs(corpus, qdf, k=3).toPandas()
+    expect = _pure_python_drqa(texts, queries, 3)
+    for qid, exp in expect.items():
+        mine = got[got.claim_id == qid].sort_values("rank")
+        assert list(mine.doc_id) == [d for d, _ in exp]
+        for s1, (_, s2) in zip(mine.score, exp):
+            assert math.isclose(s1, s2, rel_tol=1e-9)
+
+
+# ------------------------------------------------------------ doc retrieval
+def test_entity_heuristic():
+    assert extract_entities_one("Colin Kaepernick became a starter.") == [
+        "Colin Kaepernick",
+    ]
+    assert extract_entities_one("the national football league") == []
+
+
+def test_title_match_and_union(spark):
+    docs = spark.createDataFrame(
+        [(0, "Colin_Kaepernick"), (1, "National_Football_League"), (2, "Hawaii -LRB-island-RRB-")],
+        "doc_id long, title string",
+    )
+    claims = spark.createDataFrame(
+        [(1, "Colin Kaepernick plays in the National Football League")],
+        "claim_id long, claim string",
+    )
+    hits = title_match_docs(claims, docs)
+    assert {r["doc_id"] for r in hits.collect()} == {0, 1}
+
+    tfidf = spark.createDataFrame([(1, 2), (1, 0)], "claim_id long, doc_id long")
+    uni = candidate_union(hits, tfidf)
+    assert uni.count() == 3  # {0,1,2} deduped
+
+
+# ---------------------------------------------------------------- sentences
+def test_split_fever_lines(spark):
+    docs = spark.createDataFrame(
+        [(7, "0\tFirst sentence .\tTag1\n1\tSecond sentence .\n3\tFourth , index skipped .")],
+        "doc_id long, lines string",
+    )
+    got = split_fever_lines(docs).orderBy("sent_idx").collect()
+    assert [(r["sent_idx"], r["sentence"]) for r in got] == [
+        (0, "First sentence ."),
+        (1, "Second sentence ."),
+        (3, "Fourth , index skipped ."),
+    ]
+
+
+def test_split_chunks_and_retrieval(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(["alpha"] * 10 + ["beta"] * 10 + ["gamma"] * 3)),
+         (2, "delta " * 5)],
+        "doc_id long, text string",
+    )
+    chunks = split_chunks(docs, chunk_tokens=10)
+    got = chunks.orderBy("doc_id", "sent_idx").collect()
+    assert [(r["doc_id"], r["sent_idx"]) for r in got] == [(1, 0), (1, 1), (1, 2), (2, 0)]
+    assert got[1]["sentence"] == " ".join(["beta"] * 10)
+
+    claims = spark.createDataFrame([(5, "beta")], "claim_id long, claim string")
+    res = sentence_retrieval(chunks, claims, k=2).collect()
+    assert res[0]["doc_id"] == 1 and res[0]["sent_idx"] == 1
+
+
+def test_sentence_retrieval_scoped_by_candidates(spark):
+    docs = spark.createDataFrame(
+        [(1, "match term here"), (2, "match term here")], "doc_id long, text string"
+    )
+    chunks = split_chunks(docs, chunk_tokens=10)
+    claims = spark.createDataFrame([(5, "match")], "claim_id long, claim string")
+    cand = spark.createDataFrame([(5, 2)], "claim_id long, doc_id long")
+    res = sentence_retrieval(chunks, claims, candidates=cand, k=5).collect()
+    assert {r["doc_id"] for r in res} == {2}
+
+
+# ------------------------------------------------------------- FEVER scorer
+def test_fever_score(spark):
+    ev_t = (
+        "array<array<struct<annot_id:bigint, ev_id:bigint, page:string, sent_idx:int>>>"
+    )
+    gold = spark.createDataFrame(
+        [
+            (1, "SUPPORTS", [[(1, 1, "A", 0)], [(2, 2, "B", 1), (2, 3, "C", 2)]]),
+            (2, "REFUTES", [[(3, 4, "D", 0)]]),
+            (3, "NOT ENOUGH INFO", None),
+        ],
+        f"claim_id long, label string, evidence {ev_t}",
+    )
+    pe_t = "array<struct<page:string, sent_idx:int>>"
+    preds = spark.createDataFrame(
+        [
+            (1, "SUPPORTS", [("B", 1), ("C", 2), ("X", 9)]),  # set 2 fully covered
+            (2, "SUPPORTS", [("D", 0)]),                      # evidence ok, label wrong
+            (3, "NOT ENOUGH INFO", []),                       # NEI: evidence free
+        ],
+        f"claim_id long, predicted_label string, predicted_evidence {pe_t}",
+    )
+    row = fever_score(preds, gold).collect()[0]
+    assert row["n"] == 3
+    assert math.isclose(row["label_accuracy"], 2 / 3, abs_tol=1e-6)
+    assert math.isclose(row["evidence_recall"], 1.0, abs_tol=1e-6)
+    assert math.isclose(row["fever_score"], 2 / 3, abs_tol=1e-6)
+
+
+def test_fever_evidence_partial_set_not_enough(spark):
+    ev_t = "array<array<struct<annot_id:bigint, ev_id:bigint, page:string, sent_idx:int>>>"
+    gold = spark.createDataFrame(
+        [(1, "SUPPORTS", [[(1, 1, "A", 0), (1, 2, "B", 1)]])],
+        f"claim_id long, label string, evidence {ev_t}",
+    )
+    preds = spark.createDataFrame(
+        [(1, "SUPPORTS", [("A", 0)])],
+        "claim_id long, predicted_label string, predicted_evidence array<struct<page:string, sent_idx:int>>",
+    )
+    row = fever_score(preds, gold).collect()[0]
+    assert row["evidence_recall"] == 0.0 and row["fever_score"] == 0.0
