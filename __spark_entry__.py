@@ -31,6 +31,30 @@ BM25_CLAIMS = [
 K1, B = 1.2, 0.75
 TOPK = 5
 
+# claims with capitalized entity spans for A12 title-match (titles are the
+# first two tokens of each document joined by '_', FEVER-escaped style)
+TITLE_CLAIMS = [
+    (0, "Fast Merge beats Table Small every time"),
+    (1, "According to The Spark, Merge Group wins"),
+    (2, "no entities in this claim at all"),
+    (3, "Scan Key and Vector Spark are rivals"),
+]
+
+# A18 fixture: 4 claims exercising every scorer branch — set satisfied,
+# label wrong, NEI auto-evidence, partial set (must fail containment)
+FEVER_PRED = [
+    (0, "SUPPORTS", [("p1", 0), ("p2", 1)]),
+    (1, "REFUTES", [("p3", 2)]),
+    (2, "NOT ENOUGH INFO", []),
+    (3, "SUPPORTS", [("p9", 0)]),
+]
+FEVER_GOLD = [
+    (0, "SUPPORTS", [[(1, 1, "p1", 0)], [(2, 2, "p7", 3)]]),
+    (1, "SUPPORTS", [[(3, 3, "p3", 2)]]),
+    (2, "NOT ENOUGH INFO", []),
+    (3, "SUPPORTS", [[(4, 4, "p9", 0), (5, 5, "p10", 1)]]),
+]
+
 _TOKS_SQL = (
     "SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), "
     "'[^a-z0-9]+'), t -> t <> '')) AS term FROM documents"
@@ -38,13 +62,29 @@ _TOKS_SQL = (
 
 _CLAIMS_SQL = "(VALUES " + ", ".join(f"({i}, '{c}')" for i, c in BM25_CLAIMS) + ")"
 
-_BM25_CORE_SQL = f"""
-WITH toks AS ({_TOKS_SQL}),
+
+def _bm25_sql(
+    toks_sql: str,
+    claims_sql: str,
+    k: int,
+    select: str | None = None,
+    order_by: str = "score DESC, doc_id",
+) -> str:
+    """BM25 core as reusable SQL: toks(doc_id, term) + claims -> top-k.
+    ``select`` overrides the final projection (gets `claim_id, doc_id, score,
+    rn` in scope); ``order_by`` overrides the rank order (rank on
+    round(score, 4) when cross-engine float summation order could flip a
+    raw-score tie)."""
+    final = select or (
+        "claim_id::BIGINT AS claim_id, doc_id::BIGINT AS doc_id, round(score, 4) AS score"
+    )
+    return f"""
+WITH toks AS ({toks_sql}),
 postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
 stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
 dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
-claims(claim_id, claim) AS {_CLAIMS_SQL},
+claims(claim_id, claim) AS {claims_sql},
 qterms AS (
   SELECT DISTINCT claim_id, unnest(list_filter(regexp_split_to_array(lower(claim),
     '[^a-z0-9]+'), t -> t <> '')) AS term FROM claims
@@ -61,12 +101,159 @@ scored AS (
   CROSS JOIN stats s
   GROUP BY 1, 2
 )
-SELECT claim_id::BIGINT AS claim_id, doc_id::BIGINT AS doc_id,
-       round(score, 4) AS score
-FROM (SELECT *, row_number() OVER (PARTITION BY claim_id ORDER BY score DESC, doc_id) AS rn
+SELECT {final}
+FROM (SELECT *, row_number() OVER (PARTITION BY claim_id ORDER BY {order_by}) AS rn
       FROM scored)
-WHERE rn <= {TOPK}
+WHERE rn <= {k}
 """
+
+
+_BM25_CORE_SQL = _bm25_sql(_TOKS_SQL, _CLAIMS_SQL, TOPK)
+
+# ---- SQL twins for the reference-surface operators (A12-A15, A18, A9-A11) --
+
+_CHUNKS_SQL = """
+WITH base AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS tl
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, i - 1 AS sent_idx,
+         array_to_string(tl[(i-1)*10+1:i*10], ' ') AS sentence
+  FROM base, unnest(range(1, CAST(ceil(len(tl)/10.0) AS INTEGER) + 1)) AS u(i)
+)
+"""
+
+_SENT_TOKS_SQL = """
+SELECT (doc_id * 1048576 + sent_idx) AS doc_id,
+       unnest(list_filter(regexp_split_to_array(lower(sentence), '[^a-z0-9]+'),
+                          t -> t <> '')) AS term
+FROM (
+  SELECT doc_id, i - 1 AS sent_idx,
+         array_to_string(tl[(i-1)*10+1:i*10], ' ') AS sentence
+  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                   t -> t <> '') AS tl FROM documents) b,
+       unnest(range(1, CAST(ceil(len(tl)/10.0) AS INTEGER) + 1)) AS u(i)
+)
+"""
+
+
+def _title_claims_sql() -> str:
+    return "(VALUES " + ", ".join(f"({i}, '{c}')" for i, c in TITLE_CLAIMS) + ")"
+
+
+def _title_match_sql() -> str:
+    """A12 oracle: capitalized-span entities joined to first-two-token titles.
+    The regex mirrors defactonlp_spark.operators.docretrieval._CAP_SPAN."""
+    ent_re = r"(?:[A-Z][\w''-]*)(?:\s+[A-Z][\w''-]*)*"
+    return f"""
+        WITH titled AS (
+          SELECT doc_id,
+                 array_to_string((list_filter(regexp_split_to_array(lower(text),
+                   '[^a-z0-9]+'), t -> t <> ''))[1:2], '_') AS title
+          FROM documents
+        ),
+        claims(claim_id, claim) AS {_title_claims_sql()},
+        ents AS (
+          SELECT DISTINCT claim_id, lower(e) AS ent_norm
+          FROM claims, unnest(regexp_extract_all(claim, '{ent_re}')) AS u(e)
+          WHERE length(e) > 1
+        )
+        SELECT DISTINCT e.claim_id::BIGINT AS claim_id, t.doc_id::BIGINT AS doc_id
+        FROM titled t JOIN ents e ON replace(lower(t.title), '_', ' ') = e.ent_norm
+    """
+
+
+def _drqa_sql() -> str:
+    """A9-A11 oracle: DrQA tf-idf (uni+bigrams, stopword filter, log1p tf x
+    clamped idf, sparse dot). Valid because fixture text is pure lowercase
+    [a-z0-9 ]+ (verified), where SimpleTokenizer == whitespace split and the
+    all-punctuation ngram filter never fires. Stopword list is imported from
+    the engine module so the two sides cannot drift."""
+    from defactonlp_spark.operators.drqa import STOPWORDS
+
+    stop = "[" + ", ".join(f"'{w}'" for w in sorted(STOPWORDS)) + "]"
+    tokset = (
+        "SELECT {id} AS gid, list_filter(regexp_split_to_array(lower({txt}), "
+        "'[^a-z0-9]+'), t -> t <> '') AS tl FROM {src}"
+    )
+    grams = (
+        "SELECT gid, unnest(tl) AS g FROM {b} "
+        "UNION ALL "
+        "SELECT gid, unnest([tl[i] || ' ' || tl[i+1] FOR i IN range(1, len(tl))]) AS g "
+        "FROM {b} WHERE len(tl) >= 2"
+    )
+    return f"""
+        WITH dbase AS ({tokset.format(id="doc_id", txt="text", src="documents")}),
+        dgrams AS ({grams.format(b="dbase")}),
+        dfilt AS (SELECT gid, g FROM dgrams
+                  WHERE len(list_filter(string_split(g, ' '),
+                                        t -> list_contains({stop}, t))) = 0),
+        post AS (SELECT g, gid AS doc_id, count(*)::BIGINT AS tf FROM dfilt GROUP BY 1, 2),
+        nt AS (SELECT g, count(*)::DOUBLE AS nt FROM post GROUP BY 1),
+        ndocs AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM documents),
+        w AS (SELECT p.g, p.doc_id,
+                     ln(1 + p.tf) * greatest(ln((s.n - t.nt + 0.5) / (t.nt + 0.5)), 0.0) AS w
+              FROM post p JOIN nt t ON p.g = t.g CROSS JOIN ndocs s),
+        claims(claim_id, claim) AS {_CLAIMS_SQL},
+        qbase AS ({tokset.format(id="claim_id", txt="claim", src="claims")}),
+        qgrams AS ({grams.format(b="qbase")}),
+        qfilt AS (SELECT gid, g FROM qgrams
+                  WHERE len(list_filter(string_split(g, ' '),
+                                        t -> list_contains({stop}, t))) = 0),
+        qpost AS (SELECT gid AS claim_id, g, count(*)::BIGINT AS tf FROM qfilt GROUP BY 1, 2),
+        qw AS (SELECT q.claim_id, q.g,
+                      ln(1 + q.tf) * greatest(ln((s.n - t.nt + 0.5) / (t.nt + 0.5)), 0.0) AS qw
+               FROM qpost q JOIN nt t ON q.g = t.g CROSS JOIN ndocs s),
+        scored AS (SELECT qw.claim_id, w.doc_id, sum(w.w * qw.qw) AS score
+                   FROM w JOIN qw ON w.g = qw.g
+                   GROUP BY 1, 2 HAVING sum(w.w * qw.qw) > 0)
+        SELECT claim_id::BIGINT AS claim_id, rn::BIGINT AS rank,
+               doc_id::BIGINT AS doc_id, round(score, 4) AS score
+        FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
+                 ORDER BY score DESC, doc_id) AS rn FROM scored)
+        WHERE rn <= {TOPK}
+    """
+
+
+def _fever_sql() -> str:
+    """A18 oracle: the FEVER_PRED/FEVER_GOLD fixture re-expressed with
+    page#sent keys; set containment via nested list_filter."""
+
+    def keys(ev):
+        return "[" + ", ".join(f"'{p}#{s}'" for p, s in ev) + "]" if ev else "[]::VARCHAR[]"
+
+    pred_rows = ", ".join(
+        f"({cid}, '{lbl}', {keys(ev)})" for cid, lbl, ev in FEVER_PRED
+    )
+    gold_rows = ", ".join(
+        "({}, '{}', {})".format(
+            cid, lbl,
+            "[" + ", ".join(keys([(m[2], m[3]) for m in s]) for s in sets) + "]"
+            if sets else "[]::VARCHAR[][]",
+        )
+        for cid, lbl, sets in FEVER_GOLD
+    )
+    return f"""
+        WITH pred(claim_id, predicted_label, pred_keys) AS (VALUES {pred_rows}),
+        gold(claim_id, label, sets) AS (VALUES {gold_rows}),
+        per AS (
+          SELECT g.claim_id,
+                 (g.label = p.predicted_label)::INT AS label_ok,
+                 CASE WHEN g.label = 'NOT ENOUGH INFO' THEN 1
+                      WHEN len(list_filter(g.sets,
+                             s -> len(list_filter(s,
+                                    m -> NOT list_contains(p.pred_keys, m))) = 0)) > 0
+                      THEN 1 ELSE 0 END AS evidence_ok
+          FROM gold g LEFT JOIN pred p USING (claim_id)
+        )
+        SELECT count(*)::BIGINT AS n,
+               round(avg(label_ok), 6) AS label_accuracy,
+               round(avg(evidence_ok), 6) AS evidence_recall,
+               round(avg(label_ok * evidence_ok), 6) AS fever_score
+        FROM per
+    """
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -84,15 +271,23 @@ def _engine_corpus_stats(postings):
     return int(row["n_docs"]), float(row["avgdl"])
 
 
+def _postings_cached(spark, sf_dir):
+    """Tokenize once, persist: the ad-hoc BM25 queries read the postings
+    long table 3-4 times (stats, df, scoring); without a persist each pass
+    re-runs the mapInPandas tokenizer. (IndexBuild materializes postings to
+    parquet for the same reason — this is the ad-hoc analog.)"""
+    from defactonlp_spark.operators.postings import build_postings
+
+    return build_postings(_docs(spark, sf_dir)).persist()
+
+
 # --------------------------------------------------------------------------
 # queries
 # --------------------------------------------------------------------------
 
 
 def q_term_tf_totals(spark, sf_dir):
-    from defactonlp_spark.operators.postings import build_postings
-
-    p = build_postings(_docs(spark, sf_dir))
+    p = _postings_cached(spark, sf_dir)
     return p.groupBy("term").agg(
         F.sum("tf").cast("long").alias("total_tf"),
         F.count(F.lit(1)).cast("long").alias("df"),
@@ -100,9 +295,9 @@ def q_term_tf_totals(spark, sf_dir):
 
 
 def q_corpus_stats(spark, sf_dir):
-    from defactonlp_spark.operators.postings import build_postings, corpus_stats
+    from defactonlp_spark.operators.postings import corpus_stats
 
-    cs = corpus_stats(build_postings(_docs(spark, sf_dir)))
+    cs = corpus_stats(_postings_cached(spark, sf_dir))
     return cs.select(
         F.col("n_docs").cast("long").alias("n_docs"),
         F.round("avgdl", 6).alias("avgdl"),
@@ -113,9 +308,9 @@ def q_corpus_stats(spark, sf_dir):
 def q_bm25_topk(spark, sf_dir):
     """Exhaustive DataFrame BM25 (operator B6)."""
     from defactonlp_spark.operators.bm25 import claim_terms, score_exhaustive
-    from defactonlp_spark.operators.postings import build_postings, term_stats
+    from defactonlp_spark.operators.postings import term_stats
 
-    p = build_postings(_docs(spark, sf_dir))
+    p = _postings_cached(spark, sf_dir)
     n_docs, avgdl = _engine_corpus_stats(p)
     res = score_exhaustive(p, term_stats(p), claim_terms(_claims_df(spark)), n_docs, avgdl, k=TOPK)
     return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
@@ -127,7 +322,6 @@ def q_bm25_topk_wand(spark, sf_dir):
     from defactonlp_spark.config import EngineConfig
     from defactonlp_spark.operators.bm25 import claim_terms
     from defactonlp_spark.operators.postings import (
-        build_postings,
         salt_plan,
         term_stats,
         with_salt,
@@ -136,7 +330,7 @@ def q_bm25_topk_wand(spark, sf_dir):
     from defactonlp_spark.operators.wand import wand_topk
 
     cfg = EngineConfig(n_buckets=8)
-    p = build_postings(_docs(spark, sf_dir))
+    p = _postings_cached(spark, sf_dir)
     n_docs, avgdl = _engine_corpus_stats(p)
     stats = term_stats(p)
     seg = encode_segments(with_salt(p, salt_plan(stats, n_docs, cfg)), stats, n_docs, avgdl, cfg, 8)
@@ -307,6 +501,119 @@ def q_token_counts(spark, sf_dir):
     )
 
 
+def _titled_docs(spark, sf_dir):
+    """documents -> (doc_id, title): first two tokens joined by '_'."""
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != "")
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.array_join(F.slice(toks, 1, 2), "_").alias("title")
+    )
+
+
+def _title_claims_df(spark):
+    return spark.createDataFrame(TITLE_CLAIMS, "claim_id long, claim string")
+
+
+def q_title_match(spark, sf_dir):
+    """A12 — entity-heuristic doc retrieval via broadcast title join."""
+    from defactonlp_spark.operators.docretrieval import title_match_docs
+
+    res = title_match_docs(_title_claims_df(spark), _titled_docs(spark, sf_dir))
+    return res.select(
+        F.col("claim_id").cast("long").alias("claim_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+    )
+
+
+def q_candidate_union(spark, sf_dir):
+    """A13 — NER candidates ∪ BM25 top-k, deduplicated."""
+    from defactonlp_spark.operators.bm25 import claim_terms, score_exhaustive
+    from defactonlp_spark.operators.docretrieval import candidate_union, title_match_docs
+    from defactonlp_spark.operators.postings import term_stats
+
+    claims = _title_claims_df(spark)
+    ner = title_match_docs(claims, _titled_docs(spark, sf_dir))
+    p = _postings_cached(spark, sf_dir)
+    n_docs, avgdl = _engine_corpus_stats(p)
+    tfidf = score_exhaustive(p, term_stats(p), claim_terms(claims), n_docs, avgdl, k=TOPK)
+    res = candidate_union(ner, tfidf)
+    return res.select(
+        F.col("claim_id").cast("long").alias("claim_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+    )
+
+
+def q_drqa_tfidf_topk(spark, sf_dir):
+    """A9-A11 — DrQA-parity tf-idf retrieval (ngrams, stopword filter,
+    log1p·clamped-idf weighting, sparse dot product)."""
+    from defactonlp_spark.operators.drqa import drqa_closest_docs
+
+    res = drqa_closest_docs(_docs(spark, sf_dir), _claims_df(spark), k=TOPK)
+    return res.select(
+        "claim_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 4).alias("score"),
+    )
+
+
+def q_sentence_chunks(spark, sf_dir):
+    """A14 — sentence split (chunked pseudo-sentences for flat corpora)."""
+    from defactonlp_spark.operators.sentences import split_chunks
+
+    return split_chunks(_docs(spark, sf_dir), chunk_tokens=10).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        "sentence",
+    )
+
+
+def q_sentence_topk(spark, sf_dir):
+    """A15 — sentence-granularity BM25 retrieval (top-3 per claim).
+
+    Ranked on the ROUNDED score (ties then by doc_id, sent_idx): chunked
+    pseudo-sentences produce many mathematically-tied scores whose raw
+    float64 values depend on engine summation order; ranking on the 4-dp
+    value is deterministic across engines. Inner k=40 >> max rounded-tie
+    group (10) so the re-rank never clips a tie group."""
+    from pyspark.sql import Window
+
+    from defactonlp_spark.operators.sentences import sentence_retrieval, split_chunks
+
+    sents = split_chunks(_docs(spark, sf_dir), chunk_tokens=10)
+    res = sentence_retrieval(sents, _claims_df(spark), k=40)
+    w = Window.partitionBy("claim_id").orderBy(
+        F.desc(F.round("score", 4)), F.asc("doc_id"), F.asc("sent_idx")
+    )
+    return (
+        res.withColumn("rrank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rrank") <= 3)
+        .select(
+            "claim_id",
+            F.col("rrank").alias("rank"),
+            "doc_id",
+            F.col("sent_idx").cast("long").alias("sent_idx"),
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
+def q_fever_eval(spark, sf_dir):
+    """A18 — FEVER scorer over an inline fixture (set containment logic)."""
+    from defactonlp_spark.operators.fever import fever_score
+
+    pred = spark.createDataFrame(
+        FEVER_PRED,
+        "claim_id long, predicted_label string, "
+        "predicted_evidence array<struct<page:string,sent_idx:int>>",
+    )
+    gold = spark.createDataFrame(
+        FEVER_GOLD,
+        "claim_id long, label string, "
+        "evidence array<array<struct<annot_id:long,ev_id:long,page:string,sent_idx:int>>>",
+    )
+    return fever_score(pred, gold)
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -339,6 +646,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "token_counts": q_token_counts,
+        "title_match": q_title_match,
+        "candidate_union": q_candidate_union,
+        "drqa_tfidf_topk": q_drqa_tfidf_topk,
+        "sentence_chunks": q_sentence_chunks,
+        "sentence_topk": q_sentence_topk,
+        "fever_eval": q_fever_eval,
     }
 
 
@@ -568,4 +881,33 @@ def oracle_sql() -> dict[str, str]:
                    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> ''))::BIGINT AS n_tokens
             FROM documents
         """,
+        "title_match": _title_match_sql(),
+        "candidate_union": f"""
+            SELECT claim_id::BIGINT AS claim_id, doc_id::BIGINT AS doc_id FROM (
+              SELECT claim_id, doc_id FROM ({_title_match_sql()})
+              UNION
+              SELECT claim_id, doc_id FROM (
+                {_bm25_sql(_TOKS_SQL, _title_claims_sql(), TOPK,
+                           select="claim_id, doc_id")}
+              )
+            )
+        """,
+        "drqa_tfidf_topk": _drqa_sql(),
+        "sentence_chunks": f"""
+            {_CHUNKS_SQL}
+            SELECT doc_id::BIGINT AS doc_id, sent_idx::BIGINT AS sent_idx, sentence
+            FROM chunks
+        """,
+        "sentence_topk": _bm25_sql(
+            _SENT_TOKS_SQL,
+            _CLAIMS_SQL,
+            3,
+            select=(
+                "claim_id::BIGINT AS claim_id, rn::BIGINT AS rank, "
+                "(doc_id // 1048576)::BIGINT AS doc_id, "
+                "(doc_id % 1048576)::BIGINT AS sent_idx, round(score, 4) AS score"
+            ),
+            order_by="round(score, 4) DESC, doc_id",
+        ),
+        "fever_eval": _fever_sql(),
     }

@@ -130,10 +130,14 @@ def drqa_closest_docs(
     """Batch ``closest_docs``: top-k (claim_id, rank, doc_id, score) by
     tf-idf sparse dot product, ties broken by doc_id asc."""
     n_docs = corpus.select(id_col).distinct().count()
-    doc_w = tfidf_weights(ngram_postings(corpus, id_col, text_col), n_docs)
+    # one tokenize pass, cached: doc weights AND the query-side idf both read
+    # it (DrQA loads one .npz model for both; recomputing the ngram explode
+    # twice would double the only expensive stage)
+    post = ngram_postings(corpus, id_col, text_col).persist()
+    doc_w = tfidf_weights(post, n_docs)
     q_post = ngram_postings(queries_df, "claim_id", "claim").withColumnRenamed("doc_id", "claim_id")
     # query vector uses the CORPUS idf (DrQA text2spvec uses model doc_freqs)
-    nt = ngram_postings(corpus, id_col, text_col).groupBy("ngram").agg(F.count(F.lit(1)).alias("nt"))
+    nt = post.groupBy("ngram").agg(F.count(F.lit(1)).alias("nt"))
     q_w = (
         q_post.join(nt, "ngram", "inner")
         .withColumn(

@@ -36,24 +36,26 @@ def latest_per_url(pages: DataFrame) -> DataFrame:
     )
 
 
-def assign_doc_ids(pages: DataFrame, strategy: str = "global") -> DataFrame:
+def assign_doc_ids(pages: DataFrame, strategy: str = "global", n_parts: int = 256) -> DataFrame:
     """Add a deterministic ``doc_id`` keyed by url.
 
     strategy="global": dense rank of url (bit-stable across runs & cluster
     sizes; one global sort — fine to ~10^8 docs).
     strategy="partitioned": scale path — stable but sparse ids derived from a
     repartition-by-url + per-partition index; no global sort. Deterministic
-    because the url-hash partitioner and within-partition sort are pinned.
+    AND cluster-size-independent because the partition count is a pinned
+    constant (NOT derived from defaultParallelism), the url-hash partitioner
+    is pinned, and the within-partition sort is total on url — the same
+    corpus gets the same ids on 4 cores or 4000.
     """
     if strategy == "global":
         w = Window.orderBy("url")
         return pages.withColumn("doc_id", F.row_number().over(w).cast("long") - 1)
     if strategy == "partitioned":
-        n = pages.sparkSession.sparkContext.defaultParallelism * 4
         # capture the url-hash partition id as data BEFORE the window's own
         # shuffle re-partitions rows (spark_partition_id() is stage-local)
         parted = (
-            pages.repartition(n, "url")
+            pages.repartition(n_parts, "url")
             .withColumn("_pid", F.spark_partition_id())
         )
         part_w = Window.partitionBy("_pid").orderBy("url")

@@ -237,7 +237,7 @@ def merge_segments(
     w = Window.partitionBy("term")
     with_df = spark_segments.withColumn("df_new", F.sum("n").over(w))
 
-    def merge_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def merge_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         term, salt = key
         ids_l, tfs_l, dls_l = [], [], []
         for r in pdf.itertuples(index=False):

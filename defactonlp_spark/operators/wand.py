@@ -254,7 +254,7 @@ def wand_topk(
 
     params, bs = cfg.bm25, cfg.block_size
 
-    def per_claim(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def per_claim(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         (claim_id,) = key
         top = wand_topk_kernel(pdf, n_docs, avgdl, k, params, bs)
         return pd.DataFrame(

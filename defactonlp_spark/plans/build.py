@@ -31,6 +31,7 @@ n_salts sub-lists before the range shuffle — the two mandated skew controls
 
 from __future__ import annotations
 
+import json
 import os
 import time
 import uuid
@@ -56,11 +57,39 @@ METRICS_COLS = (
 
 def bucket_boundaries(stats: DataFrame, n_buckets: int) -> list[str]:
     """df-weighted term-range boundaries: cut the term axis (sorted) into
-    n_buckets ranges of roughly equal posting mass. Distributed cumsum via a
-    range-partitioned window; only n_buckets boundary strings are collected."""
-    w = Window.orderBy("term").rowsBetween(Window.unboundedPreceding, 0)
+    n_buckets ranges of roughly equal posting mass.
+
+    Distributed two-phase prefix sum — NO global single-partition sort:
+    range-partition the vocabulary on term, cumsum locally per partition
+    (window partitioned by the range-partition id), collect only the P
+    per-partition totals to the driver to form offsets, add them back via a
+    broadcast join. Driver traffic is O(P + n_buckets) rows regardless of
+    vocabulary size. Result is deterministic: the cumulative mass of a term
+    depends only on the global term order, not on how ranges were sampled.
+    """
+    spark = stats.sparkSession
+    P_parts = max(spark.sparkContext.defaultParallelism, 2)
     total = stats.agg(F.sum("df")).collect()[0][0] or 1
-    cum = stats.withColumn("cum", F.sum("df").over(w))
+
+    parted = (
+        stats.repartitionByRange(P_parts, "term")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    partials = (
+        parted.groupBy("_pid").agg(F.sum("df").alias("psum")).orderBy("_pid").collect()
+    )
+    off, offsets = 0, []
+    for r in partials:
+        offsets.append((r["_pid"], off))
+        off += int(r["psum"])
+    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+
+    w = Window.partitionBy("_pid").orderBy("term").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        parted.withColumn("_local_cum", F.sum("df").over(w))
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn("cum", F.col("_local_cum") + F.col("_off"))
+    )
     bucketed = cum.withColumn(
         "bucket",
         F.least(
@@ -138,7 +167,8 @@ class IndexBuild:
 
         # ---- stage 1: postings long table, partitioned by bucket ----------
         stats_path = os.path.join(self.out_dir, "term_stats")
-        if not (os.path.exists(self.postings_dir) and os.path.exists(stats_path)):
+        bounds_path = os.path.join(self.out_dir, "boundaries.json")
+        if not (os.path.exists(self.postings_dir) and os.path.exists(bounds_path)):
             postings = P.build_postings(corpus)
             stats = P.term_stats(postings)
             stats.write.mode("overwrite").parquet(stats_path)
@@ -150,9 +180,17 @@ class IndexBuild:
                 .partitionBy("bucket")
                 .parquet(self.postings_dir)
             )
+            # pin the bucket map for resume: a resumed build MUST slice the
+            # persisted postings with the exact boundaries they were written
+            # with (atomic rename, same protocol as the manifest)
+            tmp = bounds_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(boundaries, f)
+            os.replace(tmp, bounds_path)
         stats = spark.read.parquet(stats_path)
         postings = spark.read.parquet(self.postings_dir)
-        boundaries = bucket_boundaries(stats, cfg.n_buckets)
+        with open(bounds_path) as f:
+            boundaries = json.load(f)
 
         cs = P.corpus_stats(postings).collect()[0]
         n_docs, avgdl, total_tokens = int(cs["n_docs"]), float(cs["avgdl"]), int(cs["total_tokens"])
