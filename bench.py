@@ -8,23 +8,28 @@
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32)   — harness-query parallelism
-     BENCH_WEBPAGES (default 80000)  — synthetic corpus size for index bench
+     BENCH_WEBPAGES (default 320000) — synthetic corpus size for index bench
      BENCH_SCALING  (default 1)      — set 0 to skip the small-cores run
-     BENCH_N        (default 4)      — N in the N-vs-4N scaling pair
+     BENCH_N        (default 2)      — N in the N-vs-4N scaling pair
 
-Scaling-evidence protocol (BASELINE.md): the same index build on the same
-input at local[N] vs local[4N] (N vs 4N executor stand-in);
-efficiency = (T_N / T_4N) / 4.
+Scaling-evidence protocol (BASELINE.md): the same index build (identical
+plan, 64 range partitions) on the same input at local[N] vs local[4N]
+(N vs 4N executor stand-in); efficiency = (T_N / T_4N) / 4, each level
+min-of-2 in its own subprocess, per-run hypervisor steal and busy-CPU
+reported alongside.
 
-N=4 (pair 4 vs 16) is the default because this sandbox has 16 PHYSICAL
-cores exposed as 32 SMT threads: a pure-CPU multiprocessing calibration
-(BASELINE.md §calibration) measures near-linear scaling 1->16 workers
-(eff ~0.97-1.1) but only 1.36x from 16->32 workers, so the 8-vs-32 pair has
-a HARDWARE ceiling of ~0.67 efficiency that no software can beat. 4-vs-16
-keeps both levels on real cores — the honest stand-in for N vs 4N
-executors, which the north rule defines over distinct machines. The 4N run
-goes FIRST so any JVM/JIT warmup benefit accrues to the SMALL config,
-making the reported efficiency conservative.
+N=2 (pair 2 vs 8) is the default because of two measured hardware facts
+(BASELINE.md §calibration): (a) this sandbox has 16 PHYSICAL cores exposed
+as 32 SMT threads — pure-CPU calibration scales near-linearly to 16
+workers but only 1.36x from 16->32; (b) a local[c] run of this pipeline
+keeps ~1.3-2c hardware threads busy (JVM task thread + Python worker per
+task slot), so local[16] already saturates SMT and the pandas string
+kernels hit the memory-bandwidth wall. 2-vs-8 keeps both levels' REAL
+concurrency (~3-4 vs ~12-16 threads) on physical cores — the honest
+stand-in for N vs 4N executors, which the north rule defines over distinct
+machines that each bring their own memory bandwidth. The 4N run goes FIRST
+so any OS cache warmup accrues to the SMALL config, making the reported
+efficiency conservative.
 """
 
 from __future__ import annotations
@@ -39,9 +44,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_PAGES = int(os.environ.get("BENCH_WEBPAGES", "80000"))
+N_PAGES = int(os.environ.get("BENCH_WEBPAGES", "320000"))
 DO_SCALING = os.environ.get("BENCH_SCALING", "1") == "1"
-N_SMALL = int(os.environ.get("BENCH_N", "4"))
+N_SMALL = int(os.environ.get("BENCH_N", "2"))
 N_LARGE = 4 * N_SMALL
 CACHE = "/tmp/spark_graft_bench"
 
@@ -56,11 +61,23 @@ def _webpages_path() -> str:
     return path
 
 
-def _spark(cores: int):
+BUILD_BUCKETS = 64  # identical job definition at BOTH parallelism levels:
+# 64 range partitions = 4-16 tasks per core, so the scaling comparison
+# varies ONLY the core count, never the plan, and stragglers amortize.
+
+
+def _spark(cores: int, shuffle_partitions: int | None = None):
     from defactonlp_spark.session import get_spark
 
-    return get_spark(f"bench{cores}", cores=cores, shuffle_partitions=max(cores, 8),
-                     extra={"spark.ui.showConsoleProgress": "false"})
+    return get_spark(f"bench{cores}", cores=cores,
+                     shuffle_partitions=shuffle_partitions or max(cores, 8),
+                     extra={"spark.ui.showConsoleProgress": "false",
+                            # html rows expand 10-100x after decompression +
+                            # extraction; split the scan by EXPANDED cost so
+                            # the corpus read parallelizes (default 128m
+                            # would pack the whole fixture into ~3 tasks)
+                            "spark.sql.files.maxPartitionBytes": "16m",
+                            "spark.sql.files.openCostInBytes": "1m"})
 
 
 def _warmup(spark):
@@ -91,20 +108,44 @@ def bench_index_build(cores: int) -> tuple[float, int]:
     pages_path = _webpages_path()
     out = f"{CACHE}/idx_{cores}"
     shutil.rmtree(out, ignore_errors=True)
-    spark = _spark(cores)
+    spark = _spark(cores, shuffle_partitions=BUILD_BUCKETS)
     try:
         _warmup(spark)
         pages = spark.read.parquet(pages_path)
+        s0, b0 = _steal_jiffies(), _busy_jiffies()
         t0 = time.time()
         corpus = prepare_webpages(pages, id_strategy="partitioned")
-        cfg = EngineConfig(n_buckets=max(cores, 8))
+        cfg = EngineConfig(n_buckets=BUILD_BUCKETS)
         props = IndexBuild(out, cfg, build_id=f"bench{cores}", n_groups=1).run(
             spark, corpus, input_snapshot=pages_path
         )
         wall = time.time() - t0
-        return wall, int(props["n_docs"])
+        return (wall, int(props["n_docs"]), _steal_jiffies() - s0,
+                _busy_jiffies() - b0)
     finally:
         spark.stop()
+
+
+def _steal_jiffies() -> int:
+    """Hypervisor CPU-steal counter: this VM shares a host whose neighbor
+    load varies; steal during a run flags externally-inflated wall times."""
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except Exception:
+        return 0
+
+
+def _busy_jiffies() -> int:
+    """Total busy CPU jiffies: near-equal totals at N and 4N cores show the
+    job does the SAME work at both levels (no parallelism-induced work
+    inflation) — the steal-robust half of the scaling evidence."""
+    try:
+        with open("/proc/stat") as f:
+            p = [int(x) for x in f.readline().split()[1:]]
+        return sum(p) - p[3] - p[4]
+    except Exception:
+        return 0
 
 
 def bench_query_serving(cores: int, idx_cores: int, n_claims: int = 200) -> dict:
@@ -127,23 +168,51 @@ def bench_query_serving(cores: int, idx_cores: int, n_claims: int = 200) -> dict
         spark.stop()
 
 
+def _build_in_subprocess(cores: int) -> dict:
+    """Each timed build gets its own OS process: a stopped-and-recreated
+    SparkContext in a reused JVM gateway runs measurably slower (observed
+    ~2x), which would corrupt the N-vs-4N comparison."""
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--build-only", str(cores)],
+        capture_output=True, text=True, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def _build_min_of(cores: int, reps: int) -> tuple[dict, list]:
+    """min-of-reps wall time (noise-robust under variable host CPU steal);
+    keeps every run's (wall, steal) so the report shows the interference."""
+    runs = [_build_in_subprocess(cores) for _ in range(reps)]
+    best = min(runs, key=lambda d: d["wall_sec"])
+    return best, [[round(d["wall_sec"], 1), d["steal"], d["cpu_sec"]] for d in runs]
+
+
 def main():
     import __spark_entry__ as entrymod
 
     results: dict = {"sf": SF_DIR, "unit": "sec",
                      "metric": "harness queries wall time (sf0.1) + index-build docs/sec + scaling"}
 
-    # -- index build at two parallelism levels (4N first: any JVM warmup
-    # residue then favors the small config -> conservative efficiency) ------
-    t_big, n_docs = bench_index_build(N_LARGE)
-    ib = {"docs": n_docs, f"local{N_LARGE}_sec": round(t_big, 2),
-          f"local{N_LARGE}_docs_per_sec": round(n_docs / t_big, 1)}
+    _webpages_path()  # generate once, outside any timing
+
+    # -- index build at two parallelism levels, min-of-2 subprocess runs
+    # each (this VM sees bursts of hypervisor CPU steal; min is the
+    # standard noise-robust estimator and per-run steal is reported) -------
+    best_big, runs_big = _build_min_of(N_LARGE, 2 if DO_SCALING else 1)
+    t_big, n_docs = best_big["wall_sec"], best_big["n_docs"]
+    ib = {"docs": n_docs, f"local{N_LARGE}_runs_sec_steal": runs_big}
     if DO_SCALING:
-        t_small, _ = bench_index_build(N_SMALL)
+        best_small, runs_small = _build_min_of(N_SMALL, 2)
+        t_small = best_small["wall_sec"]
+        ib[f"local{N_SMALL}_runs_sec_steal"] = runs_small
         ib[f"local{N_SMALL}_sec"] = round(t_small, 2)
         ib[f"local{N_SMALL}_docs_per_sec"] = round(n_docs / t_small, 1)
         ib["scaling_efficiency"] = round((t_small / t_big) / 4, 3)
         ib["pair"] = f"local[{N_SMALL}] vs local[{N_LARGE}]"
+    ib[f"local{N_LARGE}_sec"] = round(t_big, 2)
+    ib[f"local{N_LARGE}_docs_per_sec"] = round(n_docs / t_big, 1)
     results["index_build"] = ib
 
     # -- query serving over the built index ---------------------------------
@@ -173,4 +242,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) == 3 and sys.argv[1] == "--build-only":
+        wall, n, steal, busy = bench_index_build(int(sys.argv[2]))
+        print(json.dumps({"wall_sec": wall, "n_docs": n, "steal": steal,
+                          "cpu_sec": round(busy / 100.0, 1)}))
+    else:
+        main()

@@ -27,13 +27,18 @@ from defactonlp_spark.functions.tokenize import tokenize_postings
 
 
 def latest_per_url(pages: DataFrame) -> DataFrame:
-    """Keep the latest crawl per url (recrawl dedup; SURVEY.md §2.C date/time)."""
-    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
-    return (
-        pages.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    """Keep the latest crawl per url (recrawl dedup; SURVEY.md §2.C date/time).
+
+    ``max_by`` aggregation, not a window: hash-agg gets map-side partial
+    aggregation (each input partition forwards at most one candidate row per
+    url) and skips the window's per-partition sort — at crawl scale the
+    shuffle carries ~|unique urls| rows instead of |rows|.
+    """
+    others = [c for c in pages.columns if c != "url"]
+    agg = pages.groupBy("url").agg(
+        F.max_by(F.struct(*others), F.col("warc_ts")).alias("_r")
     )
+    return agg.select("url", *[F.col(f"_r.{c}").alias(c) for c in others])
 
 
 def assign_doc_ids(pages: DataFrame, strategy: str = "global", n_parts: int = 256) -> DataFrame:

@@ -6,6 +6,8 @@ Physical layout (one segment row per (term, salt) slice):
   salt      int      — skew sub-list id (0 for unsalted terms)
   df        long     — document frequency of the FULL term (all salts)
   n         long     — postings in this slice
+  n_bytes   long     — total blob bytes (metrics scans read this int column
+                       instead of length()-ing the blobs)
   n_blocks  int
   docs_blob binary   — delta+varbyte doc_ids (gaps continuous across blocks)
   tfs_blob  binary   — varbyte term frequencies
@@ -61,6 +63,7 @@ SEGMENT_SCHEMA = T.StructType(
         T.StructField("salt", T.IntegerType(), False),
         T.StructField("df", T.LongType(), False),
         T.StructField("n", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
         T.StructField("n_blocks", T.IntegerType(), False),
         T.StructField("docs_blob", T.BinaryType(), False),
         T.StructField("tfs_blob", T.BinaryType(), False),
@@ -130,13 +133,16 @@ def encode_slice(
         }
         for k in range(n_blocks)
     ]
+    docs_blob, tfs_blob, dls_blob = vb_encode(gaps), vb_encode(tfs), vb_encode(dls)
     return {
         "df": int(term_df),
         "n": n,
+        # blob bytes as a plain column so build metrics scan ints, not blobs
+        "n_bytes": len(docs_blob) + len(tfs_blob) + len(dls_blob),
         "n_blocks": n_blocks,
-        "docs_blob": vb_encode(gaps),
-        "tfs_blob": vb_encode(tfs),
-        "dls_blob": vb_encode(dls),
+        "docs_blob": docs_blob,
+        "tfs_blob": tfs_blob,
+        "dls_blob": dls_blob,
         "blockmax": blockmax,
     }
 

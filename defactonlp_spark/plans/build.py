@@ -2,9 +2,10 @@
 
 Stage graph (boundaries = materializations, which double as checkpoints):
 
-  corpus ->(tokenize mapInPandas)-> postings_long
-         ->(write, partitioned by term-range bucket)        [stage: postings]
-  per bucket-group: read its buckets (partition-pruned scan)
+  corpus ->(tokenize mapInPandas, ONE pass)-> postings_long parquet
+  term_stats parquet + df-weighted bucket boundaries (from postings, columnar)
+  per bucket-group: filter postings by bucket(term) expression (column-pruned
+         scan of the materialization — the corpus is never re-read)
          ->(salt + repartitionByRange + sort + encode)-> segment rows
          ->(append to segments table, commit checkpoints)   [stage: bucket i]
   finally: manifest snapshot with corpus stats + lineage, metrics append.
@@ -18,10 +19,13 @@ table. Lineage = input_snapshot (content fingerprint of the corpus read) +
 engine code version, recorded in checkpoint rows and the manifest.
 
 Why materialize postings_long: at 100 TB the tokenize pass is the most
-expensive scan; persisting its output partitioned by bucket means a resumed
-build (and every bucket-group job) re-reads only the buckets it needs —
-partition pruning on `bucket=` paths — instead of re-tokenizing the corpus.
-This is the same trade MapReduce makes by materializing the shuffle.
+expensive scan; persisting its output means term stats, bucket planning,
+every bucket-group job, AND resumed builds read the compact columnar
+materialization instead of re-tokenizing the corpus. Group scans filter on
+a pure bucket(term) expression — with few groups (default 4) the re-scan
+cost is a small multiple of one postings read, far below one corpus
+tokenize. This is the same trade MapReduce makes by materializing the
+shuffle.
 
 Skew: bucket boundaries are df-WEIGHTED term quantiles (equal postings per
 bucket, not equal vocabulary), and head terms are additionally salted into
@@ -55,18 +59,57 @@ METRICS_COLS = (
 )
 
 
-def bucket_boundaries(stats: DataFrame, n_buckets: int) -> list[str]:
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet footers — no Spark job."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for dp, _, fns in os.walk(path):
+        for fn in fns:
+            if fn.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(dp, fn)).metadata.num_rows
+    return total
+
+
+SMALL_VOCAB_ROWS = 2_000_000
+
+
+def _boundaries_on_driver(rows: list, n_buckets: int) -> list[str]:
+    """Exact same cut as the distributed path, in numpy on collected
+    (term, df) rows — one Spark job instead of five for small vocabularies."""
+    import numpy as np
+
+    rows = sorted(rows, key=lambda r: r[0])
+    terms = [r[0] for r in rows]
+    dfs = np.array([int(r[1]) for r in rows], dtype=np.int64)
+    total = int(dfs.sum()) or 1
+    cum_before = np.concatenate(([0], np.cumsum(dfs)[:-1]))
+    bucket = np.minimum((cum_before * n_buckets) // total, n_buckets - 1)
+    firsts: dict[int, str] = {}
+    for b, t in zip(bucket.tolist(), terms):
+        if b not in firsts:
+            firsts[b] = t
+    return [firsts[b] for b in sorted(firsts)]
+
+
+def bucket_boundaries(stats: DataFrame, n_buckets: int, n_terms_hint: int | None = None) -> list[str]:
     """df-weighted term-range boundaries: cut the term axis (sorted) into
     n_buckets ranges of roughly equal posting mass.
 
-    Distributed two-phase prefix sum — NO global single-partition sort:
-    range-partition the vocabulary on term, cumsum locally per partition
-    (window partitioned by the range-partition id), collect only the P
-    per-partition totals to the driver to form offsets, add them back via a
-    broadcast join. Driver traffic is O(P + n_buckets) rows regardless of
-    vocabulary size. Result is deterministic: the cumulative mass of a term
-    depends only on the global term order, not on how ranges were sampled.
+    Small vocabularies (``n_terms_hint`` <= SMALL_VOCAB_ROWS) are cut on the
+    driver in one collect. Beyond that: distributed two-phase prefix sum —
+    NO global single-partition sort: range-partition the vocabulary on term,
+    cumsum locally per partition (window partitioned by the range-partition
+    id), collect only the P per-partition totals to the driver to form
+    offsets, add them back via a broadcast join. Driver traffic is
+    O(P + n_buckets) rows regardless of vocabulary size. Both paths are
+    deterministic and produce the same cut: the cumulative mass of a term
+    depends only on the global term order.
     """
+    if n_terms_hint is not None and n_terms_hint <= SMALL_VOCAB_ROWS:
+        return _boundaries_on_driver(
+            [(r["term"], r["df"]) for r in stats.select("term", "df").collect()], n_buckets
+        )
     spark = stats.sparkSession
     P_parts = max(spark.sparkContext.defaultParallelism, 2)
     total = stats.agg(F.sum("df")).collect()[0][0] or 1
@@ -111,12 +154,22 @@ def bucket_expr(boundaries: list[str]):
 
 def prepare_webpages(pages: DataFrame, id_strategy: str = "global") -> DataFrame:
     """(url, warc_ts, html, ...) -> corpus(doc_id, url, text, lang).
-    Dedup to the latest crawl, extract text from html (B1), assign doc ids."""
+    Dedup to the latest crawl, assign doc ids, extract text from html (B1).
+
+    Extraction runs AFTER the id shuffle on purpose: assign_doc_ids's
+    explicit fixed-count repartition pins the parallelism of the extract
+    stage (AQE would otherwise coalesce the small post-dedup exchange and
+    run the expensive html->text pandas UDF nearly serially)."""
     from defactonlp_spark.functions.extract import with_extracted_text
 
     latest = P.latest_per_url(pages)
-    extracted = with_extracted_text(latest, "html", "text")
-    return P.assign_doc_ids(extracted, strategy=id_strategy).select(
+    with_ids = P.assign_doc_ids(latest, strategy=id_strategy)
+    if id_strategy == "global":
+        # the global dense-rank window leaves one partition; fan back out
+        # before the expensive extract stage (ids are already assigned, so
+        # this round-robin shuffle cannot change them)
+        with_ids = with_ids.repartition(64)
+    return with_extracted_text(with_ids, "html", "text").select(
         "doc_id", "url", "text", "lang"
     )
 
@@ -165,30 +218,28 @@ class IndexBuild:
             "code_version": defactonlp_spark.__version__,
         }
 
-        # ---- stage 1: postings long table, partitioned by bucket ----------
+        # ---- stage 1: materialize the postings long table (ONE tokenize
+        # pass — the corpus scan is the most expensive stage at 100 TB; term
+        # stats, boundaries, and every bucket group then read the columnar
+        # materialization, never the corpus again) -------------------------
         stats_path = os.path.join(self.out_dir, "term_stats")
         bounds_path = os.path.join(self.out_dir, "boundaries.json")
-        if not (os.path.exists(self.postings_dir) and os.path.exists(bounds_path)):
-            postings = P.build_postings(corpus)
-            stats = P.term_stats(postings)
-            stats.write.mode("overwrite").parquet(stats_path)
-            stats = spark.read.parquet(stats_path)
-            boundaries = bucket_boundaries(stats, cfg.n_buckets)
-            (
-                postings.withColumn("bucket", bucket_expr(boundaries))
-                .write.mode("overwrite")
-                .partitionBy("bucket")
-                .parquet(self.postings_dir)
-            )
+        if not os.path.exists(os.path.join(self.postings_dir, "_SUCCESS")):
+            P.build_postings(corpus).write.mode("overwrite").parquet(self.postings_dir)
+        postings = spark.read.parquet(self.postings_dir)
+        if not os.path.exists(os.path.join(stats_path, "_SUCCESS")):
+            P.term_stats(postings).write.mode("overwrite").parquet(stats_path)
+        stats = spark.read.parquet(stats_path)
+        if not os.path.exists(bounds_path):
+            n_terms = _parquet_rows(stats_path)
+            boundaries = bucket_boundaries(stats, cfg.n_buckets, n_terms_hint=n_terms)
             # pin the bucket map for resume: a resumed build MUST slice the
-            # persisted postings with the exact boundaries they were written
-            # with (atomic rename, same protocol as the manifest)
+            # persisted postings with the exact boundaries earlier groups
+            # used (atomic rename, same protocol as the manifest)
             tmp = bounds_path + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(boundaries, f)
             os.replace(tmp, bounds_path)
-        stats = spark.read.parquet(stats_path)
-        postings = spark.read.parquet(self.postings_dir)
         with open(bounds_path) as f:
             boundaries = json.load(f)
 
@@ -207,8 +258,10 @@ class IndexBuild:
         committed = 0
         for g in groups:
             tg = time.time()
-            part = postings.filter(F.col("bucket").isin(g))
-            salted = P.with_salt(part.drop("bucket"), plan)
+            # bucket membership is a pure expression over term — the group
+            # scan is a column-pruned pass over the postings materialization
+            part = postings.filter(bucket_expr(boundaries).isin(g))
+            salted = P.with_salt(part, plan)
             seg = encode_segments(
                 salted, stats, n_docs, avgdl, cfg,
                 n_partitions=max(len(g), 1),
@@ -216,14 +269,14 @@ class IndexBuild:
             self.segments.append(seg, properties={**lineage, "buckets": g})
             wall_ms = int((time.time() - tg) * 1000)
 
+            # metrics scan touches only int/string columns (n, n_bytes, term,
+            # bucket) — parquet column pruning keeps the blobs on disk
             seg_now = self.segments.read(spark).filter(F.col("bucket").isin(g))
             per_bucket = (
                 seg_now.groupBy("bucket")
                 .agg(
                     F.sum("n").alias("rows"),
-                    F.sum(
-                        F.length("docs_blob") + F.length("tfs_blob") + F.length("dls_blob")
-                    ).alias("bytes"),
+                    F.sum("n_bytes").alias("bytes"),
                     F.min("term").alias("term_lo"),
                     F.max("term").alias("term_hi"),
                 )

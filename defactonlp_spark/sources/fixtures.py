@@ -127,7 +127,14 @@ def gen_claims(n: int = 200, seed: int = SEED + 1) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
-def write_webpages_parquet(path: str, n: int, seed: int = SEED) -> str:
+def write_webpages_parquet(path: str, n: int, seed: int = SEED, n_files: int | None = None) -> str:
+    """Write as a DIRECTORY of parquet files with small row groups — the
+    shape real crawl corpora have (many WARC-derived files). A single file
+    with one row group is unsplittable: the whole corpus scan (and the
+    shuffle map feeding recrawl dedup) would run as ONE task regardless of
+    cluster size, silently serializing the most expensive stage."""
+    import os
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -141,5 +148,14 @@ def write_webpages_parquet(path: str, n: int, seed: int = SEED) -> str:
             pa.field("lang", pa.string()),
         ]
     )
-    pq.write_table(pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), path)
+    table = pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
+    k = n_files or max(8, min(64, len(pdf) // 10000))
+    os.makedirs(path, exist_ok=True)
+    rows = len(pdf)
+    per = (rows + k - 1) // k
+    for i in range(k):
+        chunk = table.slice(i * per, per)
+        if chunk.num_rows:
+            pq.write_table(chunk, os.path.join(path, f"part-{i:04d}.parquet"),
+                           row_group_size=4096)
     return path

@@ -26,6 +26,7 @@ import time
 import uuid
 from dataclasses import dataclass, field
 
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -95,7 +96,11 @@ class LocalTable:
             for fn in fns
             if fn.endswith(".parquet")
         )
-        return files, df.count()
+        # row count from the WRITTEN files' parquet footers — `df.count()`
+        # here would re-execute the producing plan (for segment appends that
+        # is the whole salt+shuffle+encode pipeline, doubling the build)
+        rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        return files, rows
 
     def overwrite(self, df: DataFrame, properties: dict | None = None) -> Snapshot:
         files, rows = self._write_files(df)

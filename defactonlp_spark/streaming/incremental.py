@@ -38,9 +38,15 @@ def start_incremental_build(
     schema,
     cfg: EngineConfig | None = None,
     checkpoint_dir: str | None = None,
+    reader_options: dict[str, str] | None = None,
 ):
     """Stream parquet page files from ``input_dir``; append one segment
-    generation per micro-batch. Returns the StreamingQuery (AvailableNow)."""
+    generation per micro-batch. Returns the StreamingQuery (AvailableNow).
+
+    ``reader_options``: file-source options (e.g. ``maxFilesPerTrigger`` to
+    bound micro-batch size — at scale one generation per ~N files keeps the
+    per-batch encode shuffle small and the compaction cadence predictable).
+    """
     cfg = cfg or EngineConfig()
     table = LocalTable(f"{out_dir}/segments")
 
@@ -56,7 +62,10 @@ def start_incremental_build(
         seg = encode_segments(P.with_salt(postings, plan), stats, n_docs, avgdl, cfg)
         table.append(seg, properties={"batch_id": batch_id, "n_docs": n_docs, "avgdl": avgdl})
 
-    stream = spark.readStream.schema(schema).parquet(input_dir)
+    reader = spark.readStream.schema(schema)
+    for k, v in (reader_options or {}).items():
+        reader = reader.option(k, v)
+    stream = reader.parquet(input_dir)
     return (
         stream.writeStream.foreachBatch(process_batch)
         .trigger(availableNow=True)

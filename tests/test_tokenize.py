@@ -42,3 +42,4 @@ def test_empty_and_null_docs(spark):
     assert set(got["doc_id"]) == {3}
     assert dict(zip(got["term"], got["tf"])) == {"one": 2, "two": 1}
     assert set(got["dl"]) == {3}
+
