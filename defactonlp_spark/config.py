@@ -40,3 +40,20 @@ class EngineConfig:
 
     #: arrow batch sizing for the wide-row extractor stage
     extract_batch_rows: int = 256
+
+    #: per-claim query planning: if the claim's total candidate postings
+    #: (sum of slice lengths, known without decoding) are below this, score
+    #: them all with the vectorized numpy kernel instead of walking WAND
+    #: cursors. Measured on the 320k-doc fixture: the dense kernel scores
+    #: ~100M postings/sec/core while cursor WAND steps ~30-100k/sec under
+    #: weak pruning (flat score distributions), so cursors only pay off when
+    #: pruning skips >99.9% of candidates — i.e. very large, highly
+    #: selective/skewed candidate sets. Both kernels are bit-identical in
+    #: output (same ascending-term float64 summation); SPEED choice only.
+    dense_eval_threshold: int = 50_000_000
+
+    #: batch query serving: claims are grouped into batches of this size and
+    #: each segment slice ships/decodes ONCE PER BATCH instead of once per
+    #: claim — head-term blobs dominate the gather shuffle, and claims
+    #: overwhelmingly share head terms
+    serve_claims_per_batch: int = 8

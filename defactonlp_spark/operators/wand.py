@@ -151,6 +151,61 @@ class _Cursor:
                 self.exhausted = True
 
 
+def dense_topk_kernel(
+    slices: pd.DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k: int,
+    params: BM25Params,
+) -> list[tuple[int, float]]:
+    """Vectorized exact top-k over one claim's slices — bit-identical to the
+    cursor kernel: slices are processed in ascending term order and a STABLE
+    sort groups per-doc contributions without reordering them, so
+    ``np.add.reduceat`` sums each document's terms in exactly the ascending
+    term order the parity contract pins. Used when the claim's candidate
+    postings are small enough that WAND's per-posting Python stepping costs
+    more than decoding everything into numpy."""
+    from defactonlp_spark.operators.segments import decode_slice
+
+    ids_parts: list[np.ndarray] = []
+    contrib_parts: list[np.ndarray] = []
+    for _, row in slices.sort_values(["term", "salt"]).iterrows():
+        ids, tfs, dls = decode_slice(row)
+        if ids.size == 0:
+            continue
+        idf_t = float(idf(int(row["df"]), n_docs))
+        ids_parts.append(ids)
+        contrib_parts.append(bm25_contrib(tfs, dls, idf_t, avgdl, params))
+    if not ids_parts:
+        return []
+    all_ids = np.concatenate(ids_parts)
+    all_contrib = np.concatenate(contrib_parts)
+    order = np.argsort(all_ids, kind="stable")  # keeps term order per doc
+    all_ids = all_ids[order]
+    all_contrib = all_contrib[order]
+    starts = np.nonzero(np.concatenate(([True], all_ids[1:] != all_ids[:-1])))[0]
+    doc_ids = all_ids[starts]
+    # strictly left-to-right per-doc summation, vectorized ACROSS docs:
+    # accumulate the j-th contribution of every doc in pass j. (reduceat /
+    # add.reduce use pairwise summation — 1-ulp off the pinned sequential
+    # order the parity contract requires.)
+    docidx = np.cumsum(np.concatenate(([1], (all_ids[1:] != all_ids[:-1]).astype(np.int64)))) - 1
+    occ = np.arange(all_ids.size, dtype=np.int64) - starts[docidx]
+    scores = np.zeros(doc_ids.size, dtype=np.float64)
+    for j in range(int(occ.max()) + 1):
+        sel = occ == j
+        scores[docidx[sel]] += all_contrib[sel]
+    neg = -scores
+    if doc_ids.size > k:
+        kth = np.partition(neg, k - 1)[k - 1]
+        cand = np.nonzero(neg <= kth)[0]  # >= k-th score incl. ALL ties
+    else:
+        cand = np.arange(doc_ids.size)
+    order2 = np.lexsort((doc_ids[cand], neg[cand]))  # score desc, doc_id asc
+    top = cand[order2][:k]
+    return [(int(doc_ids[i]), float(scores[i])) for i in top]
+
+
 def wand_topk_kernel(
     slices: pd.DataFrame,
     n_docs: int,
@@ -234,6 +289,82 @@ def wand_topk_kernel(
     return [(-d, s) for s, d in out]
 
 
+def _batch_kernel(
+    pdf: pd.DataFrame,
+    batch_claims: list[tuple[int, list[str]]],
+    n_docs: int,
+    avgdl: float,
+    k: int,
+    params: BM25Params,
+    block_size: int,
+    dense_thresh: int,
+) -> pd.DataFrame:
+    """Score every claim of one batch over the batch's (deduplicated)
+    slices. Decode + BM25 contributions happen ONCE per slice; each dense
+    claim then accumulates its terms' contribution arrays into a dense
+    score buffer indexed by task-local doc position — a strictly
+    left-to-right, ascending-term sequence of vectorized adds, so scores
+    stay bit-identical to the cursor kernel. High-volume claims fall back
+    to lazy block-max WAND cursors over the raw blobs."""
+    from defactonlp_spark.operators.segments import decode_slice
+
+    pdf = pdf.sort_values(["term", "salt"]).reset_index(drop=True)
+    by_term: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
+    all_ids: list[np.ndarray] = []
+    for _, row in pdf.iterrows():
+        ids, tfs, dls = decode_slice(row)
+        if ids.size == 0:
+            continue
+        contrib = bm25_contrib(tfs, dls, float(idf(int(row["df"]), n_docs)), avgdl, params)
+        by_term.setdefault(row["term"], []).append((ids, contrib))
+        all_ids.append(ids)
+    n_by_term = dict(pdf.groupby("term")["n"].sum())
+    uniq = np.unique(np.concatenate(all_ids)) if all_ids else np.empty(0, dtype=np.int64)
+    pos_by_term: dict[str, list[np.ndarray]] = {
+        t: [np.searchsorted(uniq, ids) for ids, _ in slices]
+        for t, slices in by_term.items()
+    }
+    scores = np.zeros(uniq.size, dtype=np.float64)
+
+    out_claim, out_rank, out_doc, out_score = [], [], [], []
+    for claim_id, terms in batch_claims:
+        present = sorted(t for t in set(terms) if t in by_term)
+        if not present:
+            continue
+        total = sum(int(n_by_term[t]) for t in present)
+        if total > dense_thresh:
+            rows = pdf[pdf["term"].isin(present)]
+            top = wand_topk_kernel(rows, n_docs, avgdl, k, params, block_size)
+        else:
+            scores[:] = 0.0
+            for t in present:  # ascending term order — the parity contract
+                for (ids, contrib), pos in zip(by_term[t], pos_by_term[t]):
+                    scores[pos] += contrib
+            neg = -scores
+            matched = np.nonzero(scores > 0.0)[0]
+            if matched.size > k:
+                kth = np.partition(neg[matched], k - 1)[k - 1]
+                cand = matched[neg[matched] <= kth]
+            else:
+                cand = matched
+            order2 = np.lexsort((uniq[cand], neg[cand]))
+            top_idx = cand[order2][:k]
+            top = [(int(uniq[i]), float(scores[i])) for i in top_idx]
+        for r, (d, s) in enumerate(top, 1):
+            out_claim.append(claim_id)
+            out_rank.append(r)
+            out_doc.append(d)
+            out_score.append(s)
+    return pd.DataFrame(
+        {
+            "claim_id": np.array(out_claim, dtype=np.int64),
+            "rank": np.array(out_rank, dtype=np.int32),
+            "doc_id": np.array(out_doc, dtype=np.int64),
+            "score": np.array(out_score, dtype=np.float64),
+        }
+    )
+
+
 def wand_topk(
     segments: DataFrame,
     qterms: DataFrame,
@@ -244,26 +375,46 @@ def wand_topk(
 ) -> DataFrame:
     """segments x (claim_id, term) -> results(claim_id, rank, doc_id, score).
 
-    Plan: prune the segment scan to query terms (isin filter -> parquet
-    row-group stats apply because segments are written term-sorted), gather
-    each claim's slices via broadcast join, WAND per claim in applyInPandas.
-    """
-    terms = [r["term"] for r in qterms.select("term").distinct().collect()]
+    Batch-gather plan: claims are grouped into batches of
+    ``cfg.serve_claims_per_batch``; the segment scan is pruned to the query
+    terms (isin filter -> parquet row-group stats apply because segments
+    are written term-sorted) and each matching slice is shipped ONCE PER
+    BATCH (not once per claim — claims share Zipf-head terms, so per-claim
+    gathering multiplies the heaviest blobs by |claims|). Inside a batch
+    task every slice decodes once; per claim the planner picks the
+    vectorized dense kernel or lazy block-max WAND by candidate volume.
+    Both kernels are bit-identical (tests/test_topk_parity.py)."""
+    pairs = qterms.select("claim_id", "term").distinct().collect()
+    claim_terms_map: dict[int, list[str]] = {}
+    for r in pairs:
+        claim_terms_map.setdefault(int(r["claim_id"]), []).append(r["term"])
+    per_batch = max(cfg.serve_claims_per_batch, 1)
+    claim_ids = sorted(claim_terms_map)
+    batch_of = {cid: i // per_batch for i, cid in enumerate(claim_ids)}
+    batches: dict[int, list[tuple[int, list[str]]]] = {}
+    batch_term_rows = []
+    for cid in claim_ids:
+        b = batch_of[cid]
+        batches.setdefault(b, []).append((cid, claim_terms_map[cid]))
+        for t in set(claim_terms_map[cid]):
+            batch_term_rows.append((b, t))
+    if not batch_term_rows:
+        spark = segments.sparkSession
+        return spark.createDataFrame([], RESULTS_SCHEMA)
+    spark = segments.sparkSession
+    batch_terms = spark.createDataFrame(
+        sorted(set(batch_term_rows)), "batch int, term string"
+    )
+    terms = sorted({t for _, t in batch_term_rows})
     hits = segments.filter(F.col("term").isin(terms))
-    joined = hits.join(F.broadcast(qterms), "term", "inner")
+    joined = hits.join(F.broadcast(batch_terms), "term", "inner")
 
-    params, bs = cfg.bm25, cfg.block_size
+    params, bs, dense_thresh = cfg.bm25, cfg.block_size, cfg.dense_eval_threshold
 
-    def per_claim(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        (claim_id,) = key
-        top = wand_topk_kernel(pdf, n_docs, avgdl, k, params, bs)
-        return pd.DataFrame(
-            {
-                "claim_id": np.int64(claim_id),
-                "rank": np.arange(1, len(top) + 1, dtype=np.int32),
-                "doc_id": np.array([d for d, _ in top], dtype=np.int64),
-                "score": np.array([s for _, s in top], dtype=np.float64),
-            }
+    def per_batch_fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        (b,) = key
+        return _batch_kernel(
+            pdf, batches[int(b)], n_docs, avgdl, k, params, bs, dense_thresh
         )
 
-    return joined.groupBy("claim_id").applyInPandas(per_claim, schema=RESULTS_SCHEMA)
+    return joined.groupBy("batch").applyInPandas(per_batch_fn, schema=RESULTS_SCHEMA)

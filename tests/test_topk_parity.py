@@ -92,3 +92,26 @@ def test_oov_claim_returns_empty(spark, built):
     reader, _, cfg = built
     claims = spark.createDataFrame([(999, "zzzqqq xxyyzz")], "claim_id long, claim string")
     assert query_wand(reader, claims, k=K, cfg=cfg).count() == 0
+
+
+def test_dense_kernel_bitexact_vs_cursor_kernel(spark, built, claims_pdf):
+    """The per-claim planner picks between the vectorized dense kernel and
+    the WAND cursor kernel on slice volume; both must be bit-identical.
+    Force each side via dense_eval_threshold = huge / 0."""
+    import dataclasses
+
+    reader, _, cfg = built
+    claims = spark.createDataFrame(claims_pdf[["claim_id", "claim"]].head(40))
+    dense_cfg = dataclasses.replace(cfg, dense_eval_threshold=10**12)
+    cursor_cfg = dataclasses.replace(cfg, dense_eval_threshold=0)
+    a = (
+        query_wand(reader, claims, k=K, cfg=dense_cfg).toPandas()
+        .sort_values(["claim_id", "rank"]).reset_index(drop=True)
+    )
+    b = (
+        query_wand(reader, claims, k=K, cfg=cursor_cfg).toPandas()
+        .sort_values(["claim_id", "rank"]).reset_index(drop=True)
+    )
+    assert (a["claim_id"] == b["claim_id"]).all()
+    assert (a["doc_id"] == b["doc_id"]).all()
+    assert all(x == y for x, y in zip(a["score"], b["score"])), "scores must be bit-equal"
