@@ -614,6 +614,34 @@ def q_fever_eval(spark, sf_dir):
     return fever_score(pred, gold)
 
 
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup candidate pairs (Hamming <= 2)."""
+    from defactonlp_spark.operators.dedup import simhash_dup_pairs
+
+    return simhash_dup_pairs(_docs(spark, sf_dir), max_hamming=2).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+def q_lsh_ann_topk(spark, sf_dir):
+    """Approximate nearest neighbors via random-hyperplane LSH with
+    multi-probe (no SQL oracle BY DESIGN: the candidate set is
+    probabilistic; correctness is established in pytest against the exact
+    brute-force baseline on recall)."""
+    from defactonlp_spark.operators.similarity import lsh_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_ann_topk(emb, [0, 1, 2, 3, 4], k=10).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "cos",
+    )
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -652,6 +680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_chunks": q_sentence_chunks,
         "sentence_topk": q_sentence_topk,
         "fever_eval": q_fever_eval,
+        "simhash_pairs": q_simhash_pairs,
+        "lsh_ann_topk": q_lsh_ann_topk,
     }
 
 
@@ -684,6 +714,13 @@ def oracle_sql() -> dict[str, str]:
         f"THEN {1 << j} ELSE 0 END)"
         for j in range(16)
     )
+    simhash_body = f"""toks AS ({toks}),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+            hx AS (SELECT doc_id, tf, substr(md5(term), 1, 4) AS h FROM tf),
+            hi AS (SELECT doc_id, tf, {hexval} AS h_int FROM hx),
+            sim AS (SELECT doc_id::BIGINT AS doc_id, ({simhash_bits})::BIGINT AS simhash
+                    FROM hi GROUP BY doc_id)"""
+
     fp_cols = ", ".join(
         "list_aggregate([substr(md5(concat('%d:', g)), 1, 8) FOR g IN grams], 'min') AS fp_%d"
         % (i, i)
@@ -785,12 +822,8 @@ def oracle_sql() -> dict[str, str]:
               ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
         """,
         "simhash": f"""
-            WITH toks AS ({toks}),
-            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
-            hx AS (SELECT doc_id, tf, substr(md5(term), 1, 4) AS h FROM tf),
-            hi AS (SELECT doc_id, tf, {hexval} AS h_int FROM hx)
-            SELECT doc_id::BIGINT AS doc_id, ({simhash_bits})::BIGINT AS simhash
-            FROM hi GROUP BY doc_id
+            WITH {simhash_body}
+            SELECT * FROM sim
         """,
         "cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
@@ -910,4 +943,14 @@ def oracle_sql() -> dict[str, str]:
             order_by="round(score, 4) DESC, doc_id",
         ),
         "fever_eval": _fever_sql(),
+        "simhash_pairs": f"""
+            WITH {simhash_body}
+            SELECT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b,
+                   bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+            FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+        """,
+        # lsh_ann_topk: intentionally NO oracle (approximate operator);
+        # driver records the rows-only check, pytest proves recall vs the
+        # exact brute-force baseline
     }

@@ -169,15 +169,25 @@ def bench_query_serving(cores: int, idx_cores: int, n_claims: int = 200) -> dict
 
 
 def _build_in_subprocess(cores: int) -> dict:
-    """Each timed build gets its own OS process: a stopped-and-recreated
+    """Each timed build gets its own OS process, CPU-PINNED to exactly
+    ``cores`` vCPUs (taskset). Two reasons: (a) a stopped-and-recreated
     SparkContext in a reused JVM gateway runs measurably slower (observed
-    ~2x), which would corrupt the N-vs-4N comparison."""
+    ~2x); (b) without pinning, local[c]'s JVM task threads and Python
+    workers overlap onto MORE than c hardware threads — measured 2.6 busy
+    threads at local[2] vs 7.7 at local[8], which silently turns the
+    "2 vs 8" comparison into "2.6 vs 7.7". Pinning gives each level exactly
+    its hardware allocation — the faithful stand-in for N vs 4N executors,
+    which are fixed-core containers."""
     import subprocess
 
-    out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--build-only", str(cores)],
-        capture_output=True, text=True, check=True,
-    )
+    cmd = [sys.executable, os.path.abspath(__file__), "--build-only", str(cores)]
+    if shutil.which("taskset"):
+        ncpu = os.cpu_count() or 32
+        # pin at the TOP of the cpu range: cpu0/1 also service kernel
+        # interrupts and background daemons, which taxes small pinned sets
+        # disproportionately (measured ~2x on a 2-cpu set at cpus 0-1)
+        cmd = ["taskset", "-c", f"{ncpu - cores}-{ncpu - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
