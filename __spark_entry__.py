@@ -642,6 +642,49 @@ def q_lsh_ann_topk(spark, sf_dir):
     )
 
 
+
+def q_revenue_cube(spark, sf_dir):
+    """CUBE aggregation (all grouping-set combinations)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+def q_event_sessions(spark, sf_dir):
+    """Sessionization: per-user sessions split at >30-minute gaps (lag +
+    running sum window) — the classic event-log preparation op."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.col("ts") - F.lag("ts").over(w)) > F.expr("INTERVAL 30 MINUTES")
+    sess = ev.withColumn("new_sess", F.when(gap, 1).otherwise(0)).withColumn(
+        "session_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("ts").cast("string").alias("session_start"),
+        F.max("ts").cast("string").alias("session_end"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    ).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("session_id").cast("long").alias("session_id"),
+        "n_events", "session_start", "session_end", "total_value",
+    )
+
+
+def q_value_percentiles(spark, sf_dir):
+    """Exact percentiles (linear interpolation) of event value per type."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -682,6 +725,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fever_eval": q_fever_eval,
         "simhash_pairs": q_simhash_pairs,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "revenue_cube": q_revenue_cube,
+        "event_sessions": q_event_sessions,
+        "value_percentiles": q_value_percentiles,
     }
 
 
@@ -953,4 +999,37 @@ def oracle_sql() -> dict[str, str]:
         # lsh_ann_topk: intentionally NO oracle (approximate operator);
         # driver records the rows-only check, pytest proves recall vs the
         # exact brute-force baseline
+        "revenue_cube": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "event_sessions": """
+            WITH ordered AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+            ),
+            sess AS (
+              SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM ordered
+            )
+            SELECT user_id::BIGINT AS user_id, session_id::BIGINT AS session_id,
+                   count(*)::BIGINT AS n_events,
+                   CAST(min(ts) AS VARCHAR) AS session_start,
+                   CAST(max(ts) AS VARCHAR) AS session_end,
+                   round(sum(value), 4) AS total_value
+            FROM sess GROUP BY 1, 2
+        """,
+        "value_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY event_type
+        """,
     }
