@@ -685,6 +685,36 @@ def q_value_percentiles(spark, sf_dir):
     )
 
 
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing, driver-checked end-to-end: documents become an
+    opaque-binary media table (payload = utf-8 bytes), the mapInPandas
+    feature extractor runs with the deterministic sha256 fake codec (the
+    real PIL/torchaudio decode is the documented stub), and the oracle
+    recomputes the same features from sha256 hex in SQL."""
+    from defactonlp_spark.functions.multimodal import extract_media_features
+
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("text/plain").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    feats = extract_media_features(media, fake=True)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        *[
+            F.round(F.element_at("features", i + 1).cast("double"), 6).alias(f"feat_{i}")
+            for i in range(4)
+        ],
+    )
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -726,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "lsh_ann_topk": q_lsh_ann_topk,
         "revenue_cube": q_revenue_cube,
+        "media_features": q_media_features,
         "event_sessions": q_event_sessions,
         "value_percentiles": q_value_percentiles,
     }
@@ -999,6 +1030,13 @@ def oracle_sql() -> dict[str, str]:
         # lsh_ann_topk: intentionally NO oracle (approximate operator);
         # driver records the rows-only check, pytest proves recall vs the
         # exact brute-force baseline
+        "media_features": """
+            WITH m AS (SELECT doc_id AS media_id,
+                              octet_length(encode(text))::BIGINT AS n_bytes,
+                              sha256(text) AS h
+                       FROM documents)
+            SELECT media_id::BIGINT AS media_id, n_bytes, round((((strpos('0123456789abcdef', substr(h, 1, 1))-1)*16 + (strpos('0123456789abcdef', substr(h, 2, 1))-1)) + 256*((strpos('0123456789abcdef', substr(h, 3, 1))-1)*16 + (strpos('0123456789abcdef', substr(h, 4, 1))-1))) / 65536.0, 6) AS feat_0, round((((strpos('0123456789abcdef', substr(h, 5, 1))-1)*16 + (strpos('0123456789abcdef', substr(h, 6, 1))-1)) + 256*((strpos('0123456789abcdef', substr(h, 7, 1))-1)*16 + (strpos('0123456789abcdef', substr(h, 8, 1))-1))) / 65536.0, 6) AS feat_1, round((((strpos('0123456789abcdef', substr(h, 9, 1))-1)*16 + (strpos('0123456789abcdef', substr(h, 10, 1))-1)) + 256*((strpos('0123456789abcdef', substr(h, 11, 1))-1)*16 + (strpos('0123456789abcdef', substr(h, 12, 1))-1))) / 65536.0, 6) AS feat_2, round((((strpos('0123456789abcdef', substr(h, 13, 1))-1)*16 + (strpos('0123456789abcdef', substr(h, 14, 1))-1)) + 256*((strpos('0123456789abcdef', substr(h, 15, 1))-1)*16 + (strpos('0123456789abcdef', substr(h, 16, 1))-1))) / 65536.0, 6) AS feat_3 FROM m
+        """,
         "revenue_cube": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
