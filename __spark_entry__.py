@@ -715,6 +715,23 @@ def q_media_features(spark, sf_dir):
     )
 
 
+
+def q_latest_event_per_user(spark, sf_dir):
+    """max_by latest-record-per-key dedup — the recrawl-dedup pattern
+    (operators/postings.py::latest_per_url) over the events fixture."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    agg = ev.groupBy("user_id").agg(
+        F.max_by(F.struct("event_id", "ts", "event_type", "value"), F.struct("ts", "event_id")).alias("_r")
+    )
+    return agg.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("_r.event_id").cast("long").alias("event_id"),
+        F.col("_r.ts").cast("string").alias("ts"),
+        F.col("_r.event_type").alias("event_type"),
+        F.round("_r.value", 6).alias("value"),
+    )
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -757,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         "revenue_cube": q_revenue_cube,
         "media_features": q_media_features,
+        "latest_event_per_user": q_latest_event_per_user,
         "event_sessions": q_event_sessions,
         "value_percentiles": q_value_percentiles,
     }
@@ -1030,6 +1048,13 @@ def oracle_sql() -> dict[str, str]:
         # lsh_ann_topk: intentionally NO oracle (approximate operator);
         # driver records the rows-only check, pytest proves recall vs the
         # exact brute-force baseline
+        "latest_event_per_user": """
+            SELECT user_id::BIGINT AS user_id, event_id::BIGINT AS event_id,
+                   CAST(ts AS VARCHAR) AS ts, event_type, round(value, 6) AS value
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+            WHERE rn = 1
+        """,
         "media_features": """
             WITH m AS (SELECT doc_id AS media_id,
                               octet_length(encode(text))::BIGINT AS n_bytes,
