@@ -438,9 +438,13 @@ def q_minhash_signatures(spark, sf_dir):
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
-    from defactonlp_spark.operators.dedup import minhash_lsh_pairs
+    """Signatures are computed once and persisted (the real pipeline keeps
+    them as a table) — the self-join's two branches then reuse one
+    materialization instead of re-running the shingle aggregation."""
+    from defactonlp_spark.operators.dedup import minhash_lsh_pairs, minhash_signature
 
-    return minhash_lsh_pairs(_docs(spark, sf_dir)).select(
+    sig = minhash_signature(_docs(spark, sf_dir)).persist()
+    return minhash_lsh_pairs(signatures=sig).select(
         F.col("id_a").cast("long").alias("id_a"), F.col("id_b").cast("long").alias("id_b")
     )
 
@@ -616,10 +620,12 @@ def q_fever_eval(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup candidate pairs (Hamming <= 2)."""
-    from defactonlp_spark.operators.dedup import simhash_dup_pairs
+    """SimHash near-dup pairs (Hamming <= 2) via the lossless bit-band
+    equi-join — same rows as the all-pairs oracle, no quadratic join."""
+    from defactonlp_spark.operators.dedup import simhash, simhash_dup_pairs
 
-    return simhash_dup_pairs(_docs(spark, sf_dir), max_hamming=2).select(
+    sig = simhash(_docs(spark, sf_dir)).persist()
+    return simhash_dup_pairs(signatures=sig, max_hamming=2).select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
         F.col("hamming").cast("long").alias("hamming"),

@@ -60,6 +60,71 @@ def test_simhash_near_dups(spark, dup_corpus):
     assert {(i, 100 + i) for i in range(5)} <= got  # exact dups: hamming 0
 
 
+def test_simhash_banded_join_is_exact_at_scale(spark):
+    """The bit-band equi-join must return EXACTLY the Hamming<=h pairs on a
+    corpus big enough that the old all-pairs join would be ~12.5M join rows.
+    Oracle: numpy popcount over the collected signatures (|docs| rows — the
+    signatures are tiny even when the pair space is not)."""
+    from defactonlp_spark.operators.dedup import simhash
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(300)]
+    rows = []
+    for i in range(0, 5000, 2):
+        toks = list(rng.choice(vocab, size=30))
+        rows.append((i, " ".join(toks)))
+        toks2 = toks.copy()
+        toks2[rng.integers(0, 30)] = "changed"  # near dup neighbor
+        rows.append((i + 1, " ".join(toks2)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    sig = simhash(docs).persist()
+
+    for h in (1, 2, 3):
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_dup_pairs(signatures=sig, max_hamming=h).collect()
+        }
+        pdf = sig.toPandas().sort_values("id")
+        ids = pdf["id"].to_numpy(np.int64)
+        s = pdf["simhash"].to_numpy(np.int64).astype(np.int32)  # 16-bit values
+        xor = s[:, None] ^ s[None, :]
+        ham = np.zeros_like(xor)
+        for bit in range(16):
+            ham += (xor >> bit) & 1
+        ai, bi = np.nonzero(np.triu(ham <= h, k=1))
+        want = {(int(ids[a]), int(ids[b]), int(ham[a, b])) for a, b in zip(ai, bi)}
+        assert got == want, f"h={h}: {len(got)} vs {len(want)} pairs"
+    assert len(want) > 100  # the corpus actually exercises the join
+    sig.unpersist()
+
+
+def test_jaccard_max_df_bounds_hot_shingle_blowup(spark):
+    """One stop-shingle shared by every doc: uncapped, the shingle join emits
+    n*(n-1)/2 rows for it; with max_df the hot shingle is dropped before the
+    join while true near-dup pairs (which share many LOW-df shingles)
+    survive with their jaccard nearly unchanged."""
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(500)]
+    hot = "alpha beta gamma"  # every doc starts with this 3-shingle
+    rows = []
+    for i in range(300):
+        toks = list(rng.choice(vocab, size=40))
+        rows.append((i, hot + " " + " ".join(toks)))
+        if i < 10:  # near dups
+            toks2 = toks.copy()
+            toks2[20] = "changed"
+            rows.append((1000 + i, hot + " " + " ".join(toks2)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = ngram_jaccard_pairs(docs, threshold=0.5, max_df=50).toPandas()
+    got = {(a, b) for a, b in zip(capped.id_a, capped.id_b)}
+    assert {(i, 1000 + i) for i in range(10)} <= got
+    # docs unrelated except for the hot prefix must NOT meet: with the cap
+    # their only shared shingles are dropped, so they never reach the
+    # aggregate. (They'd each produce join rows uncapped.)
+    assert all((b - a == 1000) for a, b in got)
+
+
 def test_lsh_ann_vs_bruteforce(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     brute = cosine_topk(emb, [0, 1, 2], k=5).toPandas()
