@@ -649,6 +649,22 @@ def q_lsh_ann_topk(spark, sf_dir):
 
 
 
+def q_lsh_dup_pairs(spark, sf_dir):
+    """LSH-bucketed embedding near-dup pairs — the scale path for
+    embedding_dup_pairs (no SQL oracle BY DESIGN: the candidate set is
+    probabilistic; pytest proves recall vs the exact baseline and every
+    returned pair carries the exact rounded cosine, i.e. rows are a subset
+    of embedding_dup_pairs' oracle-checked output)."""
+    from defactonlp_spark.operators.similarity import lsh_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_dup_pairs(emb, threshold=0.35, n_bits=4).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "cos",
+    )
+
+
 def q_revenue_cube(spark, sf_dir):
     """CUBE aggregation (all grouping-set combinations)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -778,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fever_eval": q_fever_eval,
         "simhash_pairs": q_simhash_pairs,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "lsh_dup_pairs": q_lsh_dup_pairs,
         "revenue_cube": q_revenue_cube,
         "media_features": q_media_features,
         "latest_event_per_user": q_latest_event_per_user,

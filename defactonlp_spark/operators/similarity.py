@@ -104,8 +104,12 @@ def cosine_dup_pairs(
 
     spark = embeddings.sparkSession
     if broadcast_kernel:
-        pdf = embeddings.select(id_col, vec_col).toPandas()
-        if len(pdf) <= BROADCAST_PAIRS_MAX_ROWS:
+        # limit-probe BEFORE collecting: the guard must run before the
+        # driver materialization it guards (ADVICE r1) — a limit(N+1).count()
+        # stops scanning after N+1 rows and moves only a count to the driver
+        probe = embeddings.select(id_col).limit(BROADCAST_PAIRS_MAX_ROWS + 1).count()
+        if probe <= BROADCAST_PAIRS_MAX_ROWS:
+            pdf = embeddings.select(id_col, vec_col).toPandas()
             ids = np.ascontiguousarray(pdf[id_col].to_numpy(np.int64))
             mat = np.ascontiguousarray(
                 np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
@@ -147,6 +151,11 @@ def cosine_dup_pairs(
             return embeddings.select(id_col, vec_col).mapInPandas(
                 gen, schema="id_a long, id_b long, cos double"
             )
+    # Exact all-pairs beyond the broadcast bound: the expression self-join —
+    # still O(n^2) compare work by definition of EXACT all-pairs (one side
+    # must be replicated somewhere; that is the nature of the operator, same
+    # as a cartesian). The scale answer is not a better exact plan but
+    # ``lsh_dup_pairs`` below: bucketed candidates + exact rescoring.
     a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
@@ -208,4 +217,48 @@ def lsh_ann_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", F.col(id_col).alias("vec_id"), "cos")
+    )
+
+
+def lsh_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.8,
+    dim: int = 64,
+    n_bits: int = N_LSH_BITS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs (cosine >= threshold) via random-hyperplane LSH
+    buckets — the 100-TB path ``cosine_dup_pairs`` is the oracle for.
+
+    Plan: every vector gets a bucket (pure column expression, codegen); the
+    lower-id side of each candidate pair probes its own bucket plus all
+    Hamming-1 neighbors, the other side sits in its bucket — probing one
+    side is lossless for bucket-Hamming<=1 because the probe relation is
+    symmetric, and each pair meets on at most one probe value so no
+    dedup pass is needed. Candidates are rescored with the EXACT cosine
+    expression, so precision is 1.0 by construction; recall is the standard
+    SimHash/LSH collision probability (1 - theta/pi per bit), tuned by
+    n_bits (fewer bits = higher recall, bigger buckets). The shuffle is one
+    equi-join keyed by bucket: |docs| x (n_bits + 1) probe rows against
+    |docs| bucket rows — never all-pairs.
+
+    Approximate BY DESIGN (like ``lsh_ann_topk``): validated on recall
+    against ``cosine_dup_pairs`` in pytest; any pair it returns carries the
+    exact rounded cosine, so returned rows are a subset of the exact
+    operator's rows.
+    """
+    emb = embeddings.withColumn("bucket", lsh_bucket_expr(F.col(vec_col), dim, n_bits))
+    probes = F.array(
+        F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(n_bits)]
+    )
+    a = emb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.explode(probes).alias("probe")
+    )
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
+    cand = a.join(b, (F.col("probe") == F.col("bucket")) & (F.col("id_a") < F.col("id_b")))
+    return (
+        cand.withColumn("cos", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
     )

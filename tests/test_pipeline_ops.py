@@ -143,6 +143,25 @@ def test_lsh_ann_vs_bruteforce(spark):
         assert (merged.cos_b == merged.cos_a).all()
 
 
+def test_lsh_dup_pairs_recall_and_exactness(spark):
+    """lsh_dup_pairs must (a) return a subset of the exact all-pairs result
+    with identical cosines, and (b) recover most of it at few bits (recall
+    rises as n_bits falls; 2 bits + Hamming-1 probes covers ~85% of the
+    collision probability mass for cos=0.35 random gaussians)."""
+    from defactonlp_spark.operators.similarity import cosine_dup_pairs, lsh_dup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = cosine_dup_pairs(emb, threshold=0.35).toPandas()
+    approx = lsh_dup_pairs(emb, threshold=0.35, n_bits=2).toPandas()
+    e = {(a, b): c for a, b, c in zip(exact.id_a, exact.id_b, exact.cos)}
+    a_ = {(a, b): c for a, b, c in zip(approx.id_a, approx.id_b, approx.cos)}
+    assert set(a_) <= set(e), "approx returned a pair the exact op does not have"
+    for k, c in a_.items():
+        assert c == e[k], f"cosine mismatch on {k}"
+    assert len(e) > 0
+    assert len(a_) / len(e) >= 0.5, f"recall {len(a_)}/{len(e)} too low"
+
+
 def test_multimodal_stub_plumbing(spark):
     from defactonlp_spark.functions.multimodal import (
         FEATURE_DIM,
