@@ -57,3 +57,16 @@ class EngineConfig:
     #: claim — head-term blobs dominate the gather shuffle, and claims
     #: overwhelmingly share head terms
     serve_claims_per_batch: int = 8
+
+    #: pinned partition count for the distributed batch-id assignment in
+    #: query serving (cluster-size independent, like doc-id assignment —
+    #: batch membership must not depend on parallelism)
+    serve_batch_parts: int = 64
+
+    #: segment-scan pruning fast path: when the query set's DISTINCT terms
+    #: number at most this, they are collected and pushed as an `isin`
+    #: filter (parquet row-group stat pruning applies — segments are written
+    #: term-sorted). The distinct-term count is bounded by the vocabulary
+    #: (Heaps' law), not by |claims|; beyond the bound a term semi-join
+    #: prunes instead (no driver materialization).
+    isin_pushdown_max_terms: int = 20_000

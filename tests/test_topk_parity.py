@@ -94,6 +94,51 @@ def test_oov_claim_returns_empty(spark, built):
     assert query_wand(reader, claims, k=K, cfg=cfg).count() == 0
 
 
+def test_many_claims_distributed_planner(spark, built):
+    """The serving plan must scale in |claims| with no driver-side claim
+    map: 20k claims run through the distributed batch planner (the only
+    driver materialization allowed is the vocabulary-bounded distinct-term
+    list). Spot-parity: 15 of the claims duplicate the bit-exact fixture
+    set and must rank identically to the exhaustive path."""
+    import pandas as pd
+
+    reader, _, cfg = built
+    base = gen_claims(n=20000)
+    claims = spark.createDataFrame(base[["claim_id", "claim"]])
+    got = query_wand(reader, claims, k=K, cfg=cfg).toPandas()
+    assert got.claim_id.nunique() > 15000  # most claims hit the corpus
+    assert (got.groupby("claim_id")["rank"].max() <= K).all()
+
+    sub = base.iloc[:15]
+    sub_claims = spark.createDataFrame(sub[["claim_id", "claim"]])
+    e = query_exhaustive(reader, sub_claims, k=K, cfg=cfg).toPandas()
+    m = got[got.claim_id.isin(set(sub.claim_id))]
+    merged = m.merge(e, on=["claim_id", "rank"], suffixes=("_w", "_e"))
+    assert len(merged) == len(e)
+    assert (merged.doc_id_w == merged.doc_id_e).all()
+
+
+def test_semi_join_term_pruning_path(spark, built, claims_pdf):
+    """Force the semi-join pruning branch (isin_pushdown_max_terms=0) and
+    require byte-identical results to the isin fast path."""
+    import dataclasses
+
+    reader, _, cfg = built
+    claims = spark.createDataFrame(claims_pdf[["claim_id", "claim"]].head(30))
+    semi_cfg = dataclasses.replace(cfg, isin_pushdown_max_terms=0)
+    a = (
+        query_wand(reader, claims, k=K, cfg=cfg).toPandas()
+        .sort_values(["claim_id", "rank"]).reset_index(drop=True)
+    )
+    b = (
+        query_wand(reader, claims, k=K, cfg=semi_cfg).toPandas()
+        .sort_values(["claim_id", "rank"]).reset_index(drop=True)
+    )
+    assert (a["claim_id"] == b["claim_id"]).all()
+    assert (a["doc_id"] == b["doc_id"]).all()
+    assert all(x == y for x, y in zip(a["score"], b["score"]))
+
+
 def test_dense_kernel_bitexact_vs_cursor_kernel(spark, built, claims_pdf):
     """The per-claim planner picks between the vectorized dense kernel and
     the WAND cursor kernel on slice volume; both must be bit-identical.
