@@ -33,11 +33,22 @@ def latest_per_url(pages: DataFrame) -> DataFrame:
     aggregation (each input partition forwards at most one candidate row per
     url) and skips the window's per-partition sort — at crawl scale the
     shuffle carries ~|unique urls| rows instead of |rows|.
+
+    Ordering key is null-safe and total (ADVICE r1): NULL warc_ts coalesces
+    to a sentinel far before any crawl (so a url whose timestamps are all
+    NULL still yields its real payload instead of max_by dropping every
+    row), and warc_ts ties break on a deterministic content hash of the
+    payload columns — required by the byte-identical-build determinism
+    contract (ties on truly identical rows are harmless either way).
     """
     others = [c for c in pages.columns if c != "url"]
-    agg = pages.groupBy("url").agg(
-        F.max_by(F.struct(*others), F.col("warc_ts")).alias("_r")
+    order_key = F.struct(
+        F.coalesce(
+            F.col("warc_ts"), F.lit("0001-01-01 00:00:00").cast("timestamp")
+        ).alias("ts"),
+        F.xxhash64(*[F.col(c) for c in others]).alias("tiebreak"),
     )
+    agg = pages.groupBy("url").agg(F.max_by(F.struct(*others), order_key).alias("_r"))
     return agg.select("url", *[F.col(f"_r.{c}").alias(c) for c in others])
 
 

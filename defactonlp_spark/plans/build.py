@@ -133,10 +133,19 @@ def bucket_boundaries(stats: DataFrame, n_buckets: int, n_terms_hint: int | None
         .join(F.broadcast(off_df), "_pid")
         .withColumn("cum", F.col("_local_cum") + F.col("_off"))
     )
+    # integer `div`, NOT float floor(x*n/total): the driver fast path cuts
+    # with exact integer arithmetic ((cum_before * n) // total) and near an
+    # exact bucket boundary a float53 division can floor one bucket off
+    # (ADVICE r1) — both paths must produce the same cut. Range: cum <=
+    # total postings (~1e13-1e14 at 1e12 docs) x n_buckets (<= ~1e3) stays
+    # well under the 9.2e18 BIGINT limit.
     bucketed = cum.withColumn(
         "bucket",
         F.least(
-            F.floor((F.col("cum") - F.col("df")) * n_buckets / F.lit(float(total))),
+            F.expr(
+                f"((cum - df) * CAST({int(n_buckets)} AS BIGINT))"
+                f" div CAST({int(total)} AS BIGINT)"
+            ),
             F.lit(n_buckets - 1),
         ).cast("int"),
     )

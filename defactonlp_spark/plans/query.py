@@ -42,12 +42,12 @@ def decode_segments(segments: DataFrame) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             outs = []
-            for _, row in pdf.iterrows():
+            for row in pdf.itertuples(index=False):  # no per-row Series build
                 ids, tfs, dls = decode_slice(row)
                 outs.append(
                     pd.DataFrame(
                         {
-                            "term": row["term"],
+                            "term": row.term,
                             "doc_id": ids,
                             "tf": tfs.astype(np.int32),
                             "dl": dls.astype(np.int32),

@@ -87,3 +87,48 @@ def test_latest_per_url_and_doc_ids(spark):
 
     part_ids = P.assign_doc_ids(latest, "partitioned")
     assert part_ids.select("doc_id").distinct().count() == 100
+
+
+def test_latest_per_url_null_ts_and_ties(spark):
+    """NULL warc_ts must not drop a url's payload (null-safe ordering key),
+    non-null must beat null, and exact-timestamp ties must resolve
+    deterministically across runs."""
+    import datetime as dt
+
+    t1 = dt.datetime(2024, 1, 1)
+    t2 = dt.datetime(2024, 6, 1)
+    rows = [
+        ("u_nulls", None, "only-null-a"),
+        ("u_nulls", None, "only-null-b"),
+        ("u_mixed", None, "null-row"),
+        ("u_mixed", t1, "real-row"),
+        ("u_tie", t2, "tie-a"),
+        ("u_tie", t2, "tie-b"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+    got = {r["url"]: r["text"] for r in P.latest_per_url(df).collect()}
+    assert got["u_nulls"] in ("only-null-a", "only-null-b")  # real payload, not NULL
+    assert got["u_mixed"] == "real-row"
+    tie_winner = got["u_tie"]
+    for _ in range(3):  # deterministic under reshuffle
+        again = {r["url"]: r["text"] for r in P.latest_per_url(df.repartition(7)).collect()}
+        assert again == got
+    assert tie_winner in ("tie-a", "tie-b")
+
+
+def test_bucket_boundaries_driver_vs_distributed_cut(spark):
+    """Both bucket-cut paths must produce the identical boundary list —
+    including at exact boundary multiples where float division could floor
+    into the wrong bucket (integer `div` semantics in the SQL path)."""
+    from defactonlp_spark.plans.build import bucket_boundaries
+
+    # dfs engineered so cumulative masses hit exact multiples of total/n:
+    # 8 terms of df=5 -> total=40, n_buckets=4 -> boundary every 10 exactly
+    rows = [(f"t{i:02d}", 5) for i in range(8)]
+    # plus a skewed tail
+    rows += [(f"z{i:02d}", 1 + (i % 3) * 7) for i in range(20)]
+    stats = spark.createDataFrame(rows, "term string, df long")
+    for n_buckets in (2, 4, 7):
+        drv = bucket_boundaries(stats, n_buckets, n_terms_hint=len(rows))
+        dist = bucket_boundaries(stats, n_buckets, n_terms_hint=10**9)
+        assert drv == dist, f"n_buckets={n_buckets}: {drv} != {dist}"
