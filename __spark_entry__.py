@@ -601,6 +601,44 @@ def q_sentence_topk(spark, sf_dir):
     )
 
 
+def q_rte_label_agg(spark, sf_dir):
+    """A16+A17 — the FEVER pipeline tail, end to end: top-3 sentences per
+    claim (A15) -> batched RTE inference over (claim, sentence) pairs in one
+    mapInPandas stage (A16, deterministic sha256 fake model — the documented
+    offline stand-in for the AllenNLP forward) -> per-claim majority-vote
+    label aggregation (A17). The DuckDB oracle recomputes the whole chain
+    including the fake logits, so the driver checks retrieval, inference
+    plumbing, and aggregation together."""
+    from pyspark.sql import Window
+
+    from defactonlp_spark.operators.rte import label_aggregate, rte_classify
+    from defactonlp_spark.operators.sentences import sentence_retrieval, split_chunks
+
+    claims = _claims_df(spark)
+    sents = split_chunks(_docs(spark, sf_dir), chunk_tokens=10).persist()
+    res = sentence_retrieval(sents, claims, k=40)
+    w = Window.partitionBy("claim_id").orderBy(
+        F.desc(F.round("score", 4)), F.asc("doc_id"), F.asc("sent_idx")
+    )
+    top3 = (
+        res.withColumn("rrank", F.row_number().over(w))
+        .filter(F.col("rrank") <= 3)
+        .select("claim_id", "doc_id", "sent_idx")
+    )
+    pairs = (
+        top3.join(F.broadcast(claims), "claim_id")
+        .join(sents, ["doc_id", "sent_idx"])
+        .select("claim_id", "claim", "doc_id", "sent_idx", "sentence")
+    )
+    agg = label_aggregate(rte_classify(pairs))
+    return agg.select(
+        F.col("claim_id").cast("long").alias("claim_id"),
+        "predicted_label",
+        "n_votes",
+        "n_sents",
+    )
+
+
 def q_fever_eval(spark, sf_dir):
     """A18 — FEVER scorer over an inline fixture (set containment logic)."""
     from defactonlp_spark.operators.fever import fever_score
@@ -792,6 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_chunks": q_sentence_chunks,
         "sentence_topk": q_sentence_topk,
         "fever_eval": q_fever_eval,
+        "rte_label_agg": q_rte_label_agg,
         "simhash_pairs": q_simhash_pairs,
         "lsh_ann_topk": q_lsh_ann_topk,
         "lsh_dup_pairs": q_lsh_dup_pairs,
@@ -1061,6 +1100,46 @@ def oracle_sql() -> dict[str, str]:
             order_by="round(score, 4) DESC, doc_id",
         ),
         "fever_eval": _fever_sql(),
+        "rte_label_agg": f"""
+            WITH top3 AS (
+              {_bm25_sql(_SENT_TOKS_SQL, _CLAIMS_SQL, 3,
+                         select=("claim_id, (doc_id // 1048576) AS doc_id, "
+                                 "(doc_id % 1048576) AS sent_idx"),
+                         order_by="round(score, 4) DESC, doc_id")}
+            ),
+            chunks AS (
+              SELECT doc_id, i - 1 AS sent_idx,
+                     array_to_string(tl[(i-1)*10+1:i*10], ' ') AS sentence
+              FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+                      '[^a-z0-9]+'), t -> t <> '') AS tl FROM documents) b,
+                   unnest(range(1, CAST(ceil(len(tl)/10.0) AS INTEGER) + 1)) AS u(i)
+            ),
+            claims(claim_id, claim) AS {_CLAIMS_SQL},
+            hashed AS (
+              SELECT t.claim_id, sha256(c.claim || '|' || ch.sentence) AS h
+              FROM top3 t
+              JOIN chunks ch ON t.doc_id = ch.doc_id AND t.sent_idx = ch.sent_idx
+              JOIN claims c ON c.claim_id = t.claim_id
+            ),
+            lab AS (
+              SELECT claim_id,
+                     CASE WHEN substr(h,1,8) >= substr(h,9,8)
+                               AND substr(h,1,8) >= substr(h,17,8) THEN 'SUPPORTS'
+                          WHEN substr(h,9,8) >= substr(h,17,8) THEN 'REFUTES'
+                          ELSE 'NOT ENOUGH INFO' END AS label
+              FROM hashed
+            ),
+            votes AS (SELECT claim_id, label, count(*)::BIGINT AS n_votes
+                      FROM lab GROUP BY 1, 2),
+            totals AS (SELECT claim_id, count(*)::BIGINT AS n_sents
+                       FROM lab GROUP BY 1),
+            best AS (SELECT claim_id, label AS predicted_label, n_votes
+                     FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
+                              ORDER BY n_votes DESC, label) AS rn FROM votes)
+                     WHERE rn = 1)
+            SELECT claim_id::BIGINT AS claim_id, predicted_label, n_votes, n_sents
+            FROM best JOIN totals USING (claim_id)
+        """,
         "simhash_pairs": f"""
             WITH {simhash_body}
             SELECT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b,

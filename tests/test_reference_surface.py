@@ -200,3 +200,48 @@ def test_fever_evidence_partial_set_not_enough(spark):
     )
     row = fever_score(preds, gold).collect()[0]
     assert row["evidence_recall"] == 0.0 and row["fever_score"] == 0.0
+
+
+def test_rte_classify_deterministic_and_batched(spark):
+    """A16: the fake-model scorer must be deterministic, match an
+    independent recomputation of the pinned hash contract, and run as a
+    mapInPandas map (row count preserved, schema extended)."""
+    import hashlib
+
+    from defactonlp_spark.operators.rte import RTE_LABELS, rte_classify
+
+    rows = [
+        (0, "the merge join", 5, 0, "merge join table scan"),
+        (0, "the merge join", 7, 2, "window hash batch"),
+        (1, "sort vector", 5, 1, "sort the vector stream"),
+    ]
+    pairs = spark.createDataFrame(
+        rows, "claim_id long, claim string, doc_id long, sent_idx int, sentence string"
+    )
+    got = rte_classify(pairs).toPandas().sort_values(["claim_id", "doc_id", "sent_idx"])
+    assert len(got) == 3
+    for r in got.itertuples():
+        h = hashlib.sha256(f"{r.claim}|{r.sentence}".encode()).hexdigest()
+        s = (h[0:8], h[8:16], h[16:24])
+        assert r.rte_label == RTE_LABELS[max(range(3), key=lambda j: (s[j], -j))]
+    again = rte_classify(pairs).toPandas().sort_values(["claim_id", "doc_id", "sent_idx"])
+    assert list(got.rte_label) == list(again.rte_label)
+
+    with pytest.raises(Exception, match="NotImplementedError|real RTE model"):
+        rte_classify(pairs, fake=False).collect()
+
+
+def test_label_aggregate_majority_and_ties(spark):
+    from defactonlp_spark.operators.rte import label_aggregate
+
+    rows = [
+        (0, "SUPPORTS"), (0, "SUPPORTS"), (0, "REFUTES"),           # clear majority
+        (1, "REFUTES"), (1, "SUPPORTS"),                            # 1-1 tie
+        (2, "NOT ENOUGH INFO"),
+    ]
+    scored = spark.createDataFrame(rows, "claim_id long, rte_label string")
+    got = {r["claim_id"]: r for r in label_aggregate(scored).collect()}
+    assert got[0]["predicted_label"] == "SUPPORTS" and got[0]["n_votes"] == 2 and got[0]["n_sents"] == 3
+    # tie breaks to the lexicographically smallest label
+    assert got[1]["predicted_label"] == "REFUTES" and got[1]["n_sents"] == 2
+    assert got[2]["predicted_label"] == "NOT ENOUGH INFO" and got[2]["n_votes"] == 1
