@@ -15,11 +15,16 @@ as DataFrame algebra:
   to >= 0; weight = tf' * idf (DrQA ``build_tfidf.py`` / ``text2spvec``);
 - scoring: sparse dot product query-vector x doc-matrix; top-k by score.
 
-Deviation pinned openly: DrQA hashes ngrams with sklearn murmurhash3_32 %
-2^24 (seed 0). Spark's ``F.hash`` is murmur3 seed 42 with different
-finalization, and sklearn is not installed in-sandbox — we keep RAW NGRAM
-STRINGS as keys instead. Hash collisions in DrQA (~0.03% at 2^24) are the
-only behavioral difference; on collision-free corpora results are identical.
+Term keys come in two modes (``hash_mode``):
+
+- ``"raw"`` (default): raw ngram strings — readable, collision-free, and
+  identical to DrQA's ranking whenever DrQA's 2^24 hash space is
+  collision-free for the corpus (~0.03% collision mass on FEVER).
+- ``"murmur"``: exact A5 parity — sklearn-compatible murmurhash3_32 seed-0
+  positive, % 2^24 (vectorized numpy, functions/mmh3.py; pinned against
+  published vectors), applied to each ngram so COLLISIONS MERGE exactly as
+  in DrQA's ``utils.hash``. Spark's builtin ``F.hash`` cannot do this
+  (murmur3 seed 42, different finalization), hence the numpy kernel.
 """
 
 from __future__ import annotations
@@ -82,16 +87,32 @@ def ngrams_filtered(tokens: list[str], n: int = 2) -> list[str]:
     return out
 
 
-def ngram_postings(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """corpus -> (ngram, doc_id, tf) via mapInPandas (counts final per batch)."""
+def ngram_postings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_mode: str = "raw",
+) -> DataFrame:
+    """corpus -> (ngram, doc_id, tf) via mapInPandas (counts final per batch).
+
+    ``hash_mode="murmur"`` replaces each ngram key with its DrQA term id
+    (murmur3_32 seed-0 % 2^24, as a decimal string) BEFORE counting, so
+    colliding ngrams merge their tf exactly as in DrQA's hashed CSR matrix.
+    """
+    if hash_mode not in ("raw", "murmur"):
+        raise ValueError(hash_mode)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from defactonlp_spark.functions.mmh3 import drqa_term_ids
+
         for pdf in batches:
             rows = {"ngram": [], "doc_id": [], "tf": []}
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 grams = ngrams_filtered(simple_tokenize(text))
                 if not grams:
                     continue
+                if hash_mode == "murmur":
+                    grams = [str(t) for t in drqa_term_ids(grams)]
                 vc = pd.Series(grams).value_counts()
                 rows["ngram"].extend(vc.index.tolist())
                 rows["doc_id"].extend([doc_id] * len(vc))
@@ -126,16 +147,20 @@ def drqa_closest_docs(
     k: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_mode: str = "raw",
 ) -> DataFrame:
     """Batch ``closest_docs``: top-k (claim_id, rank, doc_id, score) by
-    tf-idf sparse dot product, ties broken by doc_id asc."""
+    tf-idf sparse dot product, ties broken by doc_id asc.
+
+    ``hash_mode="murmur"`` reproduces DrQA's hashed term space exactly,
+    including collision merges (A5)."""
     n_docs = corpus.select(id_col).distinct().count()
     # one tokenize pass, cached: doc weights AND the query-side idf both read
     # it (DrQA loads one .npz model for both; recomputing the ngram explode
     # twice would double the only expensive stage)
-    post = ngram_postings(corpus, id_col, text_col).persist()
+    post = ngram_postings(corpus, id_col, text_col, hash_mode).persist()
     doc_w = tfidf_weights(post, n_docs)
-    q_post = ngram_postings(queries_df, "claim_id", "claim").withColumnRenamed("doc_id", "claim_id")
+    q_post = ngram_postings(queries_df, "claim_id", "claim", hash_mode).withColumnRenamed("doc_id", "claim_id")
     # query vector uses the CORPUS idf (DrQA text2spvec uses model doc_freqs)
     nt = post.groupBy("ngram").agg(F.count(F.lit(1)).alias("nt"))
     q_w = (
