@@ -145,3 +145,74 @@ class LocalTable:
 
     def exists(self) -> bool:
         return self.current_version() > 0
+
+
+#: session config a production deployment sets for the `iceberg` backend
+#: (documented here so ops can lift it verbatim; values are the standard
+#: public Iceberg-on-Spark catalog wiring)
+ICEBERG_SESSION_CONF = {
+    "spark.sql.catalog.lake": "org.apache.iceberg.spark.SparkCatalog",
+    "spark.sql.catalog.lake.type": "hadoop",  # or hive / rest
+    "spark.sql.catalog.lake.warehouse": "<warehouse-uri>",
+    "spark.sql.extensions": (
+        "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+    ),
+}
+
+
+class IcebergTable:
+    """Production backend: Apache Iceberg through the public Spark DSv2
+    surface (SURVEY.md §4.3). The sandbox ships no iceberg-spark-runtime
+    jar, so this class is a THIN shim with no logic of its own — every
+    method lowers directly onto the documented Iceberg write/read API, and
+    the exact call shapes are pinned by mocked unit tests
+    (tests/test_tableio.py::TestIcebergShim). Swapping LocalTable for
+    IcebergTable is the only change a cluster deployment needs; snapshot
+    semantics (isolation, lineage properties, time travel) are what
+    LocalTable miniaturizes.
+    """
+
+    def __init__(self, identifier: str):
+        #: catalog-qualified table name, e.g. "lake.search.segments"
+        self.identifier = identifier
+
+    @staticmethod
+    def _with_props(writer, properties: dict | None):
+        # snapshot-level lineage: Iceberg records write options named
+        # `snapshot-property.<key>` into the commit's snapshot summary —
+        # the exact analog of LocalTable's Snapshot.properties
+        for k, v in (properties or {}).items():
+            writer = writer.option(f"snapshot-property.{k}", str(v))
+        return writer
+
+    def append(self, df: DataFrame, properties: dict | None = None):
+        self._with_props(df.writeTo(self.identifier), properties).append()
+
+    def overwrite(self, df: DataFrame, properties: dict | None = None):
+        self._with_props(
+            df.writeTo(self.identifier).using("iceberg"), properties
+        ).createOrReplace()
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Current table state, or time travel to a snapshot id."""
+        reader = spark.read
+        if version is not None:
+            reader = reader.option("snapshot-id", str(version))
+        return reader.table(self.identifier)
+
+    def exists(self, spark: SparkSession) -> bool:
+        return spark.catalog.tableExists(self.identifier)
+
+    def snapshots(self, spark: SparkSession) -> DataFrame:
+        """The Iceberg `.snapshots` metadata table (lineage audit)."""
+        return spark.read.table(f"{self.identifier}.snapshots")
+
+
+def make_table(location: str, backend: str = "localparquet"):
+    """Factory the build/query plans use: `localparquet` (sandbox) or
+    `iceberg` (production; `location` is then a catalog identifier)."""
+    if backend == "localparquet":
+        return LocalTable(location)
+    if backend == "iceberg":
+        return IcebergTable(location)
+    raise ValueError(f"unknown TableIO backend: {backend}")

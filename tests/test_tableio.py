@@ -1,0 +1,69 @@
+"""TableIO: the Iceberg shim's API shape under mocks (the runtime jar is
+absent in-sandbox — the shim must lower EXACTLY onto the public Iceberg
+Spark DSv2 surface so a cluster deployment is a drop-in) and the factory."""
+
+from unittest import mock
+
+import pytest
+
+from defactonlp_spark.sources.tableio import IcebergTable, LocalTable, make_table
+
+
+class _Recorder:
+    """Chainable stub that records every (method, args) call."""
+
+    def __init__(self, log, name=""):
+        self.log, self.name = log, name
+
+    def __getattr__(self, attr):
+        def call(*args, **kw):
+            self.log.append((f"{self.name}{attr}", args, kw))
+            return _Recorder(self.log, self.name)
+
+        return call
+
+
+def test_factory():
+    assert isinstance(make_table("/tmp/t", "localparquet"), LocalTable)
+    t = make_table("lake.search.segments", "iceberg")
+    assert isinstance(t, IcebergTable) and t.identifier == "lake.search.segments"
+    with pytest.raises(ValueError):
+        make_table("x", "deltalake")
+
+
+class TestIcebergShim:
+    def test_append_with_snapshot_properties(self):
+        log = []
+        df = mock.Mock()
+        df.writeTo.return_value = _Recorder(log)
+        IcebergTable("lake.db.seg").append(df, properties={"build_id": "b1", "buckets": [0, 1]})
+        df.writeTo.assert_called_once_with("lake.db.seg")
+        assert ("option", ("snapshot-property.build_id", "b1"), {}) in log
+        assert ("option", ("snapshot-property.buckets", "[0, 1]"), {}) in log
+        assert log[-1] == ("append", (), {})
+
+    def test_overwrite_uses_create_or_replace(self):
+        log = []
+        df = mock.Mock()
+        df.writeTo.return_value = _Recorder(log)
+        IcebergTable("lake.db.manifest").overwrite(df, properties={"n_docs": 5})
+        assert log[0] == ("using", ("iceberg",), {})
+        assert ("option", ("snapshot-property.n_docs", "5"), {}) in log
+        assert log[-1] == ("createOrReplace", (), {})
+
+    def test_read_and_time_travel(self):
+        spark = mock.Mock()
+        t = IcebergTable("lake.db.seg")
+        t.read(spark)
+        spark.read.table.assert_called_once_with("lake.db.seg")
+        t.read(spark, version=12345)
+        spark.read.option.assert_called_once_with("snapshot-id", "12345")
+        spark.read.option.return_value.table.assert_called_once_with("lake.db.seg")
+
+    def test_exists_and_snapshots(self):
+        spark = mock.Mock()
+        t = IcebergTable("lake.db.seg")
+        t.exists(spark)
+        spark.catalog.tableExists.assert_called_once_with("lake.db.seg")
+        t.snapshots(spark)
+        spark.read.table.assert_called_once_with("lake.db.seg.snapshots")
