@@ -103,7 +103,7 @@ def bench_index_build(cores: int) -> tuple[float, int]:
     salt -> range shuffle -> encode varbyte segments -> commit. Returns
     (wall_sec, n_docs)."""
     from defactonlp_spark.config import EngineConfig
-    from defactonlp_spark.plans.build import IndexBuild, prepare_webpages
+    from defactonlp_spark.plans.build import IndexBuild, prepare_webpages_fused
 
     pages_path = _webpages_path()
     out = f"{CACHE}/idx_{cores}"
@@ -114,7 +114,7 @@ def bench_index_build(cores: int) -> tuple[float, int]:
         pages = spark.read.parquet(pages_path)
         s0, b0 = _steal_jiffies(), _busy_jiffies()
         t0 = time.time()
-        corpus = prepare_webpages(pages, id_strategy="partitioned")
+        corpus = prepare_webpages_fused(pages)
         cfg = EngineConfig(n_buckets=BUILD_BUCKETS)
         props = IndexBuild(out, cfg, build_id=f"bench{cores}", n_groups=1).run(
             spark, corpus, input_snapshot=pages_path

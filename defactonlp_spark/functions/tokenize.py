@@ -109,5 +109,64 @@ def tokenize_postings(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     return df.select(id_col, text_col).mapInPandas(gen, schema=POSTINGS_SCHEMA)
 
 
+def tokenize_postings_html(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    assign_ids: bool = False,
+    pid_col: str = "_pid",
+) -> DataFrame:
+    """pages(doc_id|_pid, html, ...) -> postings_long: FUSED extract +
+    tokenize (+ optional doc-id assignment) in ONE mapInPandas stage.
+
+    The B1 extractor is the same ``extract_text_one`` scalar the golden-byte
+    tests pin, so the byte-identical contract is untouched.
+
+    ``assign_ids=True`` is the scale path's id assignment (SURVEY.md §3.1):
+    input must be hash-partitioned by url with a PINNED partition count and
+    sorted by url within partitions (see plans.build.prepare_webpages_fused);
+    the kernel then assigns ``doc_id = pid * 2^40 + rank_within_partition``
+    as a running counter over the sorted iterator — bit-identical to
+    ``assign_doc_ids(strategy="partitioned")``'s window, with ZERO extra
+    shuffles and no AQE interference.
+
+    Why ids live in the kernel (measured on the 320k-page fixture, event-log
+    audit at 8 pinned cores): the window variant's partitionBy(_pid) forces
+    a second full exchange of the html corpus whose partition count comes
+    from spark.sql.shuffle.partitions — and AQE's coalescer shrank it to 9,
+    so the expensive extract+tokenize stage ran 9-wide no matter how many
+    cores the cluster had (a 23 s straggler task on an 8-core run). Fusing
+    id assignment into the tokenize kernel keeps the heavy Python stage on
+    the REPARTITION_BY_NUM exchange (AQE never coalesces an explicit
+    partition count), restoring ~n_parts-way parallelism at every cluster
+    size."""
+    from defactonlp_spark.functions.extract import extract_text_one
+
+    if not assign_ids:
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                texts = pdf[html_col].map(extract_text_one)
+                fused = pd.DataFrame({id_col: pdf[id_col], "text": texts})
+                yield _batch_postings(fused, id_col, "text")
+
+        return df.select(id_col, html_col).mapInPandas(gen, schema=POSTINGS_SCHEMA)
+
+    def gen_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        next_rank = 1  # row_number() is 1-based; parity with the window path
+        for pdf in batches:
+            texts = pdf[html_col].map(extract_text_one)
+            ids = pdf[pid_col].to_numpy("int64") * (1 << 40) + np.arange(
+                next_rank, next_rank + len(pdf), dtype="int64"
+            )
+            next_rank += len(pdf)
+            fused = pd.DataFrame({"doc_id": ids, "text": texts})
+            yield _batch_postings(fused, "doc_id", "text")
+
+    return df.select(pid_col, html_col).mapInPandas(gen_ids, schema=POSTINGS_SCHEMA)
+
+
 # alias kept for tests that pin the (single) implementation explicitly
 tokenize_postings_pandas = tokenize_postings

@@ -90,6 +90,14 @@ def build_postings(corpus: DataFrame, id_col: str = "doc_id", text_col: str = "t
     return tokenize_postings(corpus, id_col=id_col, text_col=text_col)
 
 
+def build_postings_html(pages: DataFrame, id_col: str = "doc_id", html_col: str = "html") -> DataFrame:
+    """pages-with-ids -> postings_long via the FUSED extract+tokenize stage
+    (one Python round trip instead of two; see tokenize_postings_html)."""
+    from defactonlp_spark.functions.tokenize import tokenize_postings_html
+
+    return tokenize_postings_html(pages, id_col=id_col, html_col=html_col)
+
+
 def term_stats(postings: DataFrame) -> DataFrame:
     """(term, df). Exact distinct-doc counts: postings are already unique per
     (term, doc), so df == count(*) per term — no countDistinct shuffle."""

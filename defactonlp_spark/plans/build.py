@@ -183,6 +183,37 @@ def prepare_webpages(pages: DataFrame, id_strategy: str = "global") -> DataFrame
     )
 
 
+def prepare_webpages_fused(pages: DataFrame, n_parts: int = 256) -> DataFrame:
+    """The scale path's corpus preparation: ONE corpus shuffle, ids deferred
+    into the fused tokenize kernel.
+
+    Plan: repartition(n_parts, url) [REPARTITION_BY_NUM — AQE cannot
+    coalesce it] -> latest-crawl dedup as a partition-local sort-aggregate
+    (the agg's required distribution is satisfied by the repartition, so
+    Catalyst inserts NO second exchange — verified in the physical plan)
+    -> _pid capture -> sort by url within partitions. IndexBuild feeds this
+    to tokenize_postings_html(assign_ids=True), which assigns
+    doc_id = _pid * 2^40 + rank, bit-identical to
+    assign_doc_ids(strategy="partitioned").
+
+    vs prepare_webpages + build_postings (two corpus shuffles, and the
+    window's exchange is AQE-coalescible — measured 9-wide on the 320k
+    fixture, capping the Python stage's parallelism): this shape keeps the
+    whole dedup+extract+tokenize chain in one n_parts-task stage behind a
+    single exchange. ``n_parts`` is a pinned constant (NOT derived from
+    cluster size) so doc ids are identical on 4 cores or 4000.
+    Use prepare_webpages when the extracted text itself is a product
+    (doc-store sink); this path is for corpora that feed ONLY the index
+    build."""
+    parted = pages.repartition(n_parts, "url")
+    latest = P.latest_per_url(parted)
+    return (
+        latest.withColumn("_pid", F.spark_partition_id())
+        .sortWithinPartitions("url")
+        .select("_pid", "url", "html")
+    )
+
+
 class IndexBuild:
     def __init__(self, out_dir: str, cfg: EngineConfig | None = None, build_id: str | None = None, n_groups: int = 4):
         self.out_dir = out_dir
@@ -234,7 +265,17 @@ class IndexBuild:
         stats_path = os.path.join(self.out_dir, "term_stats")
         bounds_path = os.path.join(self.out_dir, "boundaries.json")
         if not os.path.exists(os.path.join(self.postings_dir, "_SUCCESS")):
-            P.build_postings(corpus).write.mode("overwrite").parquet(self.postings_dir)
+            # fused paths when the corpus still carries raw html: extract(+id
+            # assignment, for prepare_webpages_fused input) in ONE Python stage
+            if "text" in corpus.columns:
+                pl = P.build_postings(corpus)
+            elif "doc_id" in corpus.columns:
+                pl = P.build_postings_html(corpus)
+            else:
+                from defactonlp_spark.functions.tokenize import tokenize_postings_html
+
+                pl = tokenize_postings_html(corpus, assign_ids=True)
+            pl.write.mode("overwrite").parquet(self.postings_dir)
         postings = spark.read.parquet(self.postings_dir)
         if not os.path.exists(os.path.join(stats_path, "_SUCCESS")):
             P.term_stats(postings).write.mode("overwrite").parquet(stats_path)
