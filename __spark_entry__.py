@@ -687,6 +687,24 @@ def q_lsh_ann_topk(spark, sf_dir):
 
 
 
+
+def q_ivf_ann_topk(spark, sf_dir):
+    """Approximate nearest neighbors via IVF (learned k-means coarse
+    quantizer, n_probe nearest cells, exact cosine rescoring). No SQL
+    oracle BY DESIGN — probabilistic candidate set; pytest proves recall
+    vs the exact brute-force baseline and bit-equal cosines on returned
+    candidates (test_pipeline_ops.py::test_ivf_ann_vs_bruteforce)."""
+    from defactonlp_spark.operators.similarity import ivf_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_ann_topk(emb, [0, 1, 2, 3, 4], k=10, n_centroids=16, n_probe=4).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "cos",
+    )
+
+
 def q_lsh_dup_pairs(spark, sf_dir):
     """LSH-bucketed embedding near-dup pairs — the scale path for
     embedding_dup_pairs (no SQL oracle BY DESIGN: the candidate set is
@@ -834,6 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "lsh_ann_topk": q_lsh_ann_topk,
         "lsh_dup_pairs": q_lsh_dup_pairs,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "revenue_cube": q_revenue_cube,
         "media_features": q_media_features,
         "latest_event_per_user": q_latest_event_per_user,
@@ -1147,7 +1166,8 @@ def oracle_sql() -> dict[str, str]:
             FROM sim a JOIN sim b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
         """,
-        # lsh_ann_topk: intentionally NO oracle (approximate operator);
+        # lsh_ann_topk / lsh_dup_pairs / ivf_ann_topk: intentionally NO
+        # oracle (approximate operators);
         # driver records the rows-only check, pytest proves recall vs the
         # exact brute-force baseline
         "latest_event_per_user": """

@@ -18,18 +18,18 @@ plan, 64 range partitions) on the same input at local[N] vs local[4N]
 min-of-2 in its own subprocess, per-run hypervisor steal and busy-CPU
 reported alongside.
 
-N=2 (pair 2 vs 8) is the default because of two measured hardware facts
-(BASELINE.md §calibration): (a) this sandbox has 16 PHYSICAL cores exposed
-as 32 SMT threads — pure-CPU calibration scales near-linearly to 16
-workers but only 1.36x from 16->32; (b) a local[c] run of this pipeline
-keeps ~1.3-2c hardware threads busy (JVM task thread + Python worker per
-task slot), so local[16] already saturates SMT and the pandas string
-kernels hit the memory-bandwidth wall. 2-vs-8 keeps both levels' REAL
-concurrency (~3-4 vs ~12-16 threads) on physical cores — the honest
-stand-in for N vs 4N executors, which the north rule defines over distinct
-machines that each bring their own memory bandwidth. The 4N run goes FIRST
-so any OS cache warmup accrues to the SMALL config, making the reported
-efficiency conservative.
+N=2 (pair 2 vs 8) is the default because of a measured hardware fact
+(BASELINE.md §calibration, re-measured per round — the VM changes):
+this guest's aggregate memory bandwidth PEAKS at ~8 busy workers
+(6.9/12.8/27.4/47.4/38.0 GB/s at K=1/2/4/8/16 copy processes) while pure
+CPU scales to 32. The pipeline's hot paths (pandas string kernels, Arrow
+IPC, lz4 shuffle) are bandwidth-heavy, so any level above ~8 busy cores
+measures the host's shared memory system, not the engine (4-vs-16: 0.41
+with 2x busy-CPU dilation). 2-vs-8 keeps both levels below the knee — the
+honest stand-in for N vs 4N executors, which the north rule defines over
+distinct machines that each bring their own memory bandwidth. The 4N run
+goes FIRST so any OS cache warmup accrues to the SMALL config, making the
+reported efficiency conservative.
 """
 
 from __future__ import annotations

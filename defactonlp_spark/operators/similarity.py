@@ -25,6 +25,7 @@ training-data-pipeline surface (task spec) built on the driver's
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -261,4 +262,141 @@ def lsh_dup_pairs(
         cand.withColumn("cos", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the k-means coarse-quantizer refinement of the
+# LSH path. Same plumbing (cell column -> co-partitioned equi-join), but the
+# partition of the vector space is LEARNED, so cells track the data
+# distribution instead of random hyperplanes (tighter candidate sets at the
+# same probe count — the standard IVF trade, cf. FAISS IVF-Flat [public]).
+# ---------------------------------------------------------------------------
+
+
+def ivf_train(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_rows: int = 100_000,
+) -> np.ndarray:
+    """Train the coarse quantizer: Lloyd's k-means on a deterministic sample,
+    spherical (centroids L2-normalized; assignment by max dot = cosine).
+
+    The quantizer is a TINY model (n_centroids x dim float64) held on the
+    driver and broadcast — like FAISS's coarse quantizer it is trained on a
+    sample, never the full corpus: at 10^12 vectors training reads
+    ``sample_rows`` rows once (deterministic smallest-ids sample, so the
+    model is reproducible across runs/cluster sizes), while assignment +
+    search stay fully distributed.
+
+    Pure numpy on the sample (n_centroids and dim are small); empty cells
+    are re-seeded deterministically from the farthest points so exactly
+    n_centroids cells survive."""
+    pdf = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_rows)
+        .toPandas()
+    )
+    mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    # deterministic init: evenly strided rows of the id-sorted sample
+    idx = np.linspace(0, len(mat) - 1, n_centroids).astype(np.int64)
+    cents = mat[idx].copy()
+    for _ in range(n_iters):
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+        assign = np.argmax(mat @ cents.T, axis=1)
+        for c in range(n_centroids):
+            members = mat[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+            else:  # re-seed dead cell with the worst-served point
+                worst = np.argmin(np.max(mat @ cents.T, axis=1))
+                cents[c] = mat[worst]
+    return cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+
+def with_ivf_cell(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Add the IVF cell id: argmax_c dot(v_hat, centroid_c). Vectorized
+    pandas_udf (one matmul per Arrow batch against the broadcast quantizer)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast(np.ascontiguousarray(centroids))
+
+    @F.pandas_udf(T.IntegerType())
+    def cell_udf(vecs: pd.Series) -> pd.Series:
+        cents = bc.value
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        return pd.Series(np.argmax((mat / norms) @ cents.T, axis=1).astype("int32"))
+
+    return embeddings.withColumn(out_col, cell_udf(F.col(vec_col)))
+
+
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Approximate top-k via IVF: each query probes its ``n_probe`` nearest
+    cells; candidates = corpus rows in those cells; exact cosine rescoring +
+    windowed top-k (identical tail to cosine_topk, so precision on returned
+    candidates is exact).
+
+    Plan shape at scale: the cell column is computed once (in production:
+    persisted alongside the vectors, exactly like the segment table), the
+    probe table is |Q| x n_probe rows — broadcast — and the single shuffle
+    is the cell equi-join. Recall is tuned by n_probe/n_centroids; pytest
+    validates recall >= 0.9 at the fixture scale vs brute force."""
+    cents = ivf_train(embeddings, n_centroids, id_col=id_col, vec_col=vec_col) \
+        if centroids is None else centroids
+    emb = with_ivf_cell(embeddings, cents, vec_col=vec_col)
+
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    # per-query probe cells: n_probe highest-dot centroids (tiny — computed
+    # with the same broadcast quantizer inside one pandas_udf)
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    bc = emb.sparkSession.sparkContext.broadcast(np.ascontiguousarray(cents))
+    n_probe = min(n_probe, len(cents))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probes_udf(vecs: pd.Series) -> pd.Series:
+        c = bc.value
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        order = np.argsort(-((mat / norms) @ c.T), axis=1, kind="stable")
+        return pd.Series(list(order[:, :n_probe].astype("int32")))
+
+    q = q.withColumn("probe", F.explode(probes_udf(F.col("qvec"))))
+    cand = emb.join(
+        F.broadcast(q),
+        (F.col("cell") == F.col("probe")) & (F.col(id_col) != F.col("query_id")),
+    )
+    scored = cand.withColumn("cos", F.round(cosine_expr(F.col("qvec"), F.col(vec_col)), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", F.col(id_col).alias("vec_id"), "cos")
     )

@@ -221,3 +221,37 @@ def test_incremental_streaming_build(spark, tmp_path):
 
     ids = decode_segments(seg).select("doc_id").distinct()
     assert ids.count() == 40
+
+
+def test_ivf_ann_vs_bruteforce(spark):
+    """IVF = learned coarse quantizer; at n_probe/n_centroids = 4/8 it scans
+    ~half the corpus and must beat LSH's recall at the same scan fraction on
+    the gaussian fixture; returned candidates carry EXACT cosines."""
+    from defactonlp_spark.operators.similarity import ivf_ann_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    brute = cosine_topk(emb, [0, 1, 2], k=5).toPandas()
+    approx = ivf_ann_topk(emb, [0, 1, 2], k=5, n_centroids=8, n_probe=4).toPandas()
+    hits = 0
+    for q in (0, 1, 2):
+        b = set(brute[brute.query_id == q].vec_id)
+        a = set(approx[approx.query_id == q].vec_id)
+        hits += len(a & b)
+    assert hits >= 8, f"IVF recall too low: {hits}/15"
+    merged = brute.merge(approx, on=["query_id", "vec_id"], suffixes=("_b", "_a"))
+    if len(merged):
+        assert (merged.cos_b == merged.cos_a).all()
+
+
+def test_ivf_train_deterministic(spark):
+    """Same input -> bit-identical quantizer (smallest-ids sample + strided
+    init + fixed iteration count; no RNG), across repeated trainings."""
+    import numpy as np
+    from defactonlp_spark.operators.similarity import ivf_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c1 = ivf_train(emb, n_centroids=8, n_iters=3)
+    c2 = ivf_train(emb, n_centroids=8, n_iters=3)
+    assert np.array_equal(c1, c2)
+    assert c1.shape == (8, 64)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
