@@ -180,13 +180,42 @@ def _hyperplane(dim: int, bit: int) -> list[float]:
 
 
 def lsh_bucket_expr(vec_col, dim: int, n_bits: int = N_LSH_BITS):
-    """bucket = sum_b (dot(v, H_b) > 0) << b — pure column expression."""
+    """bucket = sum_b (dot(v, H_b) > 0) << b — pure column expression.
+    Kept as the executable spec; hot paths use ``with_lsh_bucket`` (same
+    bits, vectorized kernel — higher-order array expressions evaluate
+    interpreted per row, outside whole-stage codegen)."""
     v = _as_double(vec_col)
     acc = F.lit(0)
     for bit in range(n_bits):
         plane = F.array(*[F.lit(c) for c in _hyperplane(dim, bit)])
         acc = acc + F.when(_dot(v, plane) > 0, F.lit(1 << bit)).otherwise(F.lit(0))
     return acc.cast("int")
+
+
+def with_lsh_bucket(
+    df: DataFrame, vec_col: str, dim: int, n_bits: int = N_LSH_BITS,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Vectorized twin of ``lsh_bucket_expr``: one pandas_udf batch computes
+    all plane dots with a per-dimension left-to-right accumulation (the SQL
+    aggregate's float64 summation order, so the sign tests — and therefore
+    the buckets — are bit-identical to the expression; pinned by
+    tests/test_pipeline_ops.py::test_lsh_bucket_kernel_matches_expr)."""
+    from pyspark.sql import types as T
+
+    planes = np.stack([_hyperplane(dim, b) for b in range(n_bits)])  # (bits, dim)
+
+    @F.pandas_udf(T.IntegerType())
+    def bucket_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        dots = np.zeros((len(mat), n_bits), dtype=np.float64)
+        for d in range(dim):
+            dots += mat[:, d][:, None] * planes[None, :, d]
+        bits = (dots > 0).astype(np.int64)
+        bucket = (bits << np.arange(n_bits)[None, :]).sum(axis=1)
+        return pd.Series(bucket.astype("int32"))
+
+    return df.withColumn(out_col, bucket_udf(F.col(vec_col)))
 
 
 def lsh_ann_topk(
@@ -200,7 +229,7 @@ def lsh_ann_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket (plus all
     Hamming-1 probes), then exact cosine within candidates."""
-    emb = embeddings.withColumn("bucket", lsh_bucket_expr(F.col(vec_col), dim, n_bits))
+    emb = with_lsh_bucket(embeddings, vec_col, dim, n_bits)
     q = emb.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), F.col("bucket").alias("qbucket")
     )
@@ -249,7 +278,7 @@ def lsh_dup_pairs(
     exact rounded cosine, so returned rows are a subset of the exact
     operator's rows.
     """
-    emb = embeddings.withColumn("bucket", lsh_bucket_expr(F.col(vec_col), dim, n_bits))
+    emb = with_lsh_bucket(embeddings, vec_col, dim, n_bits)
     probes = F.array(
         F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(n_bits)]
     )
@@ -258,10 +287,35 @@ def lsh_dup_pairs(
     )
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
     cand = a.join(b, (F.col("probe") == F.col("bucket")) & (F.col("id_a") < F.col("id_b")))
-    return (
-        cand.withColumn("cos", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
-        .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", "cos")
+
+    # rescoring kernel, NOT the cosine_expr SQL expression: higher-order
+    # array functions (aggregate/zip_with) evaluate INTERPRETED per row —
+    # measured 34.6 s for ~10^5 candidate pairs of dim 64 where this batched
+    # numpy kernel does the same work in well under a second. Accumulation
+    # is per-dimension left-to-right, the exact float64 summation order of
+    # the SQL expression, so returned cosines stay bit-equal to
+    # cosine_dup_pairs (the subset/equality pytest contract).
+    def rescore(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            av = np.stack(pdf["va"].to_numpy()).astype(np.float64)
+            bv = np.stack(pdf["vb"].to_numpy()).astype(np.float64)
+            dots = np.zeros(len(pdf), dtype=np.float64)
+            na = np.zeros(len(pdf), dtype=np.float64)
+            nb = np.zeros(len(pdf), dtype=np.float64)
+            for d in range(av.shape[1]):
+                dots += av[:, d] * bv[:, d]
+                na += av[:, d] * av[:, d]
+                nb += bv[:, d] * bv[:, d]
+            cos = np.round(dots / (np.sqrt(na) * np.sqrt(nb)), 6)
+            keep = cos >= threshold
+            out = pdf.loc[keep, ["id_a", "id_b"]].copy()
+            out["cos"] = cos[keep]
+            yield out
+
+    return cand.select("id_a", "id_b", "va", "vb").mapInPandas(
+        rescore, schema="id_a long, id_b long, cos double"
     )
 
 

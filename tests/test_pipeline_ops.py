@@ -255,3 +255,17 @@ def test_ivf_train_deterministic(spark):
     assert np.array_equal(c1, c2)
     assert c1.shape == (8, 64)
     assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_lsh_bucket_kernel_matches_expr(spark):
+    """The vectorized bucket kernel must produce bit-identical buckets to
+    the lsh_bucket_expr executable spec (same planes, same float order)."""
+    from pyspark.sql import functions as F
+    from defactonlp_spark.operators.similarity import lsh_bucket_expr, with_lsh_bucket
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    expr = emb.withColumn("bucket", lsh_bucket_expr(F.col("embedding"), 64, 8)) \
+        .select("vec_id", "bucket").toPandas().set_index("vec_id")["bucket"]
+    kern = with_lsh_bucket(emb, "embedding", 64, 8) \
+        .select("vec_id", "bucket").toPandas().set_index("vec_id")["bucket"]
+    assert expr.sort_index().equals(kern.sort_index())
