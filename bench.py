@@ -47,6 +47,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_PAGES = int(os.environ.get("BENCH_WEBPAGES", "320000"))
 DO_SCALING = os.environ.get("BENCH_SCALING", "1") == "1"
 N_SMALL = int(os.environ.get("BENCH_N", "2"))
+REPS = int(os.environ.get("BENCH_REPS", "2"))  # min-of-REPS per level (host noise)
 N_LARGE = 4 * N_SMALL
 CACHE = "/tmp/spark_graft_bench"
 
@@ -210,11 +211,11 @@ def main():
     # -- index build at two parallelism levels, min-of-2 subprocess runs
     # each (this VM sees bursts of hypervisor CPU steal; min is the
     # standard noise-robust estimator and per-run steal is reported) -------
-    best_big, runs_big = _build_min_of(N_LARGE, 2 if DO_SCALING else 1)
+    best_big, runs_big = _build_min_of(N_LARGE, REPS if DO_SCALING else 1)
     t_big, n_docs = best_big["wall_sec"], best_big["n_docs"]
     ib = {"docs": n_docs, f"local{N_LARGE}_runs_sec_steal": runs_big}
     if DO_SCALING:
-        best_small, runs_small = _build_min_of(N_SMALL, 2)
+        best_small, runs_small = _build_min_of(N_SMALL, REPS)
         t_small = best_small["wall_sec"]
         ib[f"local{N_SMALL}_runs_sec_steal"] = runs_small
         ib[f"local{N_SMALL}_sec"] = round(t_small, 2)
