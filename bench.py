@@ -14,9 +14,10 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 
 Scaling-evidence protocol (BASELINE.md): the same index build (identical
 plan, 64 range partitions) on the same input at local[N] vs local[4N]
-(N vs 4N executor stand-in); efficiency = (T_N / T_4N) / 4, each level
-min-of-2 in its own subprocess, per-run hypervisor steal and busy-CPU
-reported alongside.
+(N vs 4N executor stand-in); REPS interleaved (4N, N) pairs, each run in
+its own CPU-pinned subprocess; efficiency = (T_N / T_4N) / 4 of the pair
+with the least combined busy-CPU (least host dilation), with every raw
+run, per-pair efficiency, steal, and busy-CPU published alongside.
 
 N=2 (pair 2 vs 8) is the default because of a measured hardware fact
 (BASELINE.md §calibration, re-measured per round — the VM changes):
@@ -192,12 +193,8 @@ def _build_in_subprocess(cores: int) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-def _build_min_of(cores: int, reps: int) -> tuple[dict, list]:
-    """min-of-reps wall time (noise-robust under variable host CPU steal);
-    keeps every run's (wall, steal) so the report shows the interference."""
-    runs = [_build_in_subprocess(cores) for _ in range(reps)]
-    best = min(runs, key=lambda d: d["wall_sec"])
-    return best, [[round(d["wall_sec"], 1), d["steal"], d["cpu_sec"]] for d in runs]
+def _fmt(runs: list) -> list:
+    return [[round(d["wall_sec"], 1), d["steal"], d["cpu_sec"]] for d in runs]
 
 
 def main():
@@ -208,20 +205,45 @@ def main():
 
     _webpages_path()  # generate once, outside any timing
 
-    # -- index build at two parallelism levels, min-of-2 subprocess runs
-    # each (this VM sees bursts of hypervisor CPU steal; min is the
-    # standard noise-robust estimator and per-run steal is reported) -------
-    best_big, runs_big = _build_min_of(N_LARGE, REPS if DO_SCALING else 1)
-    t_big, n_docs = best_big["wall_sec"], best_big["n_docs"]
-    ib = {"docs": n_docs, f"local{N_LARGE}_runs_sec_steal": runs_big}
+    # -- index build at two parallelism levels, INTERLEAVED (4N, N) pairs.
+    # This host's effective per-core speed drifts up to ~1.5x over tens of
+    # minutes with no guest-visible steal (BASELINE.md §calibration #3);
+    # running all 4N reps then all N reps lets that drift land on one level
+    # and distort the ratio. Adjacent pairs see (nearly) the same host, so
+    # per-pair efficiency cancels the drift; reported scaling_efficiency is
+    # the efficiency of the CLEANEST pair — the one with the smallest
+    # combined busy-CPU, i.e. least external dilation (a selection rule
+    # independent of the ratio itself). All raw runs + per-pair
+    # efficiencies are published alongside. --------------------------------
     if DO_SCALING:
-        best_small, runs_small = _build_min_of(N_SMALL, REPS)
+        pairs = []
+        for _ in range(REPS):
+            big = _build_in_subprocess(N_LARGE)
+            small = _build_in_subprocess(N_SMALL)
+            pairs.append((big, small))
+        runs_big, runs_small = [p[0] for p in pairs], [p[1] for p in pairs]
+        best_big = min(runs_big, key=lambda d: d["wall_sec"])
+        best_small = min(runs_small, key=lambda d: d["wall_sec"])
+        t_big, n_docs = best_big["wall_sec"], best_big["n_docs"]
         t_small = best_small["wall_sec"]
-        ib[f"local{N_SMALL}_runs_sec_steal"] = runs_small
-        ib[f"local{N_SMALL}_sec"] = round(t_small, 2)
-        ib[f"local{N_SMALL}_docs_per_sec"] = round(n_docs / t_small, 1)
-        ib["scaling_efficiency"] = round((t_small / t_big) / 4, 3)
-        ib["pair"] = f"local[{N_SMALL}] vs local[{N_LARGE}]"
+        effs = [round((s["wall_sec"] / b["wall_sec"]) / 4, 3) for b, s in pairs]
+        cleanest = min(range(len(pairs)),
+                       key=lambda i: pairs[i][0]["cpu_sec"] + pairs[i][1]["cpu_sec"])
+        ib = {
+            "docs": n_docs,
+            f"local{N_LARGE}_runs_sec_steal": _fmt(runs_big),
+            f"local{N_SMALL}_runs_sec_steal": _fmt(runs_small),
+            f"local{N_SMALL}_sec": round(t_small, 2),
+            f"local{N_SMALL}_docs_per_sec": round(n_docs / t_small, 1),
+            "pair_efficiencies": effs,
+            "scaling_efficiency": effs[cleanest],
+            "scaling_efficiency_min_walls": round((t_small / t_big) / 4, 3),
+            "pair": f"local[{N_SMALL}] vs local[{N_LARGE}]",
+        }
+    else:
+        best_big = _build_in_subprocess(N_LARGE)
+        t_big, n_docs = best_big["wall_sec"], best_big["n_docs"]
+        ib = {"docs": n_docs, f"local{N_LARGE}_runs_sec_steal": _fmt([best_big])}
     ib[f"local{N_LARGE}_sec"] = round(t_big, 2)
     ib[f"local{N_LARGE}_docs_per_sec"] = round(n_docs / t_big, 1)
     results["index_build"] = ib
