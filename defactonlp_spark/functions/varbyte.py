@@ -52,6 +52,10 @@ def vb_decode(buf: bytes | np.ndarray, n_values: int | None = None) -> np.ndarra
     b = np.frombuffer(buf, dtype=np.uint8) if isinstance(buf, (bytes, bytearray, memoryview)) else np.asarray(buf, dtype=np.uint8)
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
+    # fast path: every value single-byte (no continuation bit anywhere) —
+    # the common case for tf streams; skips five full-array passes
+    if n_values is not None and b.size == n_values and not (b & 0x80).any():
+        return b.astype(np.uint64)
     is_last = (b & 0x80) == 0
     term_idx = np.nonzero(is_last)[0]
     if n_values is not None and term_idx.size != n_values:
