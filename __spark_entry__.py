@@ -688,6 +688,26 @@ def q_lsh_ann_topk(spark, sf_dir):
 
 
 
+
+def q_doc_split_counts(spark, sf_dir):
+    """Deterministic md5-based train/val/test split audit: (split, lang) ->
+    n_docs. Pure function of doc_id — stable across runs, engines, and
+    cluster sizes (operators/curation.py)."""
+    from defactonlp_spark.operators.curation import split_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return split_counts(docs)
+
+
+def q_source_stats(spark, sf_dir):
+    """Per-source curation stats: volume, exact-dup rate (md5 identity),
+    mean length — one hash-aggregate (operators/curation.py)."""
+    from defactonlp_spark.operators.curation import source_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return source_stats(docs)
+
+
 def q_ivf_ann_topk(spark, sf_dir):
     """Approximate nearest neighbors via IVF (learned k-means coarse
     quantizer, n_probe nearest cells, exact cosine rescoring). No SQL
@@ -853,6 +873,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         "lsh_dup_pairs": q_lsh_dup_pairs,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "doc_split_counts": q_doc_split_counts,
+        "source_stats": q_source_stats,
         "revenue_cube": q_revenue_cube,
         "media_features": q_media_features,
         "latest_event_per_user": q_latest_event_per_user,
@@ -1170,6 +1192,20 @@ def oracle_sql() -> dict[str, str]:
         # oracle (approximate operators);
         # driver records the rows-only check, pytest proves recall vs the
         # exact brute-force baseline
+        "doc_split_counts": """
+            WITH b AS (SELECT lang, ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 100 AS bucket FROM documents)
+            SELECT CASE WHEN bucket < 80 THEN 'train'
+                        WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+                   lang, count(*)::BIGINT AS n_docs
+            FROM b GROUP BY 1, 2
+        """,
+        "source_stats": """
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   count(DISTINCT md5(text))::BIGINT AS distinct_texts,
+                   round(1.0 - count(DISTINCT md5(text))::DOUBLE / count(*), 6) AS dup_rate,
+                   round(avg(length(text)), 6) AS avg_chars
+            FROM documents GROUP BY source
+        """,
         "latest_event_per_user": """
             SELECT user_id::BIGINT AS user_id, event_id::BIGINT AS event_id,
                    CAST(ts AS VARCHAR) AS ts, event_type, round(value, 6) AS value

@@ -269,3 +269,38 @@ def test_lsh_bucket_kernel_matches_expr(spark):
     kern = with_lsh_bucket(emb, "embedding", 64, 8) \
         .select("vec_id", "bucket").toPandas().set_index("vec_id")["bucket"]
     assert expr.sort_index().equals(kern.sort_index())
+
+
+def test_split_deterministic_and_partition_independent(spark):
+    """The md5 split must be a pure function of doc_id: identical under any
+    repartitioning, and weights approximately honored."""
+    from defactonlp_spark.operators.curation import with_split
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = with_split(docs).select("doc_id", "split").toPandas().set_index("doc_id")["split"]
+    b = (
+        with_split(docs.repartition(13))
+        .select("doc_id", "split")
+        .toPandas()
+        .set_index("doc_id")["split"]
+    )
+    assert a.sort_index().equals(b.sort_index())
+    frac = (a == "train").mean()
+    assert 0.6 < frac < 0.95  # 80% nominal, small-sample slack
+
+
+def test_source_stats_dup_rate(spark):
+    """dup_rate reflects injected exact duplicates."""
+    import pandas as pd
+    from defactonlp_spark.operators.curation import source_stats
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": ["same", "same", "same", "u1", "u2", "u3"],
+            "source": ["a", "a", "a", "b", "b", "b"],
+        }
+    )
+    got = source_stats(spark.createDataFrame(pdf)).toPandas().set_index("source")
+    assert got.loc["a", "distinct_texts"] == 1 and abs(got.loc["a", "dup_rate"] - (1 - 1 / 3)) < 1e-6
+    assert got.loc["b", "dup_rate"] == 0.0
