@@ -689,6 +689,19 @@ def q_lsh_ann_topk(spark, sf_dir):
 
 
 
+
+def q_bpe_token_counts(spark, sf_dir):
+    """BPE-ish pre-tokenizer token count per doc (LLM token-cost estimate;
+    functions/textstats.py::bpe_token_count_col). Regex restricted to
+    RE2/Java-common constructs so the DuckDB oracle runs the SAME pattern."""
+    from defactonlp_spark.functions.textstats import bpe_token_count_col
+
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        bpe_token_count_col().alias("n_bpe_tokens"),
+    )
+
+
 def q_doc_split_counts(spark, sf_dir):
     """Deterministic md5-based train/val/test split audit: (split, lang) ->
     n_docs. Pure function of doc_id — stable across runs, engines, and
@@ -874,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_dup_pairs": q_lsh_dup_pairs,
         "ivf_ann_topk": q_ivf_ann_topk,
         "doc_split_counts": q_doc_split_counts,
+        "bpe_token_counts": q_bpe_token_counts,
         "source_stats": q_source_stats,
         "revenue_cube": q_revenue_cube,
         "media_features": q_media_features,
@@ -1192,6 +1206,11 @@ def oracle_sql() -> dict[str, str]:
         # oracle (approximate operators);
         # driver records the rows-only check, pytest proves recall vs the
         # exact brute-force baseline
+        "bpe_token_counts": """
+            SELECT doc_id::BIGINT AS doc_id,
+                   length(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +'))::BIGINT AS n_bpe_tokens
+            FROM documents
+        """,
         "doc_split_counts": """
             WITH b AS (SELECT lang, ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 100 AS bucket FROM documents)
             SELECT CASE WHEN bucket < 80 THEN 'train'

@@ -31,6 +31,23 @@ def token_count_col(text_col: str = "text"):
     return F.size(tokens_col(text_col)).cast("long")
 
 
+#: BPE-ish pre-tokenizer pattern (GPT-2-style word/number/punct runs with a
+#: leading-space option) restricted to constructs RE2 and Java regex agree
+#: on — no lookarounds, ASCII classes — so Spark and DuckDB produce the
+#: SAME count (checked empirically by the `bpe_token_counts` oracle row).
+BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+
+def bpe_token_count_col(text_col: str = "text"):
+    """BPE-ish token count: number of pre-tokenizer matches — the standard
+    fast estimate of LLM token cost per document (a real BPE merges within
+    these pieces, so this upper-bounds word-level and tracks true token
+    counts closely). Pure column expression, codegen."""
+    return F.size(
+        F.expr(f"regexp_extract_all({text_col}, '{BPE_PATTERN}', 0)")
+    ).cast("long")
+
+
 def quality_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-doc quality features: lengths, ratios, and a composite score.
 
