@@ -39,6 +39,9 @@ def main() -> None:
     ap.add_argument("--claims-out", default=None, help="if set, run fixture claims and write results")
     ap.add_argument("--n-claims", type=int, default=100)
     ap.add_argument("--k", type=int, default=5)
+    ap.add_argument("--corpus-path", action="store_true",
+                    help="use the extract-projection corpus path (doc-store jobs) "
+                         "instead of the fused single-shuffle scale path")
     args = ap.parse_args()
 
     # session comes from spark-submit; only app-level confs belong here
@@ -48,11 +51,22 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     from defactonlp_spark.config import EngineConfig
-    from defactonlp_spark.plans.build import IndexBuild, IndexReader, prepare_webpages
+    from defactonlp_spark.plans.build import (
+        IndexBuild,
+        IndexReader,
+        prepare_webpages,
+        prepare_webpages_fused,
+    )
 
     cfg = EngineConfig(n_buckets=args.n_buckets)
     pages = spark.read.parquet(args.pages)
-    corpus = prepare_webpages(pages, id_strategy="partitioned")
+    # fused single-shuffle scale path by default (same doc ids — parity
+    # tests); --corpus-path keeps the extracted-text projection for jobs
+    # that also sink a doc store
+    if args.corpus_path:
+        corpus = prepare_webpages(pages, id_strategy="partitioned")
+    else:
+        corpus = prepare_webpages_fused(pages)
 
     t0 = time.time()
     props = IndexBuild(args.out, cfg, build_id=args.build_id, n_groups=args.n_groups).run(
