@@ -73,8 +73,9 @@ def main(cores: int, substage: str) -> None:
         elif substage == "extract":
             df = prepare_webpages(pages, id_strategy="partitioned")
         elif substage == "fused":
-            from defactonlp_spark.plans.build import prepare_webpages_raw
-            df = P.build_postings_html(prepare_webpages_raw(pages, id_strategy="partitioned"))
+            from defactonlp_spark.functions.tokenize import tokenize_postings_html
+            from defactonlp_spark.plans.build import prepare_webpages_fused
+            df = tokenize_postings_html(prepare_webpages_fused(pages), assign_ids=True)
         else:
             df = P.build_postings(prepare_webpages(pages, id_strategy="partitioned"))
         if substage in ("all", "fused"):
