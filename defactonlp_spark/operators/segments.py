@@ -182,25 +182,37 @@ def encode_segments(
         buf: list[pd.DataFrame] = []
 
         def flush(pdf: pd.DataFrame, complete_only: bool):
+            # input is sorted by (term, salt, doc_id), so groups are
+            # contiguous RUNS: detect boundaries on numpy arrays once and
+            # encode array views — the pandas groupby built a frame per
+            # group and re-converted each column (measured ~2x the whole
+            # kernel's cost on realistic batches)
+            terms = pdf["term"].to_numpy(object)
+            salts = pdf["salt"].to_numpy(np.int64)
+            n_rows = len(pdf)
+            change = np.empty(n_rows, dtype=bool)
+            change[0] = True
+            np.not_equal(terms[1:], terms[:-1], out=change[1:])
+            change[1:] |= salts[1:] != salts[:-1]
+            starts = np.nonzero(change)[0]
+            ends = np.append(starts[1:], n_rows)
+            doc = pdf["doc_id"].to_numpy(np.int64)
+            tf = pdf["tf"].to_numpy(np.int64)
+            dl = pdf["dl"].to_numpy(np.int64)
+            dfreq = pdf["df"].to_numpy(np.int64)
             rows = []
-            last_key = (pdf["term"].iloc[-1], int(pdf["salt"].iloc[-1]))
             tail = None
-            for (term, salt), g in pdf.groupby(["term", "salt"], sort=False, observed=True):
-                if complete_only and (term, int(salt)) == last_key:
-                    tail = g
-                    continue
+            for s, e in zip(starts, ends):
+                if complete_only and e == n_rows:
+                    tail = pdf.iloc[s:]  # open group: may continue next batch
+                    break
                 rows.append(
                     {
-                        "term": term,
-                        "salt": int(salt),
+                        "term": terms[s],
+                        "salt": int(salts[s]),
                         **encode_slice(
-                            g["doc_id"].to_numpy(np.int64),
-                            g["tf"].to_numpy(np.int64),
-                            g["dl"].to_numpy(np.int64),
-                            int(g["df"].iloc[0]),
-                            n_docs,
-                            avgdl,
-                            cfg,
+                            doc[s:e], tf[s:e], dl[s:e], int(dfreq[s]),
+                            n_docs, avgdl, cfg,
                         ),
                     }
                 )
