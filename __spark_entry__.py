@@ -690,6 +690,25 @@ def q_lsh_ann_topk(spark, sf_dir):
 
 
 
+
+def q_drqa_tfidf_topk_hashed(spark, sf_dir):
+    """A5 runtime artifact: DrQA-parity retrieval in the EXACT hashed term
+    space (vectorized murmur3_32, seed 0, sklearn semantics, % 2^24 —
+    functions/mmh3.py; collisions merge tf exactly as in DrQA's CSR). No
+    SQL oracle: DuckDB has no murmur3; the hash itself is pinned against
+    hand-computed sklearn values in tests/test_mmh3.py and the unhashed
+    twin `drqa_tfidf_topk` is fully oracle-checked."""
+    from defactonlp_spark.operators.drqa import drqa_closest_docs
+
+    res = drqa_closest_docs(_docs(spark, sf_dir), _claims_df(spark), k=TOPK, hash_mode="murmur")
+    return res.select(
+        "claim_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 4).alias("score"),
+    )
+
+
 def q_bpe_token_counts(spark, sf_dir):
     """BPE-ish pre-tokenizer token count per doc (LLM token-cost estimate;
     functions/textstats.py::bpe_token_count_col). Regex restricted to
@@ -888,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": q_ivf_ann_topk,
         "doc_split_counts": q_doc_split_counts,
         "bpe_token_counts": q_bpe_token_counts,
+        "drqa_tfidf_topk_hashed": q_drqa_tfidf_topk_hashed,
         "source_stats": q_source_stats,
         "revenue_cube": q_revenue_cube,
         "media_features": q_media_features,
