@@ -21,8 +21,10 @@ dedup is a first-class build stage (BASELINE.json webtext tier).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 TOKEN_SPLIT = "[^a-z0-9]+"
 
@@ -35,10 +37,16 @@ def tokens_col(text_col: str = "text"):
     )
 
 
-def shingles_col(n: int = 3, text_col: str = "text"):
-    """Distinct word n-gram shingles as an array column (empty when the doc
-    has fewer than n tokens — guard needed because Spark's sequence(a, b)
-    DESCENDS when a > b)."""
+def shingles_sql_col(n: int = 3, text_col: str = "text"):
+    """Distinct word n-gram shingles as an array column, in pure Catalyst
+    expressions (empty when the doc has fewer than n tokens — guard needed
+    because Spark's sequence(a, b) DESCENDS when a > b).
+
+    This is the PORTABLE-SEMANTICS twin of ``shingles_col`` (it mirrors the
+    DuckDB oracle SQL literally) and the slow path: higher-order
+    transform/slice/array_join run INTERPRETED per element, ~2x slower than
+    the Arrow-batched kernel at 10^5+ docs. Kept for the parity test and as
+    executable documentation of the shingle definition."""
     toks = tokens_col(text_col)
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
@@ -46,6 +54,47 @@ def shingles_col(n: int = 3, text_col: str = "text"):
     return F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
     )
+
+
+_SHINGLE_UDFS: dict = {}
+
+
+def shingles_col(n: int = 3, text_col: str = "text"):
+    """Distinct word n-gram shingles as an array column — fast path.
+
+    Tokenization stays JVM-side (``tokens_col``: lower + split + filter, so
+    locale/regex semantics are exactly Spark's); only the n-gram windowing
+    runs in an Arrow-batched pandas UDF (list slicing + ' '.join — no
+    locale-sensitive operation, so output is byte-identical to
+    ``shingles_sql_col``, asserted in test_pipeline_ops). Motivation: the
+    pure-expression version evaluates transform/slice/array_join
+    INTERPRETED per shingle (no codegen for higher-order functions) —
+    measured 4.2 s vs 2.0 s for explode-count at sf0.1 (5 k docs, 260 k
+    shingles). First-occurrence order matches array_distinct; every
+    consumer here is set-semantics (explode -> agg) anyway."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    if n not in _SHINGLE_UDFS:
+
+        @F.pandas_udf(ArrayType(StringType()))
+        def _sh(toks: pd.Series) -> pd.Series:
+            out = []
+            for t in toks:
+                if t is None or len(t) < n:
+                    out.append([])
+                    continue
+                seen = set()
+                res = []
+                for i in range(len(t) - (n - 1)):
+                    s = " ".join(t[i : i + n])
+                    if s not in seen:
+                        seen.add(s)
+                        res.append(s)
+                out.append(res)
+            return pd.Series(out)
+
+        _SHINGLE_UDFS[n] = _sh
+    return _SHINGLE_UDFS[n](tokens_col(text_col))
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -70,6 +119,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_df: int | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """All-pairs word-n-gram Jaccard similarity >= threshold (a < b).
 
@@ -89,10 +139,22 @@ def ngram_jaccard_pairs(
     be missed — the standard SimilarityJoin trade (prefix-filtering family).
     ``max_df=None`` keeps the exact all-pairs semantics (the oracle-checked
     default at sandbox scale).
+
+    ``persist`` (default True) materializes the exploded shingle relation
+    (MEMORY_AND_DISK) before fan-out: the shingle subtree feeds BOTH join
+    branches AND the per-doc size aggregate, and Catalyst does not reuse it
+    (0 ReusedExchange in the executed plan — the three consumers shuffle on
+    different keys), so without persist the tokenize+shingle explode runs 3x.
+    Measured at sf0.1 (5 k docs, 260 k postings): 11.7 s -> 6.2 s including
+    the cache build. At 100 TB this materialization IS the pipeline shape —
+    the shingle/posting relation is written once and read by every consumer,
+    exactly like the index build's segment table.
     """
     sh = docs.select(
         F.col(id_col).alias("id"), F.explode(shingles_col(n, text_col)).alias("sh")
     )
+    if persist:
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
     joinable = sh
     if max_df is not None:
@@ -167,8 +229,16 @@ def minhash_lsh_pairs(
     per-band union would cost: Spark evaluates each union branch
     independently, so the old 4-band union recomputed the signature
     aggregation 4x per join side).
+
+    When computing signatures inline, they are persisted first (the
+    signature subtree otherwise runs once per self-join branch — no
+    ReusedExchange, the branches shuffle on the join key after different
+    aliases); this mirrors passing a persisted ``signatures`` table.
     """
-    sig = signatures if signatures is not None else minhash_signature(docs, n, id_col, text_col)
+    if signatures is not None:
+        sig = signatures
+    else:
+        sig = minhash_signature(docs, n, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     rows_per_band = N_MINHASH // LSH_BANDS
     band_structs = F.array(
         *[
@@ -260,9 +330,13 @@ def simhash_dup_pairs(
 
     ``signatures``: optional precomputed ``simhash()`` output (id, simhash),
     persisted by the caller so the signature aggregation is not recomputed
-    per self-join branch.
+    per self-join branch; computed inline it is persisted for the same
+    reason (two join branches, no exchange reuse across aliases).
     """
-    s = signatures if signatures is not None else simhash(docs, **kw)
+    if signatures is not None:
+        s = signatures
+    else:
+        s = simhash(docs, **kw).persist(StorageLevel.MEMORY_AND_DISK)
     n_bands = max_hamming + 1
     band_structs = F.array(
         *[

@@ -304,3 +304,20 @@ def test_source_stats_dup_rate(spark):
     got = source_stats(spark.createDataFrame(pdf)).toPandas().set_index("source")
     assert got.loc["a", "distinct_texts"] == 1 and abs(got.loc["a", "dup_rate"] - (1 - 1 / 3)) < 1e-6
     assert got.loc["b", "dup_rate"] == 0.0
+
+
+def test_shingle_kernel_matches_sql_expr(spark, dup_corpus):
+    """The Arrow-batched shingle kernel (fast path) must be byte-identical,
+    order included, to the pure-Catalyst expression that documents the
+    shingle definition (and mirrors the DuckDB oracle SQL)."""
+    from defactonlp_spark.operators.dedup import shingles_col, shingles_sql_col
+
+    edge = spark.createDataFrame(
+        [(900, ""), (901, "one two"), (902, "one two three"), (903, "A a!a  b")],
+        "doc_id long, text string",
+    )
+    docs = dup_corpus.unionByName(edge)
+    for n in (2, 3):
+        a = docs.select("doc_id", shingles_col(n).alias("sh"))
+        b = docs.select("doc_id", shingles_sql_col(n).alias("sh"))
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
