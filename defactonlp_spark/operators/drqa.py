@@ -103,6 +103,8 @@ def ngram_postings(
         raise ValueError(hash_mode)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import Counter
+
         from defactonlp_spark.functions.mmh3 import drqa_term_ids
 
         for pdf in batches:
@@ -113,10 +115,12 @@ def ngram_postings(
                     continue
                 if hash_mode == "murmur":
                     grams = [str(t) for t in drqa_term_ids(grams)]
-                vc = pd.Series(grams).value_counts()
-                rows["ngram"].extend(vc.index.tolist())
+                # Counter, not a per-doc pandas value_counts: constructing a
+                # Series per document dominates at ~300-gram docs
+                vc = Counter(grams)
+                rows["ngram"].extend(vc.keys())
                 rows["doc_id"].extend([doc_id] * len(vc))
-                rows["tf"].extend(vc.to_numpy().tolist())
+                rows["tf"].extend(vc.values())
             yield pd.DataFrame(
                 {
                     "ngram": pd.Series(rows["ngram"], dtype=object),
@@ -125,7 +129,15 @@ def ngram_postings(
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(gen, schema=NGRAM_SCHEMA)
+    prepared = df.select(id_col, text_col)
+    # CPU-bound kernel: floor parallelism at the session default — fixture
+    # corpora arrive as a single parquet file (1 input partition would run
+    # the whole tokenize pass on one core); no-ops when the input already
+    # has >= defaultParallelism partitions (any production-scale table).
+    want = prepared.sparkSession.sparkContext.defaultParallelism
+    if prepared.rdd.getNumPartitions() < want:
+        prepared = prepared.repartition(want)
+    return prepared.mapInPandas(gen, schema=NGRAM_SCHEMA)
 
 
 def tfidf_weights(postings: DataFrame, n_docs: int) -> DataFrame:

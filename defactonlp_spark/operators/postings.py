@@ -86,7 +86,17 @@ def assign_doc_ids(pages: DataFrame, strategy: str = "global", n_parts: int = 25
 
 
 def build_postings(corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """corpus -> postings_long(term, doc_id, tf, dl). One mapInPandas stage."""
+    """corpus -> postings_long(term, doc_id, tf, dl). One mapInPandas stage.
+
+    Parallelism is floored at the session default before the CPU-bound
+    tokenize kernel: a fixture corpus arriving as one parquet file would
+    otherwise tokenize on a single core. No-ops at production partition
+    counts; the fused index-build path (tokenize_postings_html behind a
+    pinned REPARTITION_BY_NUM exchange) does not go through here.
+    """
+    want = corpus.sparkSession.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < want:
+        corpus = corpus.repartition(want)
     return tokenize_postings(corpus, id_col=id_col, text_col=text_col)
 
 

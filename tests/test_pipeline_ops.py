@@ -321,3 +321,23 @@ def test_shingle_kernel_matches_sql_expr(spark, dup_corpus):
         a = docs.select("doc_id", shingles_col(n).alias("sh"))
         b = docs.select("doc_id", shingles_sql_col(n).alias("sh"))
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_textstats_kernels_match_sql_exprs(spark, dup_corpus):
+    """fingerprint/lang_id Arrow kernels must be byte-identical to their
+    pure-Catalyst twins (which mirror the DuckDB oracle SQL)."""
+    from defactonlp_spark.functions.textstats import (
+        fingerprint,
+        fingerprint_sql,
+        lang_id,
+        lang_id_sql,
+    )
+
+    edge = spark.createDataFrame(
+        [(900, ""), (901, "abc"), (902, "abcd"), (903, "abcde"), (904, "The THE the of foo")],
+        "doc_id long, text string",
+    )
+    docs = dup_corpus.unionByName(edge)
+    for fast, slow in ((fingerprint, fingerprint_sql), (lang_id, lang_id_sql)):
+        a, b = fast(docs), slow(docs)
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
