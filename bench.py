@@ -167,8 +167,16 @@ def bench_query_serving(cores: int, idx_cores: int, n_claims: int = 200) -> dict
         t0 = time.time()
         n = query_wand(reader, claims, k=5, cfg=EngineConfig(n_buckets=max(cores, 8))).count()
         wall = time.time() - t0
+        # second batch in the same session: the steady-state serving number
+        # (segment cache + python workers warm; a serving deployment never
+        # pays the cold path per batch)
+        t1 = time.time()
+        query_wand(reader, claims, k=5, cfg=EngineConfig(n_buckets=max(cores, 8))).count()
+        warm = time.time() - t1
         return {"claims": n_claims, "result_rows": n, "wall_sec": round(wall, 2),
-                "wand_claims_per_sec": round(n_claims / wall, 2)}
+                "wand_claims_per_sec": round(n_claims / wall, 2),
+                "warm_wall_sec": round(warm, 2),
+                "warm_claims_per_sec": round(n_claims / warm, 2)}
     finally:
         spark.stop()
 
