@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from defactonlp_spark.operators.dedup import tokens_col
+from defactonlp_spark.session import floor_parallelism
 
 # tiny per-language stopword marker lists (deterministic heuristic lang-id)
 LANG_MARKERS = {
@@ -92,8 +93,9 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     Fast path: tokens come from the JVM tokenizer; hit counting + argmax run
     in one Arrow-batched kernel (a Counter per doc, then 5 dictionary sums
     per language) instead of one interpreted ``filter(toks, isin)`` pass per
-    language. Byte-identical to ``lang_id_sql`` (parity-tested); measured
-    3.9 s -> ~1 s at sf0.1."""
+    language. Byte-identical to ``lang_id_sql`` (parity-tested, including
+    NULL text: hits are NULL, pred is 'und' — matching size(filter(NULL)) =
+    NULL in the expression twin); measured 3.9 s -> ~1 s at sf0.1."""
     id_field = docs.schema[id_col]
     schema = StructType(
         [StructField(id_field.name, id_field.dataType)]
@@ -110,7 +112,14 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
             hit_cols = {lang: [] for lang in langs}
             preds = []
             for toks in pdf["_toks"]:
-                c = Counter(toks if toks is not None else ())
+                if toks is None:
+                    # NULL text: the SQL twin's size(filter(NULL)) is NULL,
+                    # and greatest(NULL..)>0 is never true -> pred 'und'
+                    for lang in langs:
+                        hit_cols[lang].append(None)
+                    preds.append("und")
+                    continue
+                c = Counter(toks)
                 hits = [sum(c[w] for w in markers[lang]) for lang in langs]
                 for lang, h in zip(langs, hits):
                     hit_cols[lang].append(h)
@@ -118,7 +127,7 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
                 preds.append(langs[hits.index(best)] if best > 0 else "und")
             out = {id_field.name: pdf[id_field.name]}
             for lang in langs:
-                out[f"hits_{lang}"] = pd.Series(hit_cols[lang], dtype="int64")
+                out[f"hits_{lang}"] = pd.array(hit_cols[lang], dtype="Int64")
             out["pred_lang"] = preds
             yield pd.DataFrame(out)
 
@@ -161,13 +170,15 @@ def fingerprint(
     fp_i = min over shingles s of substr(md5(i || ':' || s), 1, 8).
 
     Fast path: lowercasing stays JVM-side; gram extraction + hashing run in
-    one Arrow-batched kernel with a per-batch gram->hashes memo — natural
+    one Arrow-batched kernel with a bounded gram->hashes memo — natural
     text repeats common n-grams heavily both within and ACROSS documents,
     so the memo collapses the md5 count from |doc| x n_hashes per doc to
-    |distinct grams in batch| x n_hashes (measured ~6x fewer digests at
-    sf0.1). Duplicate grams never affect a min, so deduping is
-    semantics-preserving; Python str min is a code-point compare over hex
-    chars == the SQL string min. Byte-identical to ``fingerprint_sql``
+    |distinct grams seen| x n_hashes (measured ~6x fewer digests at
+    sf0.1). The memo is cleared whenever it exceeds ``_MEMO_CAP`` entries
+    (~100 MB worst case) so worker memory stays bounded on partitions with
+    many distinct grams (ADVICE r2). Duplicate grams never affect a min, so
+    deduping is semantics-preserving; Python str min is a code-point compare
+    over hex chars == the SQL string min. Byte-identical to ``fingerprint_sql``
     (parity-tested). Docs shorter than n grams yield NULL fps in both paths
     (empty transform -> array_min(NULL) / kernel emits None).
 
@@ -179,9 +190,7 @@ def fingerprint(
     >= cores partitions and this no-ops.
     """
     lowered = docs.select(F.col(id_col), F.lower(F.col(text_col)).alias("_s"))
-    want = lowered.sparkSession.sparkContext.defaultParallelism
-    if lowered.rdd.getNumPartitions() < want:
-        lowered = lowered.repartition(want)
+    lowered = floor_parallelism(lowered)
     id_field = lowered.schema[id_col]
     schema = StructType(
         [StructField(id_field.name, id_field.dataType)]
@@ -192,11 +201,14 @@ def fingerprint(
     def kern(batches):
         from hashlib import md5
 
+        _MEMO_CAP = 1_000_000  # entries; ~100 MB upper bound incl. overhead
         memo: dict = {}
 
         def gram_hashes(g):
             h = memo.get(g)
             if h is None:
+                if len(memo) >= _MEMO_CAP:
+                    memo.clear()
                 gb = g.encode("utf-8")
                 h = tuple(md5(p + gb).hexdigest()[:8] for p in prefixes)
                 memo[g] = h

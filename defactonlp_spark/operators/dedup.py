@@ -28,6 +28,34 @@ from pyspark.storagelevel import StorageLevel
 
 TOKEN_SPLIT = "[^a-z0-9]+"
 
+#: Persisted intermediates (shingle/signature relations) registered by the
+#: pair operators below. Lazy-return APIs cannot unpersist before their
+#: caller's action runs, so long-lived sessions (bench loops, serving) call
+#: ``release_cached()`` between invocations to drop them from executor
+#: storage (ADVICE r2: repeated calls otherwise accumulate cached relations
+#: indefinitely). One-shot jobs can ignore this — session teardown releases
+#: everything.
+_PERSISTED: list = []
+
+
+def _track_persist(df: DataFrame, level=StorageLevel.MEMORY_AND_DISK) -> DataFrame:
+    handle = df.persist(level)
+    _PERSISTED.append(handle)
+    return handle
+
+
+def release_cached() -> int:
+    """Unpersist every intermediate this module persisted; returns the count.
+    Call after the consuming action when invoking pair operators repeatedly
+    in one session."""
+    n = len(_PERSISTED)
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+        except Exception:
+            pass  # session already stopped
+    return n
+
 
 def tokens_col(text_col: str = "text"):
     """lower + split + drop empties — the SQL-portable tokenizer (matches the
@@ -154,7 +182,7 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"), F.explode(shingles_col(n, text_col)).alias("sh")
     )
     if persist:
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        sh = _track_persist(sh)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
     joinable = sh
     if max_df is not None:
@@ -238,7 +266,7 @@ def minhash_lsh_pairs(
     if signatures is not None:
         sig = signatures
     else:
-        sig = minhash_signature(docs, n, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+        sig = _track_persist(minhash_signature(docs, n, id_col, text_col))
     rows_per_band = N_MINHASH // LSH_BANDS
     band_structs = F.array(
         *[
@@ -336,7 +364,7 @@ def simhash_dup_pairs(
     if signatures is not None:
         s = signatures
     else:
-        s = simhash(docs, **kw).persist(StorageLevel.MEMORY_AND_DISK)
+        s = _track_persist(simhash(docs, **kw))
     n_bands = max_hamming + 1
     band_structs = F.array(
         *[

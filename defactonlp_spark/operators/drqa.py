@@ -134,10 +134,9 @@ def ngram_postings(
     # corpora arrive as a single parquet file (1 input partition would run
     # the whole tokenize pass on one core); no-ops when the input already
     # has >= defaultParallelism partitions (any production-scale table).
-    want = prepared.sparkSession.sparkContext.defaultParallelism
-    if prepared.rdd.getNumPartitions() < want:
-        prepared = prepared.repartition(want)
-    return prepared.mapInPandas(gen, schema=NGRAM_SCHEMA)
+    from defactonlp_spark.session import floor_parallelism
+
+    return floor_parallelism(prepared).mapInPandas(gen, schema=NGRAM_SCHEMA)
 
 
 def tfidf_weights(postings: DataFrame, n_docs: int) -> DataFrame:

@@ -94,10 +94,9 @@ def build_postings(corpus: DataFrame, id_col: str = "doc_id", text_col: str = "t
     counts; the fused index-build path (tokenize_postings_html behind a
     pinned REPARTITION_BY_NUM exchange) does not go through here.
     """
-    want = corpus.sparkSession.sparkContext.defaultParallelism
-    if corpus.rdd.getNumPartitions() < want:
-        corpus = corpus.repartition(want)
-    return tokenize_postings(corpus, id_col=id_col, text_col=text_col)
+    from defactonlp_spark.session import floor_parallelism
+
+    return tokenize_postings(floor_parallelism(corpus), id_col=id_col, text_col=text_col)
 
 
 def build_postings_html(pages: DataFrame, id_col: str = "doc_id", html_col: str = "html") -> DataFrame:

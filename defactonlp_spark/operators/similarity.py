@@ -192,6 +192,21 @@ def lsh_bucket_expr(vec_col, dim: int, n_bits: int = N_LSH_BITS):
     return acc.cast("int")
 
 
+def _stack_non_null(vecs: pd.Series):
+    """(mask, mat): boolean non-null row mask + dense float64 matrix of the
+    non-null vectors. Null/None embeddings get NULL outputs downstream
+    instead of crashing np.stack (ADVICE r2 — dirty data must degrade to
+    dropped rows, matching the expression path's null semantics)."""
+    arr = vecs.to_numpy()
+    mask = np.array([v is not None for v in arr], dtype=bool)
+    mat = (
+        np.stack(arr[mask]).astype(np.float64)
+        if mask.any()
+        else np.empty((0, 0), dtype=np.float64)
+    )
+    return mask, mat
+
+
 def with_lsh_bucket(
     df: DataFrame, vec_col: str, dim: int, n_bits: int = N_LSH_BITS,
     out_col: str = "bucket",
@@ -200,20 +215,25 @@ def with_lsh_bucket(
     all plane dots with a per-dimension left-to-right accumulation (the SQL
     aggregate's float64 summation order, so the sign tests — and therefore
     the buckets — are bit-identical to the expression; pinned by
-    tests/test_pipeline_ops.py::test_lsh_bucket_kernel_matches_expr)."""
+    tests/test_pipeline_ops.py::test_lsh_bucket_kernel_matches_expr).
+    NULL embeddings get a NULL bucket (never join; same as the expression
+    path's null propagation)."""
     from pyspark.sql import types as T
 
     planes = np.stack([_hyperplane(dim, b) for b in range(n_bits)])  # (bits, dim)
 
     @F.pandas_udf(T.IntegerType())
     def bucket_udf(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.to_numpy()).astype(np.float64)
-        dots = np.zeros((len(mat), n_bits), dtype=np.float64)
-        for d in range(dim):
-            dots += mat[:, d][:, None] * planes[None, :, d]
-        bits = (dots > 0).astype(np.int64)
-        bucket = (bits << np.arange(n_bits)[None, :]).sum(axis=1)
-        return pd.Series(bucket.astype("int32"))
+        mask, mat = _stack_non_null(vecs)
+        out = pd.array([None] * len(vecs), dtype="Int32")
+        if mat.size:
+            dots = np.zeros((len(mat), n_bits), dtype=np.float64)
+            for d in range(dim):
+                dots += mat[:, d][:, None] * planes[None, :, d]
+            bits = (dots > 0).astype(np.int64)
+            bucket = (bits << np.arange(n_bits)[None, :]).sum(axis=1)
+            out[mask] = bucket.astype("int32")
+        return pd.Series(out)
 
     return df.withColumn(out_col, bucket_udf(F.col(vec_col)))
 
@@ -390,10 +410,13 @@ def with_ivf_cell(
     @F.pandas_udf(T.IntegerType())
     def cell_udf(vecs: pd.Series) -> pd.Series:
         cents = bc.value
-        mat = np.stack(vecs.to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0.0] = 1.0
-        return pd.Series(np.argmax((mat / norms) @ cents.T, axis=1).astype("int32"))
+        mask, mat = _stack_non_null(vecs)
+        out = pd.array([None] * len(vecs), dtype="Int32")
+        if mat.size:
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            out[mask] = np.argmax((mat / norms) @ cents.T, axis=1).astype("int32")
+        return pd.Series(out)
 
     return embeddings.withColumn(out_col, cell_udf(F.col(vec_col)))
 
@@ -436,11 +459,16 @@ def ivf_ann_topk(
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def probes_udf(vecs: pd.Series) -> pd.Series:
         c = bc.value
-        mat = np.stack(vecs.to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0.0] = 1.0
-        order = np.argsort(-((mat / norms) @ c.T), axis=1, kind="stable")
-        return pd.Series(list(order[:, :n_probe].astype("int32")))
+        mask, mat = _stack_non_null(vecs)
+        out = [None] * len(vecs)
+        if mat.size:
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            order = np.argsort(-((mat / norms) @ c.T), axis=1, kind="stable")
+            probes = list(order[:, :n_probe].astype("int32"))
+            for i, pos in enumerate(np.nonzero(mask)[0]):
+                out[pos] = probes[i]
+        return pd.Series(out)
 
     q = q.withColumn("probe", F.explode(probes_udf(F.col("qvec"))))
     cand = emb.join(

@@ -271,6 +271,38 @@ def test_lsh_bucket_kernel_matches_expr(spark):
     assert expr.sort_index().equals(kern.sort_index())
 
 
+def test_vector_kernels_null_tolerant(spark):
+    """NULL embeddings must degrade to NULL bucket/cell/probes (dropped rows
+    downstream), not crash np.stack (ADVICE r2)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from defactonlp_spark.operators.similarity import (
+        ivf_train,
+        with_ivf_cell,
+        with_lsh_bucket,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dirty = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 7 == 0, F.lit(None)).otherwise(F.col("embedding")),
+    )
+    b = with_lsh_bucket(dirty, "embedding", 64, 8).select("vec_id", "bucket").toPandas()
+    nulls = b["bucket"].isna()
+    assert (b.loc[nulls, "vec_id"] % 7 == 0).all() and nulls.any() and (~nulls).any()
+    cents = ivf_train(emb, n_centroids=8)
+    c = with_ivf_cell(dirty, cents).select("vec_id", "cell").toPandas()
+    cn = c["cell"].isna()
+    assert (c.loc[cn, "vec_id"] % 7 == 0).all() and cn.sum() == nulls.sum()
+    # all-null batch edge: kernel must not touch np.stack at all
+    allnull = spark.createDataFrame(
+        [(1,), (2,)], "vec_id long"
+    ).withColumn("embedding", F.lit(None).cast("array<float>"))
+    assert with_lsh_bucket(allnull, "embedding", 64, 8).filter(
+        F.col("bucket").isNotNull()
+    ).count() == 0
+
+
 def test_split_deterministic_and_partition_independent(spark):
     """The md5 split must be a pure function of doc_id: identical under any
     repartitioning, and weights approximately honored."""
@@ -334,7 +366,7 @@ def test_textstats_kernels_match_sql_exprs(spark, dup_corpus):
     )
 
     edge = spark.createDataFrame(
-        [(900, ""), (901, "abc"), (902, "abcd"), (903, "abcde"), (904, "The THE the of foo")],
+        [(900, ""), (901, "abc"), (902, "abcd"), (903, "abcde"), (904, "The THE the of foo"), (905, None)],
         "doc_id long, text string",
     )
     docs = dup_corpus.unionByName(edge)
