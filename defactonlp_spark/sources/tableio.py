@@ -39,6 +39,12 @@ class Snapshot:
     total_rows: int
     properties: dict = field(default_factory=dict)
     version: int = 0
+    #: per-append immutable write directories (the unit of read for
+    #: partitioned tables — each holds a complete hive layout
+    #: ``<dir>/<col>=<val>/part-*.parquet`` written before the commit)
+    dirs: list[str] = field(default_factory=list)
+    #: hive partition columns (Iceberg: the partition spec); [] = unpartitioned
+    partition_by: list[str] = field(default_factory=list)
 
     def to_json(self) -> dict:
         return self.__dict__.copy()
@@ -87,9 +93,17 @@ class LocalTable:
         return snap
 
     # -- data -------------------------------------------------------------
-    def _write_files(self, df: DataFrame) -> tuple[list[str], int]:
+    def _write_files(
+        self, df: DataFrame, partition_by: list[str] | None = None
+    ) -> tuple[str, list[str], int]:
         part = os.path.join(self.data_dir, f"part-{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(part)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            # hive layout <part>/<col>=<val>/...: parquet files under value
+            # dirs, so a reader filtering on the partition column prunes at
+            # the FILE level (PartitionFilters) before row-group stats apply
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(part)
         files = sorted(
             os.path.join(dp, fn)
             for dp, _, fns in os.walk(part)
@@ -100,10 +114,15 @@ class LocalTable:
         # here would re-execute the producing plan (for segment appends that
         # is the whole salt+shuffle+encode pipeline, doubling the build)
         rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
-        return files, rows
+        return part, files, rows
 
-    def overwrite(self, df: DataFrame, properties: dict | None = None) -> Snapshot:
-        files, rows = self._write_files(df)
+    def overwrite(
+        self,
+        df: DataFrame,
+        properties: dict | None = None,
+        partition_by: list[str] | None = None,
+    ) -> Snapshot:
+        part, files, rows = self._write_files(df, partition_by)
         parent = self.current_snapshot()
         return self._commit(
             Snapshot(
@@ -113,12 +132,23 @@ class LocalTable:
                 files=files,
                 total_rows=rows,
                 properties=dict(properties or {}, committed_at=time.time()),
+                dirs=[part],
+                partition_by=list(partition_by or []),
             )
         )
 
-    def append(self, df: DataFrame, properties: dict | None = None) -> Snapshot:
-        files, rows = self._write_files(df)
+    def append(
+        self,
+        df: DataFrame,
+        properties: dict | None = None,
+        partition_by: list[str] | None = None,
+    ) -> Snapshot:
         parent = self.current_snapshot()
+        if parent is not None and list(partition_by or []) != parent.partition_by:
+            raise ValueError(
+                f"append partition_by {partition_by} != table spec {parent.partition_by}"
+            )
+        part, files, rows = self._write_files(df, partition_by)
         prev_files = parent.files if parent else []
         prev_rows = parent.total_rows if parent else 0
         return self._commit(
@@ -129,11 +159,21 @@ class LocalTable:
                 files=prev_files + files,
                 total_rows=prev_rows + rows,
                 properties=dict(properties or {}, committed_at=time.time()),
+                dirs=(parent.dirs if parent else []) + [part],
+                partition_by=list(partition_by or []),
             )
         )
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
-        """Read the current (or a time-travel ``version``) snapshot."""
+        """Read the current (or a time-travel ``version``) snapshot.
+
+        Partitioned snapshots are read by their immutable write DIRECTORIES
+        (hive partition discovery recovers the partition column and gives
+        file-level pruning); every dir was fully written before its commit,
+        and orphan dirs from failed appends are never referenced by a
+        snapshot, so dir reads keep snapshot isolation. Unpartitioned
+        snapshots read the exact file list.
+        """
         if version is None:
             snap = self.current_snapshot()
         else:
@@ -141,6 +181,15 @@ class LocalTable:
                 snap = Snapshot(**json.load(f))
         if snap is None or not snap.files:
             raise FileNotFoundError(f"table {self.path} has no committed snapshot")
+        if snap.partition_by:
+            # one read per write-dir, unioned: Spark refuses multiple
+            # partitioned roots in a single read (CONFLICTING_DIRECTORY_
+            # STRUCTURES); a union of per-root reads keeps PartitionFilters
+            # on every branch and the dir count == append count (small)
+            from functools import reduce
+
+            parts = [spark.read.parquet(d) for d in snap.dirs]
+            return reduce(lambda a, b: a.unionByName(b), parts)
         return spark.read.parquet(*snap.files)
 
     def exists(self) -> bool:
@@ -185,13 +234,29 @@ class IcebergTable:
             writer = writer.option(f"snapshot-property.{k}", str(v))
         return writer
 
-    def append(self, df: DataFrame, properties: dict | None = None):
+    def append(
+        self,
+        df: DataFrame,
+        properties: dict | None = None,
+        partition_by: list[str] | None = None,
+    ):
+        # Iceberg's partition spec is table metadata fixed at creation;
+        # appends route rows into the existing spec, so partition_by is
+        # accepted only for LocalTable API parity
         self._with_props(df.writeTo(self.identifier), properties).append()
 
-    def overwrite(self, df: DataFrame, properties: dict | None = None):
-        self._with_props(
-            df.writeTo(self.identifier).using("iceberg"), properties
-        ).createOrReplace()
+    def overwrite(
+        self,
+        df: DataFrame,
+        properties: dict | None = None,
+        partition_by: list[str] | None = None,
+    ):
+        writer = df.writeTo(self.identifier).using("iceberg")
+        if partition_by:
+            from pyspark.sql.functions import col
+
+            writer = writer.partitionedBy(*[col(c) for c in partition_by])
+        self._with_props(writer, properties).createOrReplace()
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Current table state, or time travel to a snapshot id."""

@@ -64,9 +64,18 @@ def main():
     assert "n_chars" not in p1.split("ReadSchema")[1][:200], "column pruning failed"
     print("  [x] ReadSchema excludes unused columns")
 
-    # 2. postings long table: single mapInPandas, no extra exchange before it
+    # 2. postings long table: single mapInPandas. A single-file fixture gets
+    # exactly the deliberate parallelism-floor exchange (REPARTITION_BY_NUM);
+    # a production-shaped multi-file table gets NO exchange at all.
     postings = P.build_postings(docs)
-    ok &= check("tokenize stage", plan_of(postings), must=["MapInPandas"], must_not=["Exchange"])
+    ok &= check("tokenize stage (1-file input: floor exchange)", plan_of(postings),
+                must=["MapInPandas", "REPARTITION_BY_NUM"])
+    docs.repartition(8).write.mode("overwrite").parquet("/tmp/plan_docs8")
+    wide = spark.read.parquet("/tmp/plan_docs8")
+    ok &= check("tokenize stage (8-file input: no exchange)",
+                plan_of(P.build_postings(wide)),
+                must=["MapInPandas"], must_not=["Exchange"])
+    postings = P.build_postings(docs)
 
     # 3. exhaustive BM25: broadcast join on query side, hash aggregate
     from defactonlp_spark.operators.bm25 import claim_terms, score_exhaustive
@@ -96,6 +105,35 @@ def main():
     seg.write.mode("overwrite").parquet("/tmp/plan_seg")
     segr = spark.read.parquet("/tmp/plan_seg").filter(F.col("term").isin(["the", "merge"]))
     ok &= check("segment term pruning", plan_of(segr), must=["PushedFilters: [In(term"])
+
+    # 6. bucket-partitioned segment table: the serving scan prunes FILES via
+    # PartitionFilters (bucket) before row-group term stats (VERDICT r2 #2)
+    from defactonlp_spark.plans.build import IndexBuild, IndexReader
+    from defactonlp_spark.plans.query import query_wand
+
+    idx_dir = "/tmp/plan_idx"
+    import shutil
+
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    IndexBuild(idx_dir, cfg, build_id="plans").run(spark, docs, input_snapshot="plans")
+    reader = IndexReader(spark, idx_dir)
+    seg_t = reader.segments()
+    terms = ["the", "merge"]
+    pruned = seg_t.filter(
+        F.col("bucket").isin(reader.buckets_for_terms(terms))
+    ).filter(F.col("term").isin(terms))
+    ok &= check(
+        "serving scan bucket partition pruning",
+        plan_of(pruned),
+        must=["PartitionFilters: [bucket", "PushedFilters: [In(term"],
+    )
+    # and the real serving entry point carries the same scan shape
+    claims2 = spark.createDataFrame([(0, "the merge join")], "claim_id long, claim string")
+    ok &= check(
+        "query_wand scan",
+        plan_of(query_wand(reader, claims2, k=5, cfg=cfg)),
+        must=["PartitionFilters: [bucket", "PushedFilters: [In(term"],
+    )
 
     print("\nPLANS " + ("OK" if ok else "NOT OK"))
     spark.stop()

@@ -67,3 +67,37 @@ class TestIcebergShim:
         spark.catalog.tableExists.assert_called_once_with("lake.db.seg")
         t.snapshots(spark)
         spark.read.table.assert_called_once_with("lake.db.seg.snapshots")
+
+
+def test_local_partitioned_append_read(spark, tmp_path):
+    """Partitioned appends: hive layout on disk, partition column recovered
+    on read, file-level PartitionFilters in the scan, spec pinned across
+    appends."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    t = LocalTable(str(tmp_path / "t"))
+    df1 = spark.createDataFrame([(1, 0, "a"), (2, 1, "b")], "id long, bucket int, v string")
+    df2 = spark.createDataFrame([(3, 0, "c")], "id long, bucket int, v string")
+    t.append(df1, partition_by=["bucket"])
+    t.append(df2, partition_by=["bucket"])
+    snap = t.current_snapshot()
+    assert snap.partition_by == ["bucket"] and len(snap.dirs) == 2
+    assert any("bucket=0" in f for f in snap.files)
+    got = t.read(spark)
+    assert sorted(r["id"] for r in got.collect()) == [1, 2, 3]
+    assert dict(got.dtypes)["bucket"] == "int"
+    # partition pruning reaches the scan
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got.filter(F.col("bucket") == 0).explain("formatted")
+    assert "PartitionFilters: [" in buf.getvalue()
+    # spec mismatch is refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.append(df2)
