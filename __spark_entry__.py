@@ -431,6 +431,25 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_dedup_ngram_jaccard_capped(spark, sf_dir):
+    """The SCALE path of ngram Jaccard, oracle-checked: shingles with
+    df > max_df are dropped before the self-join (bounded join fan-out —
+    the production skew guard), sizes stay exact, so reported jaccard is a
+    lower bound. max_df=2 bites at sf0.01 (max shingle df there is 7):
+    22 rows vs the exact entry's 25 — the driver verifies the CAPPED
+    semantics, not just the baseline (VERDICT r2 next-round #6)."""
+    from defactonlp_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.1, n=3, max_df=2
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "shared",
+        "jaccard",
+    )
+
+
 def q_minhash_signatures(spark, sf_dir):
     from defactonlp_spark.operators.dedup import minhash_signature
 
@@ -885,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_rollup": q_revenue_rollup,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -1035,6 +1055,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE round(shared / (sa.sz + sb.sz - shared), 6) >= 0.2
+        """,
+        "dedup_ngram_jaccard_capped": f"""
+            WITH sh AS ({sh}),
+            sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
+            keep AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 2),
+            joinable AS (SELECT s.doc_id, s.sh FROM sh s JOIN keep k ON s.sh = k.sh),
+            shared AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS shared
+              FROM joinable a JOIN joinable b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, shared,
+                   round(shared / (sa.sz + sb.sz - shared), 6) AS jaccard
+            FROM shared
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE round(shared / (sa.sz + sb.sz - shared), 6) >= 0.1
         """,
         "minhash_signatures": f"""
             WITH sh AS ({sh})
