@@ -51,9 +51,12 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_PAGES = int(os.environ.get("BENCH_WEBPAGES", "320000"))
 DO_SCALING = os.environ.get("BENCH_SCALING", "1") == "1"
 N_SMALL = int(os.environ.get("BENCH_N", "1"))
-REPS = int(os.environ.get("BENCH_REPS", "2"))  # min-of-REPS per level (host noise)
+REPS = int(os.environ.get("BENCH_REPS", "3"))  # interleaved pairs (host noise)
 N_LARGE = 4 * N_SMALL
 CACHE = "/tmp/spark_graft_bench"
+# two-generation build + merge + serve at 1M docs (VERDICT r2 #1):
+DO_MERGE = os.environ.get("BENCH_MERGE", "1") == "1"
+MERGE_PAGES = int(os.environ.get("BENCH_MERGE_PAGES", "1000000"))
 
 
 def _webpages_path() -> str:
@@ -126,7 +129,8 @@ def bench_index_build(cores: int) -> tuple[float, int]:
         )
         wall = time.time() - t0
         return (wall, int(props["n_docs"]), _steal_jiffies() - s0,
-                _busy_jiffies() - b0)
+                _busy_jiffies() - b0, props.get("stage_walls", {}),
+                props.get("stage_cpu", {}))
     finally:
         spark.stop()
 
@@ -153,32 +157,98 @@ def _busy_jiffies() -> int:
         return 0
 
 
-def bench_query_serving(cores: int, idx_cores: int, n_claims: int = 200) -> dict:
+def bench_query_serving(cores: int, idx_dir: str, n_claims: int = 200) -> dict:
+    """Cold = first batch through the plain parquet-scanning path (a fresh
+    deployment's first query set). Warm = steady-state: a ServingSession
+    pins the segment table in executor storage (the executor-side blob
+    cache), ``warm()`` materializes it OUTSIDE the timed region, then
+    REPS>=2 measured batches are published individually plus their median —
+    warm must beat cold or the cache claim is false (VERDICT r2 #3/#7)."""
+    import statistics
+
     from defactonlp_spark.config import EngineConfig
     from defactonlp_spark.plans.build import IndexReader
-    from defactonlp_spark.plans.query import query_wand
+    from defactonlp_spark.plans.query import ServingSession, query_wand
     from defactonlp_spark.sources.fixtures import gen_claims
 
-    out = f"{CACHE}/idx_{idx_cores}"
     spark = _spark(cores)
     try:
-        reader = IndexReader(spark, out)
+        cfg = EngineConfig(n_buckets=max(cores, 8))
+        reader = IndexReader(spark, idx_dir)
         claims = spark.createDataFrame(gen_claims(n_claims)[["claim_id", "claim"]])
         t0 = time.time()
-        n = query_wand(reader, claims, k=5, cfg=EngineConfig(n_buckets=max(cores, 8))).count()
+        n = query_wand(reader, claims, k=5, cfg=cfg).count()
         wall = time.time() - t0
-        # second batch in the same session: the steady-state serving number
-        # (segment cache + python workers warm; a serving deployment never
-        # pays the cold path per batch)
-        t1 = time.time()
-        query_wand(reader, claims, k=5, cfg=EngineConfig(n_buckets=max(cores, 8))).count()
-        warm = time.time() - t1
+
+        sess = ServingSession(reader, cfg=cfg)
+        sess.warm()
+        warm_walls = []
+        for _ in range(2):
+            t1 = time.time()
+            sess.topk(claims, k=5).count()
+            warm_walls.append(round(time.time() - t1, 2))
+        sess.close()
+        warm_med = statistics.median(warm_walls)
         return {"claims": n_claims, "result_rows": n, "wall_sec": round(wall, 2),
                 "wand_claims_per_sec": round(n_claims / wall, 2),
-                "warm_wall_sec": round(warm, 2),
-                "warm_claims_per_sec": round(n_claims / warm, 2)}
+                "warm_walls_sec": warm_walls,
+                "warm_wall_sec": round(warm_med, 2),
+                "warm_claims_per_sec": round(n_claims / warm_med, 2)}
     finally:
         spark.stop()
+
+
+def bench_merge_serve(cores: int) -> dict:
+    """VERDICT r2 #1 — the 100x story at the largest feasible local scale:
+    TWO-generation build (initial 80% + incremental append 20%, id-disjoint
+    via id_offset) -> merge_builds compaction -> serve a 200-claim batch
+    over the MERGED index. Publishes docs/sec per generation, merge wall,
+    and claims/s over the merged 1M-doc index."""
+    from defactonlp_spark.config import EngineConfig
+    from defactonlp_spark.plans.build import IndexBuild, merge_builds, prepare_webpages_fused
+    from defactonlp_spark.sources.fixtures import write_webpages_parquet
+
+    n_a = int(MERGE_PAGES * 0.8)
+    n_b = MERGE_PAGES - n_a
+    os.makedirs(CACHE, exist_ok=True)
+    p_a = f"{CACHE}/gen_a_{n_a}.parquet"
+    p_b = f"{CACHE}/gen_b_{n_b}.parquet"
+    if not os.path.exists(p_a):
+        write_webpages_parquet(p_a, n_a, start=0)
+    if not os.path.exists(p_b):
+        write_webpages_parquet(p_b, n_b, start=n_a)
+
+    d_a, d_b, d_m = f"{CACHE}/midx_a", f"{CACHE}/midx_b", f"{CACHE}/midx_merged"
+    for d in (d_a, d_b, d_m):
+        shutil.rmtree(d, ignore_errors=True)
+    cfg = EngineConfig(n_buckets=BUILD_BUCKETS)
+    spark = _spark(cores, shuffle_partitions=BUILD_BUCKETS)
+    out: dict = {"pages": MERGE_PAGES, "gen_split": [n_a, n_b], "cores": cores}
+    try:
+        _warmup(spark)
+        t0 = time.time()
+        pa = IndexBuild(d_a, cfg, build_id="gen_a", n_groups=1, id_offset=0).run(
+            spark, prepare_webpages_fused(spark.read.parquet(p_a)), input_snapshot=p_a)
+        t_a = time.time() - t0
+        t0 = time.time()
+        pb = IndexBuild(d_b, cfg, build_id="gen_b", n_groups=1, id_offset=1 << 50).run(
+            spark, prepare_webpages_fused(spark.read.parquet(p_b)), input_snapshot=p_b)
+        t_b = time.time() - t0
+        t0 = time.time()
+        pm = merge_builds(spark, [d_a, d_b], d_m, cfg)
+        t_m = time.time() - t0
+        out.update({
+            "gen_a_docs": pa["n_docs"], "gen_a_sec": round(t_a, 2),
+            "gen_a_docs_per_sec": round(pa["n_docs"] / t_a, 1),
+            "gen_b_docs": pb["n_docs"], "gen_b_sec": round(t_b, 2),
+            "gen_b_docs_per_sec": round(pb["n_docs"] / t_b, 1),
+            "merged_docs": pm["n_docs"], "merge_sec": round(t_m, 2),
+            "build_plus_merge_docs_per_sec": round(pm["n_docs"] / (t_a + t_b + t_m), 1),
+        })
+    finally:
+        spark.stop()
+    out["serving_merged"] = bench_query_serving(cores, d_m)
+    return out
 
 
 def _build_in_subprocess(cores: int) -> dict:
@@ -240,6 +310,27 @@ def main():
         effs = [round((s["wall_sec"] / b["wall_sec"]) / 4, 3) for b, s in pairs]
         cleanest = min(range(len(pairs)),
                        key=lambda i: pairs[i][0]["cpu_sec"] + pairs[i][1]["cpu_sec"])
+        import statistics
+
+        cb, cs = pairs[cleanest]
+        # per-stage table of the cleanest pair: walls at both levels plus the
+        # busy-CPU ratio (small/big ~ 1.0 => the stage does the SAME work at
+        # both cluster sizes — no parallelism-induced work inflation); the
+        # dominant stage's ratio is the steal-robust half of the evidence
+        stage_table = {
+            name: {
+                f"wall_{N_SMALL}c": cs["stage_walls"].get(name),
+                f"wall_{N_LARGE}c": cb["stage_walls"].get(name),
+                f"cpu_{N_SMALL}c": cs["stage_cpu"].get(name),
+                f"cpu_{N_LARGE}c": cb["stage_cpu"].get(name),
+            }
+            for name in cb.get("stage_walls", {})
+        }
+        dom = max(cb.get("stage_walls", {}) or {"": 0},
+                  key=lambda k: cb["stage_walls"].get(k, 0))
+        dom_ratio = None
+        if dom and cb["stage_cpu"].get(dom):
+            dom_ratio = round(cs["stage_cpu"].get(dom, 0) / cb["stage_cpu"][dom], 3)
         ib = {
             "docs": n_docs,
             f"local{N_LARGE}_runs_sec_steal": _fmt(runs_big),
@@ -248,7 +339,15 @@ def main():
             f"local{N_SMALL}_docs_per_sec": round(n_docs / t_small, 1),
             "pair_efficiencies": effs,
             "scaling_efficiency": effs[cleanest],
+            "scaling_efficiency_median": round(statistics.median(effs), 3),
             "scaling_efficiency_min_walls": round((t_small / t_big) / 4, 3),
+            "pair_cpu_ratios": [
+                round(s["cpu_sec"] / b["cpu_sec"], 3) if b["cpu_sec"] else None
+                for b, s in pairs
+            ],
+            "cleanest_pair_stages": stage_table,
+            "dominant_stage": dom,
+            "dominant_stage_cpu_ratio": dom_ratio,
             "pair": f"local[{N_SMALL}] vs local[{N_LARGE}]",
         }
     else:
@@ -260,7 +359,11 @@ def main():
     results["index_build"] = ib
 
     # -- query serving over the built index ---------------------------------
-    results["query_serving"] = bench_query_serving(CPUS, N_LARGE)
+    results["query_serving"] = bench_query_serving(CPUS, f"{CACHE}/idx_{N_LARGE}")
+
+    # -- two-generation build + merge + serve at 1M docs --------------------
+    if DO_MERGE:
+        results["merge_serve"] = bench_merge_serve(CPUS)
 
     # -- harness queries at SF_DIR ------------------------------------------
     spark = _spark(CPUS)
@@ -287,8 +390,9 @@ def main():
 
 if __name__ == "__main__":
     if len(sys.argv) == 3 and sys.argv[1] == "--build-only":
-        wall, n, steal, busy = bench_index_build(int(sys.argv[2]))
+        wall, n, steal, busy, st_w, st_c = bench_index_build(int(sys.argv[2]))
         print(json.dumps({"wall_sec": wall, "n_docs": n, "steal": steal,
-                          "cpu_sec": round(busy / 100.0, 1)}))
+                          "cpu_sec": round(busy / 100.0, 1),
+                          "stage_walls": st_w, "stage_cpu": st_c}))
     else:
         main()

@@ -135,6 +135,7 @@ def tokenize_postings_html(
     html_col: str = "html",
     assign_ids: bool = False,
     pid_col: str = "_pid",
+    id_offset: int = 0,
 ) -> DataFrame:
     """pages(doc_id|_pid, html, ...) -> postings_long: FUSED extract +
     tokenize (+ optional doc-id assignment) in ONE mapInPandas stage.
@@ -145,10 +146,16 @@ def tokenize_postings_html(
     ``assign_ids=True`` is the scale path's id assignment (SURVEY.md §3.1):
     input must be hash-partitioned by url with a PINNED partition count and
     sorted by url within partitions (see plans.build.prepare_webpages_fused);
-    the kernel then assigns ``doc_id = pid * 2^40 + rank_within_partition``
-    as a running counter over the sorted iterator — bit-identical to
-    ``assign_doc_ids(strategy="partitioned")``'s window, with ZERO extra
-    shuffles and no AQE interference.
+    the kernel then assigns ``doc_id = id_offset + pid * 2^40 +
+    rank_within_partition`` as a running counter over the sorted iterator —
+    bit-identical to ``assign_doc_ids(strategy="partitioned")``'s window,
+    with ZERO extra shuffles and no AQE interference.
+
+    ``id_offset`` makes segment GENERATIONS id-disjoint: an incremental
+    append build passes ``generation * 2^50`` (pids stay < 2^10 at 256-1024
+    parts, so per-generation ids stay < 2^50; 2^13 generations fit in
+    int64) and ``merge_segments`` can then compact generations without doc
+    collisions.
 
     Why ids live in the kernel (measured on the 320k-page fixture, event-log
     audit at 8 pinned cores): the window variant's partitionBy(_pid) forces
@@ -178,7 +185,7 @@ def tokenize_postings_html(
         next_rank = 1  # row_number() is 1-based; parity with the window path
         for pdf in batches:
             texts = pdf[html_col].map(extract_text_one)
-            ids = pdf[pid_col].to_numpy("int64") * (1 << 40) + np.arange(
+            ids = id_offset + pdf[pid_col].to_numpy("int64") * (1 << 40) + np.arange(
                 next_rank, next_rank + len(pdf), dtype="int64"
             )
             next_rank += len(pdf)

@@ -215,11 +215,22 @@ def prepare_webpages_fused(pages: DataFrame, n_parts: int = 256) -> DataFrame:
 
 
 class IndexBuild:
-    def __init__(self, out_dir: str, cfg: EngineConfig | None = None, build_id: str | None = None, n_groups: int = 4):
+    def __init__(
+        self,
+        out_dir: str,
+        cfg: EngineConfig | None = None,
+        build_id: str | None = None,
+        n_groups: int = 4,
+        id_offset: int = 0,
+    ):
         self.out_dir = out_dir
         self.cfg = cfg or EngineConfig()
         self.build_id = build_id or uuid.uuid4().hex[:12]
         self.n_groups = n_groups
+        #: doc-id base for this build's generation (fused-id path only):
+        #: incremental appends pass generation * 2^50 so generations are
+        #: id-disjoint and merge_segments can compact them (B5)
+        self.id_offset = id_offset
         self.postings_dir = os.path.join(out_dir, "postings")
         self.segments = LocalTable(os.path.join(out_dir, "segments"))
         self.checkpoints = LocalTable(os.path.join(out_dir, "checkpoints"))
@@ -258,12 +269,32 @@ class IndexBuild:
             "code_version": defactonlp_spark.__version__,
         }
 
+        # per-stage wall + machine busy-CPU (best-effort /proc/stat deltas;
+        # meaningful when the build runs alone, e.g. bench's pinned
+        # subprocesses) — published by bench so the scaling evidence can show
+        # the DOMINANT stage does equal work at both cluster sizes
+        stage_walls: dict[str, float] = {}
+        stage_cpu: dict[str, float] = {}
+
+        def _busy() -> float:
+            try:
+                with open("/proc/stat") as f:
+                    p = [int(x) for x in f.readline().split()[1:]]
+                return (sum(p) - p[3] - p[4]) / 100.0
+            except Exception:
+                return 0.0
+
+        def _mark(name: str, ts: float, bs: float) -> None:
+            stage_walls[name] = round(time.time() - ts, 2)
+            stage_cpu[name] = round(_busy() - bs, 1)
+
         # ---- stage 1: materialize the postings long table (ONE tokenize
         # pass — the corpus scan is the most expensive stage at 100 TB; term
         # stats, boundaries, and every bucket group then read the columnar
         # materialization, never the corpus again) -------------------------
         stats_path = os.path.join(self.out_dir, "term_stats")
         bounds_path = os.path.join(self.out_dir, "boundaries.json")
+        ts, bs = time.time(), _busy()
         if not os.path.exists(os.path.join(self.postings_dir, "_SUCCESS")):
             # fused paths when the corpus still carries raw html: extract(+id
             # assignment, for prepare_webpages_fused input) in ONE Python stage
@@ -274,12 +305,18 @@ class IndexBuild:
             else:
                 from defactonlp_spark.functions.tokenize import tokenize_postings_html
 
-                pl = tokenize_postings_html(corpus, assign_ids=True)
+                pl = tokenize_postings_html(
+                    corpus, assign_ids=True, id_offset=self.id_offset
+                )
             pl.write.mode("overwrite").parquet(self.postings_dir)
+        _mark("tokenize_postings", ts, bs)
         postings = spark.read.parquet(self.postings_dir)
+        ts, bs = time.time(), _busy()
         if not os.path.exists(os.path.join(stats_path, "_SUCCESS")):
             P.term_stats(postings).write.mode("overwrite").parquet(stats_path)
+        _mark("term_stats", ts, bs)
         stats = spark.read.parquet(stats_path)
+        ts, bs = time.time(), _busy()
         if not os.path.exists(bounds_path):
             n_terms = _parquet_rows(stats_path)
             boundaries = bucket_boundaries(stats, cfg.n_buckets, n_terms_hint=n_terms)
@@ -292,9 +329,12 @@ class IndexBuild:
             os.replace(tmp, bounds_path)
         with open(bounds_path) as f:
             boundaries = json.load(f)
+        _mark("boundaries", ts, bs)
 
+        ts, bs = time.time(), _busy()
         cs = P.corpus_stats(postings).collect()[0]
         n_docs, avgdl, total_tokens = int(cs["n_docs"]), float(cs["avgdl"]), int(cs["total_tokens"])
+        _mark("corpus_stats", ts, bs)
 
         # ---- stage 2: per bucket-group encode + commit ---------------------
         done = self._done_buckets(spark)
@@ -306,6 +346,7 @@ class IndexBuild:
 
         plan = P.salt_plan(stats, n_docs, cfg)
         committed = 0
+        ts, bs = time.time(), _busy()
         for g in groups:
             tg = time.time()
             # bucket membership is a pure expression over term — the group
@@ -356,8 +397,11 @@ class IndexBuild:
             committed += 1
             if fail_after_groups is not None and committed >= fail_after_groups:
                 raise RuntimeError(f"injected failure after {committed} group commits")
+        _mark("encode_commit", ts, bs)
 
         props = {
+            "stage_walls": stage_walls,
+            "stage_cpu": stage_cpu,
             **lineage,
             "n_docs": n_docs,
             "avgdl": avgdl,
@@ -373,6 +417,92 @@ class IndexBuild:
             spark.createDataFrame([(self.build_id,)], "build_id string"), properties=props
         )
         return props
+
+
+def merge_builds(
+    spark: SparkSession,
+    src_dirs: list[str],
+    dest_dir: str,
+    cfg: EngineConfig | None = None,
+) -> dict:
+    """B5 in anger: compact several id-disjoint index GENERATIONS (separate
+    ``IndexBuild`` outputs — e.g. an initial build plus incremental appends
+    built with distinct ``id_offset``) into one serveable index at
+    ``dest_dir``.
+
+    Plan (one shuffle + one commit):
+      union of generation segment tables (compressed rows only — the corpus
+      is never touched) -> ``merge_segments`` groupBy(term, salt)
+      applyInPandas: decode, doc_id-interleave, re-encode with block-max
+      bounds from the MERGED corpus stats -> bucket boundaries recomputed
+      df-weighted from the merged term stats (aggregated off the segment
+      rows' (term, n) columns — a tiny columnar scan, blobs stay on disk)
+      -> hive-partitioned write + manifest commit.
+
+    Corpus stats compose exactly from the generation manifests:
+    N = sum(N_g); avgdl = sum(total_tokens_g) / N (no corpus re-scan).
+    Duplicate doc ids across generations fail the merge kernel loudly.
+    Lineage: source dirs + their snapshot ids recorded in the manifest.
+    """
+    from defactonlp_spark.operators.segments import merge_segments
+
+    cfg = cfg or EngineConfig()
+    t0 = time.time()
+    srcs = []
+    for d in src_dirs:
+        snap = LocalTable(os.path.join(d, "manifest")).current_snapshot()
+        if snap is None:
+            raise FileNotFoundError(f"no manifest in {d}")
+        srcs.append((d, snap.properties, LocalTable(os.path.join(d, "segments"))))
+    n_docs = sum(int(p["n_docs"]) for _, p, _ in srcs)
+    total_tokens = sum(int(p["total_tokens"]) for _, p, _ in srcs)
+    avgdl = total_tokens / max(n_docs, 1)
+
+    gens = [t.read(spark) for _, _, t in srcs]
+    cols = ["term", "salt", "df", "n", "n_bytes", "n_blocks",
+            "docs_blob", "tfs_blob", "dls_blob", "blockmax"]
+    from functools import reduce
+
+    union = reduce(lambda a, b: a.unionByName(b), [g.select(*cols) for g in gens])
+    merged = merge_segments(union, n_docs, avgdl, cfg)
+
+    # df-weighted boundaries from the merged vocabulary: per-term postings
+    # mass is sum(n) over the term's slices (tf is per-doc aggregated, so
+    # sum(n) == df) — same cut rule as the build, no corpus scan
+    stats = union.groupBy("term").agg(F.sum("n").alias("df"))
+    n_terms = stats.count()
+    boundaries = bucket_boundaries(stats, cfg.n_buckets, n_terms_hint=n_terms)
+
+    dest_seg = LocalTable(os.path.join(dest_dir, "segments"))
+    lineage = {
+        "operation": "merge",
+        "sources": json.dumps([
+            {"dir": d, "build_id": p.get("build_id"), "n_docs": int(p["n_docs"])}
+            for d, p, _ in srcs
+        ]),
+    }
+    dest_seg.overwrite(
+        merged.withColumn("bucket", bucket_expr(boundaries)),
+        properties=lineage,
+        partition_by=["bucket"],
+    )
+    props = {
+        **lineage,
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "total_tokens": total_tokens,
+        "n_buckets": cfg.n_buckets,
+        "boundaries": boundaries,
+        "n_terms": n_terms,
+        "k1": cfg.bm25.k1,
+        "b": cfg.bm25.b,
+        "block_size": cfg.block_size,
+        "wall_s": time.time() - t0,
+    }
+    LocalTable(os.path.join(dest_dir, "manifest")).overwrite(
+        spark.createDataFrame([("merge",)], "build_id string"), properties=props
+    )
+    return props
 
 
 class IndexReader:

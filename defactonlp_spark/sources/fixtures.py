@@ -54,9 +54,15 @@ def make_html(i: int, text: str) -> bytes:
     ).encode("utf-8")
 
 
-def gen_webpages(n: int = 2000, seed: int = SEED, dup_frac: float = 0.03) -> pd.DataFrame:
+def gen_webpages(
+    n: int = 2000, seed: int = SEED, dup_frac: float = 0.03, start: int = 0
+) -> pd.DataFrame:
     """n unique pages + ~dup_frac*n recrawled urls (later warc_ts, same text
-    but a marker change — dedup must keep the LATEST crawl)."""
+    but a marker change — dedup must keep the LATEST crawl).
+
+    ``start`` offsets the url/timestamp index space so separate calls
+    produce URL-DISJOINT corpora — the incremental-generation fixture
+    (gen A = start 0, gen B = start n_A)."""
     rng = np.random.default_rng(seed)
     vocab = np.array(_vocab(), dtype=object)
     probs = _zipf_probs(len(vocab))
@@ -73,7 +79,7 @@ def gen_webpages(n: int = 2000, seed: int = SEED, dup_frac: float = 0.03) -> pd.
         snip = UNICODE_SNIPPETS[int(r) % len(UNICODE_SNIPPETS)]
         texts[r] = texts[r] + " " + unicodedata.normalize("NFC", snip)
 
-    idx = np.arange(n)
+    idx = np.arange(start, start + n)
     urls = [f"https://example{i % 97}.test/p/{i:08d}" for i in idx]
     ts = EPOCH + (idx.astype("int64") * 1009 * 1_000_000).astype("timedelta64[us]")
     langs = rng.choice(np.array(LANGS, dtype=object), size=n, p=LANG_P)
@@ -94,7 +100,7 @@ def gen_webpages(n: int = 2000, seed: int = SEED, dup_frac: float = 0.03) -> pd.
         dup = base.iloc[drows].copy()
         dup["warc_ts"] = dup["warc_ts"] + np.timedelta64(7, "D").astype("timedelta64[us]")
         dup["text"] = dup["text"] + " recrawl"
-        dup["html"] = [make_html(int(i), t) for i, t in zip(drows, dup["text"])]
+        dup["html"] = [make_html(int(i) + start, t) for i, t in zip(drows, dup["text"])]
         base = pd.concat([base, dup], ignore_index=True)
     base["warc_ts"] = pd.to_datetime(base["warc_ts"])
     return base
@@ -127,7 +133,9 @@ def gen_claims(n: int = 200, seed: int = SEED + 1) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
-def write_webpages_parquet(path: str, n: int, seed: int = SEED, n_files: int | None = None) -> str:
+def write_webpages_parquet(
+    path: str, n: int, seed: int = SEED, n_files: int | None = None, start: int = 0
+) -> str:
     """Write as a DIRECTORY of parquet files with small row groups — the
     shape real crawl corpora have (many WARC-derived files). A single file
     with one row group is unsplittable: the whole corpus scan (and the
@@ -138,7 +146,7 @@ def write_webpages_parquet(path: str, n: int, seed: int = SEED, n_files: int | N
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    pdf = gen_webpages(n=n, seed=seed)
+    pdf = gen_webpages(n=n, seed=seed, start=start)
     schema = pa.schema(
         [
             pa.field("url", pa.string()),

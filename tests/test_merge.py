@@ -73,3 +73,61 @@ def test_merge_rejects_overlapping_docsets(spark):
     seg = _segments_for(spark, pdf, 30, 100.0)
     with pytest.raises(Exception, match="duplicate doc_id"):
         merge_segments(seg.unionByName(seg), 30, 100.0, CFG).collect()
+
+
+def test_merge_builds_two_generations(spark, tmp_path):
+    """B5 end to end through the PLAN layer: two id-disjoint generation
+    builds (initial + incremental append via id_offset) -> merge_builds ->
+    the merged index serves queries identical to an exhaustive BM25 oracle
+    computed from the union of the generations' postings."""
+    from defactonlp_spark.operators.bm25 import claim_terms, score_exhaustive
+    from defactonlp_spark.plans.build import (
+        IndexBuild,
+        IndexReader,
+        merge_builds,
+        prepare_webpages_fused,
+    )
+    from defactonlp_spark.plans.query import query_exhaustive, query_wand
+    from defactonlp_spark.sources.fixtures import gen_claims, gen_webpages
+
+    cfg = EngineConfig(n_buckets=4)
+    pages_a = spark.createDataFrame(gen_webpages(n=300, seed=7, start=0))
+    pages_b = spark.createDataFrame(gen_webpages(n=200, seed=8, start=300))
+    d_a, d_b, d_m = str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "m")
+    OFF = 1 << 50
+    pa_ = IndexBuild(d_a, cfg, build_id="ga", n_groups=1, id_offset=0).run(
+        spark, prepare_webpages_fused(pages_a, n_parts=8), input_snapshot="ga")
+    pb_ = IndexBuild(d_b, cfg, build_id="gb", n_groups=1, id_offset=OFF).run(
+        spark, prepare_webpages_fused(pages_b, n_parts=8), input_snapshot="gb")
+
+    props = merge_builds(spark, [d_a, d_b], d_m, cfg)
+    assert props["n_docs"] == pa_["n_docs"] + pb_["n_docs"]
+
+    r = IndexReader(spark, d_m)
+    claims = spark.createDataFrame(gen_claims(15)[["claim_id", "claim"]])
+    w = query_wand(r, claims, k=5, cfg=cfg).toPandas().sort_values(
+        ["claim_id", "rank"]).reset_index(drop=True)
+    e = query_exhaustive(r, claims, k=5, cfg=cfg).toPandas().sort_values(
+        ["claim_id", "rank"]).reset_index(drop=True)
+    assert (w["doc_id"] == e["doc_id"]).all()
+    # exhaustive's hash-agg sums in arrival order (unpinned), so the
+    # cross-path contract is rank identity + fp-tolerance on scores
+    assert np.allclose(w["score"], e["score"], rtol=0, atol=1e-12)
+
+    # independent oracle: postings re-derived from the corpora (same fused
+    # id assignment incl. offset), scored exhaustively — never touches the
+    # segment/merge machinery
+    from defactonlp_spark.functions.tokenize import tokenize_postings_html
+
+    pl = tokenize_postings_html(
+        prepare_webpages_fused(pages_a, n_parts=8), assign_ids=True, id_offset=0
+    ).unionByName(tokenize_postings_html(
+        prepare_webpages_fused(pages_b, n_parts=8), assign_ids=True, id_offset=OFF
+    ))
+    stats = pl.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    oracle = score_exhaustive(
+        pl, stats, claim_terms(claims), props["n_docs"], props["avgdl"], k=5,
+        params=cfg.bm25,
+    ).toPandas().sort_values(["claim_id", "rank"]).reset_index(drop=True)
+    assert (w["doc_id"] == oracle["doc_id"]).all()
+    assert np.allclose(w["score"], oracle["score"], rtol=0, atol=1e-12)
