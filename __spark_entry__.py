@@ -630,11 +630,12 @@ def q_rte_label_agg(spark, sf_dir):
     plumbing, and aggregation together."""
     from pyspark.sql import Window
 
+    from defactonlp_spark.operators.dedup import _track_persist
     from defactonlp_spark.operators.rte import label_aggregate, rte_classify
     from defactonlp_spark.operators.sentences import sentence_retrieval, split_chunks
 
     claims = _claims_df(spark)
-    sents = split_chunks(_docs(spark, sf_dir), chunk_tokens=10).persist()
+    sents = _track_persist(split_chunks(_docs(spark, sf_dir), chunk_tokens=10))
     res = sentence_retrieval(sents, claims, k=40)
     w = Window.partitionBy("claim_id").orderBy(
         F.desc(F.round("score", 4)), F.asc("doc_id"), F.asc("sent_idx")

