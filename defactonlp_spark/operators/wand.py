@@ -350,6 +350,7 @@ def wand_topk(
     k: int = 5,
     cfg: EngineConfig = EngineConfig(),
     term_buckets=None,
+    boundaries: list[str] | None = None,
 ) -> DataFrame:
     """segments x (claim_id, term) -> results(claim_id, rank, doc_id, score).
 
@@ -417,7 +418,17 @@ def wand_topk(
                 pruned = segments.filter(F.col("bucket").isin(bks))
         hits = pruned.filter(F.col("term").isin(terms))
     else:
-        hits = segments.join(terms_df, "term", "left_semi")
+        # huge term sets (claims >> vocabulary probe cap): semi-join instead
+        # of isin. With the bucket-partitioned layout, joining on (bucket,
+        # term) lets dynamic partition pruning skip files here too — bucket
+        # for each term is a pure expression over the manifest boundaries.
+        if boundaries and "bucket" in segments.columns:
+            from defactonlp_spark.plans.build import bucket_expr
+
+            tb = terms_df.withColumn("bucket", bucket_expr(boundaries))
+            hits = segments.join(tb, ["bucket", "term"], "left_semi")
+        else:
+            hits = segments.join(terms_df, "term", "left_semi")
 
     # -- 3. per-batch gather ------------------------------------------------
     # fresh alias for the gather side's batch column: both cogroup sides

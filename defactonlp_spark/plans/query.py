@@ -66,7 +66,7 @@ def query_wand(reader: IndexReader, claims: DataFrame, k: int = 5, cfg: EngineCo
     q = claim_terms(claims)
     return wand_topk(
         reader.segments(), q, reader.n_docs, reader.avgdl, k=k, cfg=cfg,
-        term_buckets=reader.buckets_for_terms,
+        term_buckets=reader.buckets_for_terms, boundaries=reader.boundaries,
     )
 
 
@@ -107,6 +107,7 @@ class ServingSession:
             self.segments, claim_terms(claims), self.reader.n_docs,
             self.reader.avgdl, k=k, cfg=self.cfg,
             term_buckets=self.reader.buckets_for_terms,
+            boundaries=self.reader.boundaries,
         )
 
     def close(self) -> None:

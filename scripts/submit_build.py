@@ -31,7 +31,7 @@ import time
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pages", required=True, help="input webpages parquet/dir")
+    ap.add_argument("--pages", default=None, help="input webpages parquet/dir (required unless --merge)")
     ap.add_argument("--out", required=True, help="index output dir")
     ap.add_argument("--build-id", default="submit")
     ap.add_argument("--n-buckets", type=int, default=16)
@@ -42,6 +42,13 @@ def main() -> None:
     ap.add_argument("--corpus-path", action="store_true",
                     help="use the extract-projection corpus path (doc-store jobs) "
                          "instead of the fused single-shuffle scale path")
+    ap.add_argument("--id-offset", type=int, default=0,
+                    help="doc-id base for this build's generation "
+                         "(incremental appends pass generation * 2^50 so "
+                         "generations stay id-disjoint for --merge)")
+    ap.add_argument("--merge", nargs="+", default=None, metavar="SRC_DIR",
+                    help="compact the given generation index dirs into --out "
+                         "(skips the build; --pages is ignored)")
     args = ap.parse_args()
 
     # session comes from spark-submit; only app-level confs belong here
@@ -59,26 +66,40 @@ def main() -> None:
     )
 
     cfg = EngineConfig(n_buckets=args.n_buckets)
-    pages = spark.read.parquet(args.pages)
-    # fused single-shuffle scale path by default (same doc ids — parity
-    # tests); --corpus-path keeps the extracted-text projection for jobs
-    # that also sink a doc store
-    if args.corpus_path:
-        corpus = prepare_webpages(pages, id_strategy="partitioned")
+    if args.merge:
+        from defactonlp_spark.plans.build import merge_builds
+
+        t0 = time.time()
+        props = merge_builds(spark, args.merge, args.out, cfg)
+        result = {
+            "n_docs": props["n_docs"],
+            "merge_sec": round(time.time() - t0, 2),
+            "generations": len(args.merge),
+        }
     else:
-        corpus = prepare_webpages_fused(pages)
+        if not args.pages:
+            ap.error("--pages is required unless --merge is given")
+        pages = spark.read.parquet(args.pages)
+        # fused single-shuffle scale path by default (same doc ids — parity
+        # tests); --corpus-path keeps the extracted-text projection for jobs
+        # that also sink a doc store
+        if args.corpus_path:
+            corpus = prepare_webpages(pages, id_strategy="partitioned")
+        else:
+            corpus = prepare_webpages_fused(pages)
 
-    t0 = time.time()
-    props = IndexBuild(args.out, cfg, build_id=args.build_id, n_groups=args.n_groups).run(
-        spark, corpus, input_snapshot=args.pages
-    )
-    build_wall = time.time() - t0
+        t0 = time.time()
+        props = IndexBuild(
+            args.out, cfg, build_id=args.build_id, n_groups=args.n_groups,
+            id_offset=args.id_offset,
+        ).run(spark, corpus, input_snapshot=args.pages)
+        build_wall = time.time() - t0
 
-    result = {
-        "n_docs": props["n_docs"],
-        "build_sec": round(build_wall, 2),
-        "docs_per_sec": round(props["n_docs"] / build_wall, 1),
-    }
+        result = {
+            "n_docs": props["n_docs"],
+            "build_sec": round(build_wall, 2),
+            "docs_per_sec": round(props["n_docs"] / build_wall, 1),
+        }
 
     if args.claims_out:
         from defactonlp_spark.plans.query import query_wand
