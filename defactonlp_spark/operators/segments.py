@@ -246,14 +246,21 @@ def merge_segments(
     Input: union of segment rows from multiple builds over DISJOINT doc_id
     sets. Decodes each slice, merges by doc_id, recomputes df and block-max
     (N/avgdl of the merged corpus), re-encodes. Salt slices stay separate;
-    a term's df is the sum of slice-dfs across generations divided... no:
-    df(term) = total postings across all salts of the term, recomputed here
-    exactly via a window sum.
-    """
-    from pyspark.sql import Window
+    df(term) = total postings across all salts/generations of the term,
+    recomputed exactly.
 
-    w = Window.partitionBy("term")
-    with_df = spark_segments.withColumn("df_new", F.sum("n").over(w))
+    Shuffle discipline: df comes from a separate narrow aggregate joined
+    back on term — the aggregate's scan is column-pruned to (term, n), so
+    the blobs cross the wire at most ONCE (the groupBy(term, salt) feeding
+    the merge kernel). The previous window-over-term formulation shuffled
+    every blob TWICE (window exchange on term + groupBy exchange) — at a
+    compaction of a 100 TB index that doubling is the dominant cost. The
+    join is unhinted: AQE broadcasts the (term, df) side while the
+    vocabulary fits, and degrades to a sort-merge join (parity with the old
+    cost, never worse) beyond.
+    """
+    tdf = spark_segments.groupBy("term").agg(F.sum("n").alias("df_new"))
+    with_df = spark_segments.join(tdf, "term")
 
     def merge_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         term, salt = key

@@ -86,6 +86,14 @@ class ServingSession:
     The bucket/term pruning still applies per batch — against the cached
     relation it prunes cached RDD partitions via in-memory batch stats
     instead of parquet footers. ``close()`` releases executor storage.
+
+    Scale note: MEMORY_AND_DISK distributes slices across the cluster's
+    executor storage and spills cleanly when the index exceeds aggregate
+    RAM (local disk on the executors — still orders faster than re-reading
+    the object store per batch). When the index dwarfs even local disk, a
+    deployment pins only the hot prefix (e.g. ``segments.filter(bucket
+    isin hot_buckets)``) and lets cold buckets fall through to the parquet
+    path — same code, different filter.
     """
 
     def __init__(self, reader: IndexReader, cfg: EngineConfig | None = None, persist: bool = True):
