@@ -249,18 +249,19 @@ def merge_segments(
     df(term) = total postings across all salts/generations of the term,
     recomputed exactly.
 
-    Shuffle discipline: df comes from a separate narrow aggregate joined
-    back on term — the aggregate's scan is column-pruned to (term, n), so
-    the blobs cross the wire at most ONCE (the groupBy(term, salt) feeding
-    the merge kernel). The previous window-over-term formulation shuffled
-    every blob TWICE (window exchange on term + groupBy exchange) — at a
-    compaction of a 100 TB index that doubling is the dominant cost. The
-    join is unhinted: AQE broadcasts the (term, df) side while the
-    vocabulary fits, and degrades to a sort-merge join (parity with the old
-    cost, never worse) beyond.
+    Shuffle discipline (verified in the physical plan): the WHOLE merge is
+    ONE exchange of the blob rows. The window's hash partitioning on term
+    also satisfies the downstream ``groupBy(term, salt)`` clustering
+    requirement (every (term, salt) group is co-located once term is), so
+    Catalyst inserts no second exchange before the merge kernel. An
+    aggregate-plus-join formulation of df was tried and is strictly worse
+    statically: the join re-exchanges the blob side (SortMergeJoin) unless
+    AQE happens to broadcast the (term, df) relation at runtime.
     """
-    tdf = spark_segments.groupBy("term").agg(F.sum("n").alias("df_new"))
-    with_df = spark_segments.join(tdf, "term")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("term")
+    with_df = spark_segments.withColumn("df_new", F.sum("n").over(w))
 
     def merge_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         term, salt = key
