@@ -263,3 +263,48 @@ def test_split_chunks_kernel_matches_sql_twin(spark):
     a = split_chunks(alld, chunk_tokens=10)
     b = split_chunks_sql(alld, chunk_tokens=10)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_fever_pipeline_end_to_end(spark, tmp_path):
+    """The composed A12-A18 plan: doc retrieval -> candidate union ->
+    scoped sentence retrieval -> RTE -> label agg -> FEVER-shaped
+    predictions, plus the JSONL writer (FEVER submission format)."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from defactonlp_spark.operators.sentences import split_chunks
+    from defactonlp_spark.plans.fever import fever_pipeline, write_fever_jsonl
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    claims = spark.createDataFrame(
+        [(0, "the merge join"), (1, "sort table scan"), (2, "zzz-oov-claim")],
+        "claim_id long, claim string",
+    )
+    sents = split_chunks(docs, chunk_tokens=10)
+    pred = fever_pipeline(docs, claims, sents, k_docs=5, k_sents=3)
+    rows = {r["claim_id"]: r for r in pred.collect()}
+    # OOV claim retrieves nothing -> no prediction row (reference behavior:
+    # no evidence, scorer counts it wrong); others carry <= 3 evidence pairs
+    assert 2 not in rows and set(rows) == {0, 1}
+    for r in rows.values():
+        assert r["predicted_label"] in ("SUPPORTS", "REFUTES", "NOT ENOUGH INFO")
+        assert 1 <= len(r["predicted_evidence"]) <= 3
+        assert r["n_sents"] == len(r["predicted_evidence"])
+    # determinism: same input -> same predictions
+    again = {r["claim_id"]: r for r in fever_pipeline(docs, claims, sents).collect()}
+    assert {k: (v["predicted_label"], [tuple(e) for e in v["predicted_evidence"]]) for k, v in rows.items()} == \
+           {k: (v["predicted_label"], [tuple(e) for e in v["predicted_evidence"]]) for k, v in again.items()}
+    # JSONL writer round-trip
+    out = str(tmp_path / "preds")
+    write_fever_jsonl(pred, out)
+    lines = []
+    for fn in os.listdir(out):
+        if fn.startswith("part-"):
+            lines += [l for l in open(os.path.join(out, fn)) if l.strip()]
+    parsed = {d["id"]: d for d in map(_json.loads, lines)}
+    assert set(parsed) == {0, 1}
+    assert all(isinstance(d["predicted_evidence"][0], list) for d in parsed.values())
