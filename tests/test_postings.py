@@ -132,3 +132,31 @@ def test_bucket_boundaries_driver_vs_distributed_cut(spark):
         drv = bucket_boundaries(stats, n_buckets, n_terms_hint=len(rows))
         dist = bucket_boundaries(stats, n_buckets, n_terms_hint=10**9)
         assert drv == dist, f"n_buckets={n_buckets}: {drv} != {dist}"
+
+
+def test_bucket_expr_matches_driver_bisect(spark):
+    """Serving prunes files with a DRIVER-side bucket computation
+    (IndexReader.buckets_for_terms / bisect) while the build assigns buckets
+    with the CATALYST expression (bucket_expr). If they ever disagree, the
+    bucket isin filter silently drops segment slices — so pin equality over
+    edge terms: below the first boundary, equal to each boundary, between
+    boundaries, past the last, empty string, unicode."""
+    from bisect import bisect_right
+
+    from pyspark.sql import functions as F
+
+    from defactonlp_spark.plans.build import bucket_expr
+
+    boundaries = ["apple", "gamma", "merge", "table"]
+    terms = [
+        "", "a", "apple", "applf", "b", "gamma", "gammz", "lion", "merge",
+        "mergf", "spark", "table", "tablf", "zzzz", "épée", "漢",
+    ]
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    got = {
+        r["term"]: r["b"]
+        for r in df.withColumn("b", bucket_expr(boundaries)).collect()
+    }
+    for t in terms:
+        want = max(bisect_right(boundaries, t) - 1, 0)
+        assert got[t] == want, (t, got[t], want)
