@@ -55,8 +55,13 @@ class EngineConfig:
     #: batch query serving: claims are grouped into batches of this size and
     #: each segment slice ships/decodes ONCE PER BATCH instead of once per
     #: claim — head-term blobs dominate the gather shuffle, and claims
-    #: overwhelmingly share head terms
-    serve_claims_per_batch: int = 8
+    #: overwhelmingly share head terms. Measured sweep (200 claims, 320k-doc
+    #: index, warm ServingSession, r3): 8 -> 30.6 claims/s, 16 -> 41.8,
+    #: 32 -> 42.9, 64 -> 39.2 — larger batches amortize blob decode until
+    #: batch count drops below core count; 16 keeps both effects good for
+    #: small query sets, and large sets (>= thousands of claims) saturate
+    #: cores at any batch size
+    serve_claims_per_batch: int = 16
 
     #: pinned partition count for the distributed batch-id assignment in
     #: query serving (cluster-size independent, like doc-id assignment —
