@@ -1,0 +1,196 @@
+"""Hypothesis property tests for the pure (non-Spark) hot kernels.
+
+These pin the on-disk codec contracts (SURVEY.md §2.B4) and the vectorized
+hash/extract kernels against randomized inputs — the fixture-based tests
+cover known shapes; these cover the shapes nobody thought of. All tests are
+numpy/pure-Python only (no SparkSession), so the whole module runs in
+seconds and is safe to widen with more examples.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from defactonlp_spark.config import EngineConfig
+from defactonlp_spark.functions.extract import extract_text_one
+from defactonlp_spark.functions.mmh3 import murmur3_32
+from defactonlp_spark.functions.varbyte import (
+    delta_decode,
+    delta_encode,
+    vb_decode,
+    vb_encode,
+)
+from defactonlp_spark.operators.segments import (
+    bm25_contrib,
+    decode_slice,
+    encode_slice,
+    idf,
+)
+
+# values at/around every 7-bit group boundary, where vbyte length changes
+_BOUNDARY = sorted(
+    {0, 1}
+    | {(1 << (7 * k)) + d for k in range(1, 9) for d in (-1, 0, 1)}
+    | {(1 << 63) - 1}
+)
+
+uint63 = st.integers(min_value=0, max_value=(1 << 63) - 1)
+uint63_arrays = st.lists(
+    st.one_of(uint63, st.sampled_from(_BOUNDARY)), min_size=0, max_size=400
+).map(lambda xs: np.asarray(xs, dtype=np.uint64))
+
+
+@given(uint63_arrays)
+def test_vbyte_roundtrip(values):
+    buf = vb_encode(values)
+    out = vb_decode(buf, n_values=values.size)
+    assert out.dtype == np.uint64
+    np.testing.assert_array_equal(out, values)
+
+
+@given(uint63_arrays)
+def test_vbyte_roundtrip_without_count(values):
+    # decode must also work with no expected-count hint (merge path)
+    out = vb_decode(vb_encode(values))
+    np.testing.assert_array_equal(out, values)
+
+
+@given(uint63_arrays)
+def test_vbyte_encoding_is_minimal(values):
+    # pinned format: ceil(bitlen/7) bytes per value, 1 byte for zero
+    expect = sum(max(1, -(-int(v).bit_length() // 7)) for v in values)
+    assert len(vb_encode(values)) == expect
+
+
+def test_vbyte_rejects_2_63():
+    with pytest.raises(ValueError):
+        vb_encode(np.asarray([1 << 63], dtype=np.uint64))
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=1 << 40), min_size=1, max_size=300),
+    st.integers(min_value=0, max_value=1 << 20),
+)
+def test_delta_roundtrip(ids, base_gap):
+    # strictly increasing ids at/above base (delta_encode's documented domain)
+    arr = np.cumsum(np.asarray(sorted(set(ids)), dtype=np.int64) + 1)
+    base = int(arr[0]) - 1 - base_gap
+    gaps = delta_encode(arr, base=base)
+    np.testing.assert_array_equal(delta_decode(gaps, base=base), arr)
+
+
+def test_delta_rejects_unsorted():
+    with pytest.raises(ValueError):
+        delta_encode(np.asarray([5, 3], dtype=np.int64))
+
+
+slice_inputs = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=1 << 32),  # doc-id gaps
+        st.integers(min_value=1, max_value=5000),  # tf
+        st.integers(min_value=1, max_value=100_000),  # dl
+    ),
+    min_size=1,
+    max_size=600,
+)
+
+
+@given(slice_inputs, st.integers(min_value=2, max_value=64))
+@settings(deadline=None, max_examples=60)
+def test_encode_decode_slice_roundtrip(rows, block_size):
+    gaps = np.asarray([r[0] for r in rows], dtype=np.int64)
+    doc_ids = np.cumsum(gaps)
+    tfs = np.asarray([r[1] for r in rows], dtype=np.int64)
+    dls = np.asarray([r[2] for r in rows], dtype=np.int64)
+    cfg = EngineConfig(block_size=block_size)
+    n_docs = doc_ids.size + 10
+    seg = encode_slice(doc_ids, tfs, dls, term_df=doc_ids.size, n_docs=n_docs,
+                       avgdl=float(dls.mean()), cfg=cfg)
+    d, t, l = decode_slice(seg)
+    np.testing.assert_array_equal(d, doc_ids)
+    np.testing.assert_array_equal(t, tfs)
+    np.testing.assert_array_equal(l, dls)
+
+    # block-max invariants the WAND planner relies on: blocks tile the
+    # posting list in order, last_doc_id is each block's max id, and
+    # max_score is the exact max of the BM25 contributions in the block
+    assert seg["n_blocks"] == -(-doc_ids.size // block_size)
+    scores = bm25_contrib(tfs, dls, float(idf(doc_ids.size, n_docs)),
+                          float(dls.mean()), cfg.bm25)
+    for k in range(seg["n_blocks"]):
+        lo, hi = k * block_size, min((k + 1) * block_size, doc_ids.size)
+        bm = seg["blockmax"][k]
+        assert bm["last_doc_id"] == int(doc_ids[hi - 1])
+        assert bm["max_score"] == pytest.approx(float(scores[lo:hi].max()))
+    assert seg["blockmax"][-1]["last_doc_id"] == int(doc_ids[-1])
+
+
+# -- murmur3_32: vectorized same-length batching vs a scalar reference ------
+
+
+def _mmh3_scalar(data: bytes, seed: int = 0) -> int:
+    """Textbook MurmurHash3 x86_32 (Austin Appleby's public domain spec)."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    rotl = lambda x, r: ((x << r) | (x >> (32 - r))) & 0xFFFFFFFF
+    nblocks = len(data) // 4
+    for i in range(nblocks):
+        k = int.from_bytes(data[i * 4 : i * 4 + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = (rotl(k, 15) * c2) & 0xFFFFFFFF
+        h ^= k
+        h = (rotl(h, 13) * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[nblocks * 4 :]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = (rotl(k, 15) * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+@given(st.lists(st.text(max_size=40), min_size=1, max_size=50),
+       st.integers(min_value=0, max_value=2**31 - 1))
+@settings(deadline=None, max_examples=80)
+def test_murmur3_32_matches_scalar_reference(strings, seed):
+    got = murmur3_32(strings, seed=seed)
+    expect = np.asarray(
+        [_mmh3_scalar(s.encode("utf-8"), seed) for s in strings], dtype=np.uint32
+    )
+    np.testing.assert_array_equal(got.astype(np.uint32), expect)
+
+
+# -- HTML extractor: total on arbitrary bytes, idempotent-ish invariants ----
+
+
+@given(st.binary(max_size=400))
+@settings(deadline=None)
+def test_extract_total_on_arbitrary_bytes(raw):
+    out = extract_text_one(raw)
+    # contract: None for undecodable bytes, else a whitespace-normalized str
+    if out is not None:
+        assert "\n" not in out and "\t" not in out
+        assert out == out.strip()
+        assert "  " not in out
+
+
+@given(st.text(alphabet=st.characters(blacklist_characters="<>&"), max_size=200))
+@settings(deadline=None)
+def test_extract_plain_text_is_whitespace_normalization(txt):
+    # with no tags/entities the extractor must only normalize whitespace
+    out = extract_text_one(txt.encode("utf-8"))
+    assert out == " ".join(txt.split())
