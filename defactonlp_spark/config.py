@@ -55,13 +55,15 @@ class EngineConfig:
     #: batch query serving: claims are grouped into batches of this size and
     #: each segment slice ships/decodes ONCE PER BATCH instead of once per
     #: claim — head-term blobs dominate the gather shuffle, and claims
-    #: overwhelmingly share head terms. Measured sweep (200 claims, 320k-doc
-    #: index, warm ServingSession, r3): 8 -> 30.6 claims/s, 16 -> 41.8,
-    #: 32 -> 42.9, 64 -> 39.2 — larger batches amortize blob decode until
-    #: batch count drops below core count; 16 keeps both effects good for
-    #: small query sets, and large sets (>= thousands of claims) saturate
-    #: cores at any batch size
-    serve_claims_per_batch: int = 16
+    #: overwhelmingly share head terms. Measured r3 (200 claims, 320k-doc
+    #: index, warm ServingSession): a one-shot sweep read 8 -> 30.6
+    #: claims/s, 16 -> 41.8, 32 -> 42.9; interleaved re-measurement (5
+    #: alternating warm pairs, shared session) read 8 slightly AHEAD of 16
+    #: on every pair (medians 9.9 vs 11.5 s under drift; quiet reps 6.75
+    #: vs 7.39) — the sweep's 16-advantage was host drift, not the batch
+    #: size. 8 keeps batch count >= core count down to ~256-claim sets;
+    #: large sets saturate cores at any batch size.
+    serve_claims_per_batch: int = 8
 
     #: pinned partition count for the distributed batch-id assignment in
     #: query serving (cluster-size independent, like doc-id assignment —
