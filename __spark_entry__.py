@@ -69,15 +69,28 @@ def _bm25_sql(
     k: int,
     select: str | None = None,
     order_by: str = "score DESC, doc_id",
+    conjunctive: bool = False,
 ) -> str:
     """BM25 core as reusable SQL: toks(doc_id, term) + claims -> top-k.
     ``select`` overrides the final projection (gets `claim_id, doc_id, score,
     rn` in scope); ``order_by`` overrides the rank order (rank on
     round(score, 4) when cross-engine float summation order could flip a
-    raw-score tie)."""
+    raw-score tie). ``conjunctive=True`` keeps only docs matching ALL of a
+    claim's terms (boolean-AND retrieval; n_q counted BEFORE the postings
+    join so out-of-corpus terms make the claim unmatchable)."""
     final = select or (
         "claim_id::BIGINT AS claim_id, doc_id::BIGINT AS doc_id, round(score, 4) AS score"
     )
+    ranked_src = "scored"
+    conj_ctes = ""
+    if conjunctive:
+        conj_ctes = """,
+qcount AS (SELECT claim_id, count(*)::BIGINT AS n_q FROM qterms GROUP BY 1),
+conj AS (
+  SELECT s.claim_id, s.doc_id, s.score
+  FROM scored s JOIN qcount c ON c.claim_id = s.claim_id AND s.n_matched = c.n_q
+)"""
+        ranked_src = "conj"
     return f"""
 WITH toks AS ({toks_sql}),
 postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
@@ -93,17 +106,18 @@ scored AS (
   SELECT q.claim_id, p.doc_id,
          sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
               * p.tf * {K1 + 1.0}
-              / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)) ) AS score
+              / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)) ) AS score,
+         count(*)::BIGINT AS n_matched
   FROM qterms q
   JOIN postings p ON p.term = q.term
   JOIN dfreq d ON d.term = q.term
   JOIN dl l ON l.doc_id = p.doc_id
   CROSS JOIN stats s
   GROUP BY 1, 2
-)
+){conj_ctes}
 SELECT {final}
 FROM (SELECT *, row_number() OVER (PARTITION BY claim_id ORDER BY {order_by}) AS rn
-      FROM scored)
+      FROM {ranked_src})
 WHERE rn <= {k}
 """
 
@@ -335,6 +349,22 @@ def q_bm25_topk_wand(spark, sf_dir):
     stats = term_stats(p)
     seg = encode_segments(with_salt(p, salt_plan(stats, n_docs, cfg)), stats, n_docs, avgdl, cfg, 8)
     res = wand_topk(seg, claim_terms(_claims_df(spark)), n_docs, avgdl, k=TOPK, cfg=cfg)
+    return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
+
+
+def q_bm25_topk_conjunctive(spark, sf_dir):
+    """Boolean-AND retrieval: top-k docs containing ALL of a claim's terms,
+    BM25-ranked (operators/bm25.py::score_conjunctive; same group-count
+    intersection the index path query_conjunctive runs over decoded
+    segments)."""
+    from defactonlp_spark.operators.bm25 import claim_terms, score_conjunctive
+    from defactonlp_spark.operators.postings import term_stats
+
+    p = _postings_cached(spark, sf_dir)
+    n_docs, avgdl = _engine_corpus_stats(p)
+    res = score_conjunctive(
+        p, term_stats(p), claim_terms(_claims_df(spark)), n_docs, avgdl, k=TOPK
+    )
     return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
 
 
@@ -898,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "bm25_topk": q_bm25_topk,
         "bm25_topk_wand": q_bm25_topk_wand,
+        "bm25_topk_conjunctive": q_bm25_topk_conjunctive,
         "tpch_q1": q_tpch_q1,
         "top_customers_by_segment": q_top_customers_by_segment,
         "events_hourly": q_events_hourly,
@@ -993,6 +1024,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_topk": _BM25_CORE_SQL,
         "bm25_topk_wand": _BM25_CORE_SQL,
+        "bm25_topk_conjunctive": _bm25_sql(_TOKS_SQL, _CLAIMS_SQL, TOPK, conjunctive=True),
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

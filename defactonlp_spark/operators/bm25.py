@@ -72,3 +72,49 @@ def score_exhaustive(
         .filter(F.col("rank") <= k)
         .select("claim_id", "rank", "doc_id", "score")
     )
+
+def score_conjunctive(
+    postings: DataFrame,
+    stats: DataFrame,
+    qterms: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k: int = 5,
+    params: BM25Params = BM25Params(),
+) -> DataFrame:
+    """Conjunctive (match-ALL-terms) BM25 top-k: a doc qualifies for a claim
+    only if it contains EVERY distinct query term; qualifying docs are
+    BM25-ranked exactly like :func:`score_exhaustive`. A claim with any
+    out-of-corpus term returns no rows (the AND over an empty postings list
+    is empty).
+
+    Plan: the same single postings scan + broadcast query join as the
+    disjunctive path; the intersection is a group-count filter
+    ``n_matched == n_query_terms`` inside the one hash aggregate — the
+    Spark-first form of conjunctive evaluation (the classic rarest-term
+    driver merge becomes a hash semi-intersection; Catalyst still only
+    scans postings of queried terms because the broadcast join filters the
+    scan). Same cost envelope as the disjunctive query, strictly fewer
+    result rows.
+    """
+    # n_q from the RAW query terms (before the stats join) so out-of-corpus
+    # terms still count toward the required match total
+    nq = qterms.groupBy("claim_id").agg(F.count(F.lit(1)).alias("n_q"))
+    q = qterms.join(stats, "term", "inner")
+    scored = (
+        postings.join(F.broadcast(q), "term", "inner")
+        .withColumn("contrib", bm25_score_expr(n_docs, avgdl, params))
+        .groupBy("claim_id", "doc_id")
+        .agg(
+            F.sum("contrib").alias("score"),
+            F.count(F.lit(1)).alias("n_matched"),
+        )
+        .join(F.broadcast(nq), "claim_id", "inner")
+        .filter(F.col("n_matched") == F.col("n_q"))
+    )
+    w = Window.partitionBy("claim_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("claim_id", "rank", "doc_id", "score")
+    )

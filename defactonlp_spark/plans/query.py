@@ -21,7 +21,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from defactonlp_spark.config import EngineConfig
-from defactonlp_spark.operators.bm25 import claim_terms, score_exhaustive
+from defactonlp_spark.operators.bm25 import (
+    claim_terms,
+    score_conjunctive,
+    score_exhaustive,
+)
 from defactonlp_spark.operators.segments import decode_slice
 from defactonlp_spark.operators.wand import wand_topk
 from defactonlp_spark.plans.build import IndexReader
@@ -123,9 +127,9 @@ class ServingSession:
             self.segments.unpersist()
 
 
-def query_exhaustive(reader: IndexReader, claims: DataFrame, k: int = 5, cfg: EngineConfig | None = None) -> DataFrame:
-    cfg = cfg or EngineConfig()
-    q = claim_terms(claims)
+def _pruned_postings(reader: IndexReader, q: DataFrame):
+    """Shared decode front half of the non-WAND query paths: bucket + term
+    pruned segment scan -> (postings_long, per-term stats)."""
     terms = [r["term"] for r in q.select("term").distinct().collect()]
     seg = reader.segments()
     bks = reader.buckets_for_terms(terms)
@@ -134,7 +138,29 @@ def query_exhaustive(reader: IndexReader, claims: DataFrame, k: int = 5, cfg: En
     hits = seg.filter(F.col("term").isin(terms))
     # full-term df is carried on every slice; one row per (term) suffices
     stats = hits.groupBy("term").agg(F.first("df").alias("df"))
-    postings = decode_segments(hits)
+    return decode_segments(hits), stats
+
+
+def query_exhaustive(reader: IndexReader, claims: DataFrame, k: int = 5, cfg: EngineConfig | None = None) -> DataFrame:
+    cfg = cfg or EngineConfig()
+    q = claim_terms(claims)
+    postings, stats = _pruned_postings(reader, q)
     return score_exhaustive(
+        postings, stats, q, reader.n_docs, reader.avgdl, k=k, params=cfg.bm25
+    )
+
+
+def query_conjunctive(reader: IndexReader, claims: DataFrame, k: int = 5, cfg: EngineConfig | None = None) -> DataFrame:
+    """Top-k docs containing ALL of a claim's terms, BM25-ranked.
+
+    Boolean-AND retrieval over the same compressed segments: identical
+    pruned scan + decode as :func:`query_exhaustive`, then
+    :func:`score_conjunctive`'s group-count intersection. Claims with any
+    out-of-corpus term return no rows.
+    """
+    cfg = cfg or EngineConfig()
+    q = claim_terms(claims)
+    postings, stats = _pruned_postings(reader, q)
+    return score_conjunctive(
         postings, stats, q, reader.n_docs, reader.avgdl, k=k, params=cfg.bm25
     )

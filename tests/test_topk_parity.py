@@ -160,3 +160,54 @@ def test_dense_kernel_bitexact_vs_cursor_kernel(spark, built, claims_pdf):
     assert (a["claim_id"] == b["claim_id"]).all()
     assert (a["doc_id"] == b["doc_id"]).all()
     assert all(x == y for x, y in zip(a["score"], b["score"])), "scores must be bit-equal"
+
+
+def test_conjunctive_matches_filtered_exhaustive(spark, built, claims_pdf):
+    """query_conjunctive == (exhaustive ranking at k=corpus, filtered to
+    docs containing ALL claim terms, re-ranked, cut at K): same docs in the
+    same order with identical scores — and every returned doc really does
+    contain every claim term (checked against the raw texts)."""
+    from defactonlp_spark.functions.tokenize import tokenize_one
+    from defactonlp_spark.plans.query import query_conjunctive
+
+    reader, texts, cfg = built
+    pdf = claims_pdf.head(40)
+    claims = spark.createDataFrame(pdf[["claim_id", "claim"]])
+    conj = query_conjunctive(reader, claims, k=K, cfg=cfg).toPandas()
+    exh = query_exhaustive(reader, claims, k=len(texts), cfg=cfg).toPandas()
+
+    doc_terms = {d: set(tokenize_one(t)) for d, t in texts.items()}
+    qterms = {int(r.claim_id): set(tokenize_one(r.claim)) for r in pdf.itertuples()}
+
+    # containment: every conjunctive hit has every claim term
+    for r in conj.itertuples():
+        assert qterms[int(r.claim_id)] <= doc_terms[int(r.doc_id)], (
+            f"claim {r.claim_id} doc {r.doc_id} missing terms"
+        )
+
+    # equivalence to the filtered exhaustive ranking, scores bit-equal
+    exh_scores = {(int(r.claim_id), int(r.doc_id)): float(r.score) for r in exh.itertuples()}
+    for cid, q in qterms.items():
+        expect = sorted(
+            (
+                (-exh_scores[(cid, d)], d)
+                for d, ts in doc_terms.items()
+                if q <= ts and (cid, d) in exh_scores
+            ),
+        )[:K]
+        mine = conj[conj.claim_id == cid].sort_values("rank")
+        assert [int(x) for x in mine.doc_id] == [d for _, d in expect], f"claim {cid}"
+        assert [float(x) for x in mine.score] == [-s for s, _ in expect], f"claim {cid} scores"
+
+
+def test_conjunctive_oov_term_returns_nothing(spark, built):
+    """A claim containing any out-of-corpus term must match no docs."""
+    from defactonlp_spark.plans.query import query_conjunctive
+
+    reader, texts, cfg = built
+    some_text = next(iter(texts.values()))
+    known = some_text.split()[0].lower()
+    claims = spark.createDataFrame(
+        [(1, f"{known} zzzzunseenwordzzzz")], "claim_id long, claim string"
+    )
+    assert query_conjunctive(reader, claims, k=K, cfg=cfg).count() == 0
