@@ -70,6 +70,7 @@ def _bm25_sql(
     select: str | None = None,
     order_by: str = "score DESC, doc_id",
     conjunctive: bool = False,
+    mask_sql: str | None = None,
 ) -> str:
     """BM25 core as reusable SQL: toks(doc_id, term) + claims -> top-k.
     ``select`` overrides the final projection (gets `claim_id, doc_id, score,
@@ -77,7 +78,10 @@ def _bm25_sql(
     round(score, 4) when cross-engine float summation order could flip a
     raw-score tie). ``conjunctive=True`` keeps only docs matching ALL of a
     claim's terms (boolean-AND retrieval; n_q counted BEFORE the postings
-    join so out-of-corpus terms make the claim unmatchable)."""
+    join so out-of-corpus terms make the claim unmatchable). ``mask_sql``
+    (a predicate over p.doc_id) drops tombstoned docs from SCORING ONLY —
+    df / dl / N / avgdl stay full-corpus: the engine's pre-compaction
+    live-docs serving semantics."""
     final = select or (
         "claim_id::BIGINT AS claim_id, doc_id::BIGINT AS doc_id, round(score, 4) AS score"
     )
@@ -113,6 +117,7 @@ scored AS (
   JOIN dfreq d ON d.term = q.term
   JOIN dl l ON l.doc_id = p.doc_id
   CROSS JOIN stats s
+  {f"WHERE {mask_sql}" if mask_sql else ""}
   GROUP BY 1, 2
 ){conj_ctes}
 SELECT {final}
@@ -364,6 +369,46 @@ def q_bm25_topk_conjunctive(spark, sf_dir):
     n_docs, avgdl = _engine_corpus_stats(p)
     res = score_conjunctive(
         p, term_stats(p), claim_terms(_claims_df(spark)), n_docs, avgdl, k=TOPK
+    )
+    return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
+
+
+def q_bm25_topk_wand_deletes(spark, sf_dir):
+    """Live-docs serving over tombstones (plans/build.py::delete_docs,
+    IndexReader.deletes_array): docs with doc_id % 5 == 0 are deleted, and
+    the WAND kernels mask them at block-decode time while df / N / avgdl
+    stay STORED (pre-compaction Lucene semantics; merge_builds compacts
+    them physically). Oracle: same BM25 SQL with full-corpus stats, scored
+    rows restricted to surviving docs."""
+    import numpy as np
+
+    from defactonlp_spark.config import EngineConfig
+    from defactonlp_spark.operators.bm25 import claim_terms
+    from defactonlp_spark.operators.postings import (
+        salt_plan,
+        term_stats,
+        with_salt,
+    )
+    from defactonlp_spark.operators.segments import encode_segments
+    from defactonlp_spark.operators.wand import wand_topk
+
+    cfg = EngineConfig(n_buckets=8)
+    p = _postings_cached(spark, sf_dir)
+    n_docs, avgdl = _engine_corpus_stats(p)
+    stats = term_stats(p)
+    seg = encode_segments(with_salt(p, salt_plan(stats, n_docs, cfg)), stats, n_docs, avgdl, cfg, 8)
+    # serving-sized tombstone set by contract (config.max_serving_deletes)
+    dead = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id")
+        .toPandas()["doc_id"]
+        .to_numpy(dtype="int64")
+    )
+    dead.sort()
+    res = wand_topk(
+        seg, claim_terms(_claims_df(spark)), n_docs, avgdl, k=TOPK, cfg=cfg,
+        deletes=dead,
     )
     return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
 
@@ -929,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_topk_wand": q_bm25_topk_wand,
         "bm25_topk_conjunctive": q_bm25_topk_conjunctive,
+        "bm25_topk_wand_deletes": q_bm25_topk_wand_deletes,
         "tpch_q1": q_tpch_q1,
         "top_customers_by_segment": q_top_customers_by_segment,
         "events_hourly": q_events_hourly,
@@ -1025,6 +1071,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _BM25_CORE_SQL,
         "bm25_topk_wand": _BM25_CORE_SQL,
         "bm25_topk_conjunctive": _bm25_sql(_TOKS_SQL, _CLAIMS_SQL, TOPK, conjunctive=True),
+        "bm25_topk_wand_deletes": _bm25_sql(
+            _TOKS_SQL, _CLAIMS_SQL, TOPK, mask_sql="p.doc_id % 5 <> 0"
+        ),
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -70,6 +70,14 @@ class EngineConfig:
     #: batch membership must not depend on parallelism)
     serve_batch_parts: int = 64
 
+    #: live-docs serving guard: the WAND kernels mask delete tombstones with
+    #: a sorted int64 array that rides the task closure (IndexReader
+    #: .deletes_array), so its size must stay broadcast-small. 1M ids = 8 MB
+    #: — ample for the Lucene-style lifecycle (deletes accumulate between
+    #: compactions, merge_builds drops them physically). Past the cap,
+    #: deletes_array raises: compact instead of serving an ever-growing mask.
+    max_serving_deletes: int = 1_000_000
+
     #: segment-scan pruning fast path: when the query set's DISTINCT terms
     #: number at most this, they are collected and pushed as an `isin`
     #: filter (parquet row-group stat pruning applies — segments are written

@@ -55,6 +55,15 @@ RESULTS_SCHEMA = T.StructType(
 )
 
 
+def _live(ids: np.ndarray, deletes: np.ndarray | None) -> np.ndarray | None:
+    """Boolean keep-mask over ids vs a SORTED tombstone array; None when
+    nothing is masked (callers skip the fancy-index copies)."""
+    if deletes is None or deletes.size == 0 or ids.size == 0:
+        return None
+    m = np.isin(ids, deletes, invert=True)
+    return None if m.all() else m
+
+
 class _Cursor:
     """Lazy block-decoding cursor over one (term, salt) segment slice."""
 
@@ -62,10 +71,11 @@ class _Cursor:
         "term", "n", "block_size", "docs_blob", "tfs_blob", "dls_blob",
         "last_ids", "max_scores", "doc_offs", "tf_offs", "dl_offs",
         "idf_t", "avgdl", "params", "ub",
-        "blk", "pos", "blk_ids", "blk_contrib", "exhausted",
+        "blk", "pos", "blk_ids", "blk_contrib", "exhausted", "deletes",
     )
 
-    def __init__(self, row, n_docs: int, avgdl: float, params: BM25Params, block_size: int):
+    def __init__(self, row, n_docs: int, avgdl: float, params: BM25Params, block_size: int,
+                 deletes: np.ndarray | None = None):
         self.term = row["term"]
         self.n = int(row["n"])
         self.block_size = block_size
@@ -82,6 +92,7 @@ class _Cursor:
         self.avgdl = avgdl
         self.params = params
         self.ub = float(self.max_scores.max())
+        self.deletes = deletes
         self.exhausted = self.n == 0
         self.blk = -1
         self.pos = 0
@@ -103,15 +114,27 @@ class _Cursor:
         return blob[lo:hi]
 
     def _load_block(self, k: int) -> None:
-        start, cnt, base = self._block_extent(k)
-        gaps = vb_decode(self._slice_blob(self.docs_blob, self.doc_offs, k, cnt), cnt)
-        ids = np.cumsum(gaps.astype(np.int64)) + base
-        tfs = vb_decode(self._slice_blob(self.tfs_blob, self.tf_offs, k, cnt), cnt)
-        dls = vb_decode(self._slice_blob(self.dls_blob, self.dl_offs, k, cnt), cnt)
+        # tombstones can empty a block entirely — skip forward to the next
+        # block with >= 1 live posting (or exhaust); stored last_ids /
+        # max_scores stay valid as boundaries / upper bounds either way
+        while True:
+            start, cnt, base = self._block_extent(k)
+            gaps = vb_decode(self._slice_blob(self.docs_blob, self.doc_offs, k, cnt), cnt)
+            ids = np.cumsum(gaps.astype(np.int64)) + base
+            tfs = vb_decode(self._slice_blob(self.tfs_blob, self.tf_offs, k, cnt), cnt)
+            dls = vb_decode(self._slice_blob(self.dls_blob, self.dl_offs, k, cnt), cnt)
+            m = _live(ids, self.deletes)
+            if m is not None:
+                ids, tfs, dls = ids[m], tfs[m], dls[m]
+            if ids.size or k + 1 >= len(self.last_ids):
+                break
+            k += 1
         self.blk = k
         self.pos = 0
         self.blk_ids = ids
         self.blk_contrib = bm25_contrib(tfs, dls, self.idf_t, self.avgdl, self.params)
+        if ids.size == 0:
+            self.exhausted = True
 
     # -- WAND interface ------------------------------------------------------
     def doc(self) -> int:
@@ -140,10 +163,22 @@ class _Cursor:
             return
         if k != self.blk:
             self._load_block(k)
-            self.pos = 0
+            if self.exhausted:
+                return
+            if self.blk != k:
+                # _load_block skipped empty (fully deleted) blocks forward;
+                # everything in the landed block is already >= target
+                self.pos = 0
+                return
         self.pos = int(np.searchsorted(self.blk_ids, target, side="left"))
-        if self.pos >= len(self.blk_ids):  # defensive; target <= block last
-            self.exhausted = True
+        if self.pos >= len(self.blk_ids):
+            # all live postings of this block are < target (the block's
+            # stored last doc was deleted) — continue in the next block,
+            # whose live postings are all > this block's boundary >= target
+            if self.blk + 1 < len(self.last_ids):
+                self._load_block(self.blk + 1)
+            else:
+                self.exhausted = True
 
     def next(self) -> None:
         self.pos += 1
@@ -161,11 +196,12 @@ def wand_topk_kernel(
     k: int,
     params: BM25Params,
     block_size: int,
+    deletes: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Block-max WAND over one claim's segment slices -> [(doc_id, score)]
     sorted by (score desc, doc_id asc), len <= k."""
     cursors = [
-        _Cursor(row, n_docs, avgdl, params, block_size)
+        _Cursor(row, n_docs, avgdl, params, block_size, deletes=deletes)
         for _, row in slices.iterrows()
     ]
     cursors = [c for c in cursors if not c.exhausted]
@@ -246,6 +282,7 @@ def _batch_kernel(
     params: BM25Params,
     block_size: int,
     dense_thresh: int,
+    deletes: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Score every claim of one batch over the batch's (deduplicated)
     slices.
@@ -286,6 +323,9 @@ def _batch_kernel(
     if dense_terms:
         for _, row in pdf[pdf["term"].isin(dense_terms)].iterrows():
             ids, tfs, dls = decode_slice(row)
+            m = _live(ids, deletes)
+            if m is not None:
+                ids, tfs, dls = ids[m], tfs[m], dls[m]
             if ids.size == 0:
                 continue
             contrib = bm25_contrib(tfs, dls, float(idf(int(row["df"]), n_docs)), avgdl, params)
@@ -311,7 +351,7 @@ def _batch_kernel(
     for claim_id, present, dense in plans:
         if not dense:
             rows = pdf[pdf["term"].isin(present)]
-            top = wand_topk_kernel(rows, n_docs, avgdl, k, params, block_size)
+            top = wand_topk_kernel(rows, n_docs, avgdl, k, params, block_size, deletes=deletes)
         else:
             scores[:] = 0.0
             for t in present:  # ascending term order — the parity contract
@@ -351,8 +391,19 @@ def wand_topk(
     cfg: EngineConfig = EngineConfig(),
     term_buckets=None,
     boundaries: list[str] | None = None,
+    deletes: np.ndarray | None = None,
 ) -> DataFrame:
     """segments x (claim_id, term) -> results(claim_id, rank, doc_id, score).
+
+    ``deletes``: optional SORTED int64 array of tombstoned doc_ids
+    (IndexReader.deletes_array); kernels mask them after block decode, so
+    deleted docs neither rank nor occupy top-k slots. Stored df / n_docs /
+    avgdl / block-max bounds deliberately still include deleted postings
+    until compaction (Lucene live-docs semantics — bounds stay sound upper
+    bounds, and the exhaustive path filters with the same stored stats, so
+    WAND/exhaustive parity holds). The array rides the task closure; its
+    size is capped by the caller (config.max_serving_deletes) — compaction
+    via merge_builds is the scale path for large tombstone sets.
 
     Batch-gather plan, fully distributed (no driver materialization of the
     claim set — VERDICT r1 'What's wrong' #1):
@@ -446,7 +497,8 @@ def wand_topk(
             for cid, grp in claims_pdf.groupby("claim_id", sort=True)
         ]
         return _batch_kernel(
-            slices_pdf, batch_claims, n_docs, avgdl, k, params, bs, dense_thresh
+            slices_pdf, batch_claims, n_docs, avgdl, k, params, bs, dense_thresh,
+            deletes=deletes,
         )
 
     return (

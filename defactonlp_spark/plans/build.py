@@ -423,11 +423,49 @@ class IndexBuild:
         return props
 
 
+def delete_docs(spark: SparkSession, out_dir: str, doc_ids, note: str | None = None) -> dict:
+    """Append delete tombstones to the index at ``out_dir`` (Lucene-style
+    live-docs lifecycle). Serving masks tombstoned docs immediately — the
+    query paths read them via :meth:`IndexReader.deletes_array` /
+    :meth:`IndexReader.deletes_df` — while stored df/N/avgdl stay as built
+    until :func:`merge_builds` compacts the tombstones away physically.
+    Idempotent: re-deleting an id (or deleting an id the index never had)
+    is harmless; the serving set is distinct-ed on read.
+
+    ``doc_ids``: a DataFrame with a ``doc_id`` column, or any iterable of
+    ints (driver-sized convenience path).
+    """
+    if not isinstance(doc_ids, DataFrame):
+        doc_ids = spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id long")
+    tbl = LocalTable(os.path.join(out_dir, "deletes"))
+    props = {"operation": "delete"}
+    if note:
+        props["note"] = note
+    snap = tbl.append(doc_ids.select(F.col("doc_id").cast("long").alias("doc_id")), properties=props)
+    return {"snapshot_id": snap.snapshot_id, "total_rows": snap.total_rows}
+
+
+def _union_deletes(spark: SparkSession, dirs: list[str]) -> DataFrame | None:
+    """Distinct union of the source indexes' tombstone tables (None if no
+    source has any)."""
+    dfs = []
+    for d in dirs:
+        t = LocalTable(os.path.join(d, "deletes"))
+        if t.current_snapshot() is not None:
+            dfs.append(t.read(spark).select("doc_id"))
+    if not dfs:
+        return None
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), dfs).distinct()
+
+
 def merge_builds(
     spark: SparkSession,
     src_dirs: list[str],
     dest_dir: str,
     cfg: EngineConfig | None = None,
+    apply_deletes: bool = True,
 ) -> dict:
     """B5 in anger: compact several id-disjoint index GENERATIONS (separate
     ``IndexBuild`` outputs — e.g. an initial build plus incremental appends
@@ -447,6 +485,19 @@ def merge_builds(
     N = sum(N_g); avgdl = sum(total_tokens_g) / N (no corpus re-scan).
     Duplicate doc ids across generations fail the merge kernel loudly.
     Lineage: source dirs + their snapshot ids recorded in the manifest.
+
+    Tombstones (``apply_deletes``, default on): if any source carries a
+    ``deletes`` table, compaction physically drops those docs' postings and
+    recomputes EXACT live corpus stats (N, avgdl, per-term df) — the
+    resulting index scores identically to a fresh build over the surviving
+    corpus (tests/test_deletes.py pins this). This path decodes the union
+    and re-encodes through the build's own salt/range/encode operators —
+    one broadcast anti-join against the tombstones plus the build's single
+    range shuffle, so it scales with postings volume, never with tombstone
+    count (no tombstone array rides any closure here; that bound applies
+    only to pre-compaction serving). The blob-level k-way
+    ``merge_segments`` fast path (one exchange, no decode of tf/dl streams
+    into long rows) still serves the no-deletes case.
     """
     from defactonlp_spark.operators.segments import merge_segments
 
@@ -468,14 +519,42 @@ def merge_builds(
     from functools import reduce
 
     union = reduce(lambda a, b: a.unionByName(b), [g.select(*cols) for g in gens])
-    merged = merge_segments(union, n_docs, avgdl, cfg)
 
-    # df-weighted boundaries from the merged vocabulary: per-term postings
-    # mass is sum(n) over the term's slices (tf is per-doc aggregated, so
-    # sum(n) == df) — same cut rule as the build, no corpus scan
-    stats = union.groupBy("term").agg(F.sum("n").alias("df"))
-    n_terms = stats.count()
-    boundaries = bucket_boundaries(stats, cfg.n_buckets, n_terms_hint=n_terms)
+    dels = _union_deletes(spark, [d for d, _, _ in srcs]) if apply_deletes else None
+    n_deleted = 0
+    live = None
+    if dels is not None:
+        from pyspark.storagelevel import StorageLevel
+
+        from defactonlp_spark.plans.query import decode_segments
+
+        # decode -> anti-join -> re-encode via the build operators; persist
+        # the live postings: stats, boundaries, and encode all read them
+        live = (
+            decode_segments(union)
+            .join(F.broadcast(dels), "doc_id", "left_anti")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        crow = P.corpus_stats(live).collect()[0]
+        n_deleted = n_docs - int(crow["n_docs"])
+        n_docs, avgdl = int(crow["n_docs"]), float(crow["avgdl"])
+        total_tokens = int(crow["total_tokens"])
+        stats = P.term_stats(live)
+        n_terms = stats.count()
+        boundaries = bucket_boundaries(stats, cfg.n_buckets, n_terms_hint=n_terms)
+        merged = encode_segments(
+            P.with_salt(live, P.salt_plan(stats, n_docs, cfg)),
+            stats, n_docs, avgdl, cfg, n_partitions=cfg.n_buckets,
+        )
+    else:
+        merged = merge_segments(union, n_docs, avgdl, cfg)
+
+        # df-weighted boundaries from the merged vocabulary: per-term postings
+        # mass is sum(n) over the term's slices (tf is per-doc aggregated, so
+        # sum(n) == df) — same cut rule as the build, no corpus scan
+        stats = union.groupBy("term").agg(F.sum("n").alias("df"))
+        n_terms = stats.count()
+        boundaries = bucket_boundaries(stats, cfg.n_buckets, n_terms_hint=n_terms)
 
     dest_seg = LocalTable(os.path.join(dest_dir, "segments"))
     lineage = {
@@ -484,6 +563,7 @@ def merge_builds(
             {"dir": d, "build_id": p.get("build_id"), "n_docs": int(p["n_docs"])}
             for d, p, _ in srcs
         ]),
+        "n_deleted": n_deleted,
     }
     dest_seg.overwrite(
         merged.withColumn("bucket", bucket_expr(boundaries)),
@@ -506,6 +586,8 @@ def merge_builds(
     LocalTable(os.path.join(dest_dir, "manifest")).overwrite(
         spark.createDataFrame([("merge",)], "build_id string"), properties=props
     )
+    if live is not None:
+        live.unpersist()
     return props
 
 
@@ -514,6 +596,7 @@ class IndexReader:
 
     def __init__(self, spark: SparkSession, out_dir: str):
         self.spark = spark
+        self.out_dir = out_dir
         self.table = LocalTable(os.path.join(out_dir, "segments"))
         snap = LocalTable(os.path.join(out_dir, "manifest")).current_snapshot()
         if snap is None:
@@ -524,6 +607,41 @@ class IndexReader:
 
     def segments(self) -> DataFrame:
         return self.table.read(self.spark)
+
+    def deletes_df(self) -> DataFrame | None:
+        """Distinct tombstoned doc_ids (delete_docs appends), None if the
+        index has no deletes table. Relational query paths anti-join this."""
+        tbl = LocalTable(os.path.join(self.out_dir, "deletes"))
+        snap = tbl.current_snapshot()
+        if snap is None:
+            return None
+        return tbl.read(self.spark).select("doc_id").distinct()
+
+    def deletes_array(self, max_rows: int | None = None):
+        """Sorted distinct tombstone ids as int64 numpy, for kernel-side
+        masking in the WAND path (rides the task closure). ``max_rows``
+        (config.max_serving_deletes) guards the driver/closure size using
+        the tombstone table's METADATA row count (an upper bound — appends
+        may repeat ids) — when it trips, compact with merge_builds instead
+        of serving an unboundedly growing live-docs mask."""
+        import numpy as np
+
+        tbl = LocalTable(os.path.join(self.out_dir, "deletes"))
+        snap = tbl.current_snapshot()
+        if snap is None:
+            return None
+        if max_rows is not None and snap.total_rows > max_rows:
+            raise ValueError(
+                f"deletes table has ~{snap.total_rows} tombstones (> "
+                f"{max_rows}); compact the index with merge_builds before "
+                "serving, or raise config.max_serving_deletes"
+            )
+        pdf = tbl.read(self.spark).select("doc_id").distinct().toPandas()
+        if pdf.empty:
+            return None
+        arr = pdf["doc_id"].to_numpy(dtype="int64")
+        arr.sort()
+        return arr
 
     @property
     def boundaries(self) -> list[str]:

@@ -71,6 +71,7 @@ def query_wand(reader: IndexReader, claims: DataFrame, k: int = 5, cfg: EngineCo
     return wand_topk(
         reader.segments(), q, reader.n_docs, reader.avgdl, k=k, cfg=cfg,
         term_buckets=reader.buckets_for_terms, boundaries=reader.boundaries,
+        deletes=reader.deletes_array(cfg.max_serving_deletes),
     )
 
 
@@ -106,6 +107,10 @@ class ServingSession:
         self.reader = reader
         self.cfg = cfg or EngineConfig()
         self.segments = reader.segments()
+        # live-docs snapshot at session open (Lucene reader semantics: a
+        # session sees the tombstones committed when it opened; deletes
+        # landing later become visible on the next session / reader)
+        self.deletes = reader.deletes_array(self.cfg.max_serving_deletes)
         self._persisted = persist
         if persist:
             self.segments = self.segments.persist(StorageLevel.MEMORY_AND_DISK)
@@ -120,6 +125,7 @@ class ServingSession:
             self.reader.avgdl, k=k, cfg=self.cfg,
             term_buckets=self.reader.buckets_for_terms,
             boundaries=self.reader.boundaries,
+            deletes=self.deletes,
         )
 
     def close(self) -> None:
@@ -129,7 +135,13 @@ class ServingSession:
 
 def _pruned_postings(reader: IndexReader, q: DataFrame):
     """Shared decode front half of the non-WAND query paths: bucket + term
-    pruned segment scan -> (postings_long, per-term stats)."""
+    pruned segment scan -> (postings_long, per-term stats).
+
+    Tombstones: decoded postings are anti-joined against the index's
+    deletes table (broadcast — serving-sized by the same lifecycle bound as
+    config.max_serving_deletes), while ``stats`` keeps the STORED per-term
+    df. That is exactly the WAND kernels' masking semantics, so the
+    wand/exhaustive rank-and-score parity contract survives deletes."""
     terms = [r["term"] for r in q.select("term").distinct().collect()]
     seg = reader.segments()
     bks = reader.buckets_for_terms(terms)
@@ -138,7 +150,11 @@ def _pruned_postings(reader: IndexReader, q: DataFrame):
     hits = seg.filter(F.col("term").isin(terms))
     # full-term df is carried on every slice; one row per (term) suffices
     stats = hits.groupBy("term").agg(F.first("df").alias("df"))
-    return decode_segments(hits), stats
+    postings = decode_segments(hits)
+    dels = reader.deletes_df()
+    if dels is not None:
+        postings = postings.join(F.broadcast(dels), "doc_id", "left_anti")
+    return postings, stats
 
 
 def query_exhaustive(reader: IndexReader, claims: DataFrame, k: int = 5, cfg: EngineConfig | None = None) -> DataFrame:
