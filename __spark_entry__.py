@@ -373,6 +373,42 @@ def q_bm25_topk_conjunctive(spark, sf_dir):
     return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
 
 
+def q_bm25_topk_merged(spark, sf_dir):
+    """Generation merge (operator B5) under the driver's oracle gate: the
+    corpus postings are split into two doc-disjoint GENERATIONS (doc_id
+    parity), each encoded as its own segment table with per-generation
+    term stats (exactly what incremental builds produce — salts and dfs
+    disagree across halves), then compacted by merge_segments with the
+    full-corpus stats and WAND-queried. Oracle: the same BM25 SQL as
+    bm25_topk — compaction must be invisible in results."""
+    from defactonlp_spark.config import EngineConfig
+    from defactonlp_spark.operators.bm25 import claim_terms
+    from defactonlp_spark.operators.postings import (
+        salt_plan,
+        term_stats,
+        with_salt,
+    )
+    from defactonlp_spark.operators.segments import encode_segments, merge_segments
+    from defactonlp_spark.operators.wand import wand_topk
+
+    cfg = EngineConfig(n_buckets=8)
+    p = _postings_cached(spark, sf_dir)
+    n_docs, avgdl = _engine_corpus_stats(p)
+
+    def gen(half):
+        st = term_stats(half)
+        return encode_segments(
+            with_salt(half, salt_plan(st, n_docs, cfg)), st, n_docs, avgdl, cfg, 8
+        )
+
+    union = gen(p.filter(F.col("doc_id") % 2 == 0)).unionByName(
+        gen(p.filter(F.col("doc_id") % 2 == 1))
+    )
+    seg = merge_segments(union, n_docs, avgdl, cfg)
+    res = wand_topk(seg, claim_terms(_claims_df(spark)), n_docs, avgdl, k=TOPK, cfg=cfg)
+    return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
+
+
 def q_bm25_topk_wand_deletes(spark, sf_dir):
     """Live-docs serving over tombstones (plans/build.py::delete_docs,
     IndexReader.deletes_array): docs with doc_id % 5 == 0 are deleted, and
@@ -975,6 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_wand": q_bm25_topk_wand,
         "bm25_topk_conjunctive": q_bm25_topk_conjunctive,
         "bm25_topk_wand_deletes": q_bm25_topk_wand_deletes,
+        "bm25_topk_merged": q_bm25_topk_merged,
         "tpch_q1": q_tpch_q1,
         "top_customers_by_segment": q_top_customers_by_segment,
         "events_hourly": q_events_hourly,
@@ -1074,6 +1111,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_wand_deletes": _bm25_sql(
             _TOKS_SQL, _CLAIMS_SQL, TOPK, mask_sql="p.doc_id % 5 <> 0"
         ),
+        "bm25_topk_merged": _BM25_CORE_SQL,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
