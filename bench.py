@@ -11,6 +11,7 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      BENCH_WEBPAGES (default 320000) — synthetic corpus size for index bench
      BENCH_SCALING  (default 1)      — set 0 to skip the small-cores run
      BENCH_N        (default 2)      — N in the N-vs-4N scaling pair
+     BENCH_DELETES  (default 1)      — set 0 to skip masked-serving/compaction
 
 Scaling-evidence protocol (BASELINE.md): the same index build (identical
 plan, 64 range partitions) on the same input at local[N] vs local[4N]
@@ -56,6 +57,8 @@ N_LARGE = 4 * N_SMALL
 CACHE = "/tmp/spark_graft_bench"
 # two-generation build + merge + serve at 1M docs (VERDICT r2 #1):
 DO_MERGE = os.environ.get("BENCH_MERGE", "1") == "1"
+# live-docs lifecycle: masked serving + compaction over the 320k index:
+DO_DELETES = os.environ.get("BENCH_DELETES", "1") == "1"
 MERGE_PAGES = int(os.environ.get("BENCH_MERGE_PAGES", "1000000"))
 
 
@@ -251,6 +254,68 @@ def bench_merge_serve(cores: int) -> dict:
     return out
 
 
+def bench_deletes(cores: int, idx_dir: str, n_docs: int) -> dict:
+    """Live-docs lifecycle cost at the 320k index: tombstone 10% of docs,
+    measure WARM masked serving (the per-batch cost of the kernel-side id
+    mask), then merge_builds compaction (decode -> anti-join -> re-encode;
+    the scale path for large tombstone sets) and warm serving over the
+    compacted index. The index is COPIED first — delete_docs appends into
+    the index dir and must not poison the other sections' artifact."""
+    import statistics
+
+    from defactonlp_spark.config import EngineConfig
+    from defactonlp_spark.plans.build import IndexReader, delete_docs, merge_builds
+    from defactonlp_spark.plans.query import ServingSession
+    from defactonlp_spark.sources.fixtures import gen_claims
+
+    d_del, d_c = f"{CACHE}/idx_del", f"{CACHE}/idx_del_compacted"
+    for d in (d_del, d_c):
+        shutil.rmtree(d, ignore_errors=True)
+    shutil.copytree(idx_dir, d_del)
+
+    spark = _spark(cores)
+    out: dict = {"index_docs": n_docs}
+    try:
+        _warmup(spark)
+        cfg = EngineConfig(n_buckets=max(cores, 8))
+        # real ids from the build's postings materialization (fused ids are
+        # pid*2^40 + rank — SPARSE; a dense range would tombstone nothing);
+        # doc_id % 10 selects ~10% uniformly across partitions
+        from pyspark.sql import functions as F
+
+        dead = (
+            spark.read.parquet(f"{d_del}/postings")
+            .select("doc_id").distinct().filter(F.col("doc_id") % 10 == 0)
+        )
+        delete_docs(spark, d_del, dead, note="bench ~10%")
+        out["tombstoned_docs"] = dead.count()
+        claims = spark.createDataFrame(gen_claims(200)[["claim_id", "claim"]])
+
+        def warm_serve(dir_, key):
+            sess = ServingSession(IndexReader(spark, dir_), cfg=cfg)
+            sess.warm()
+            walls = []
+            for _ in range(2):
+                t0 = time.time()
+                sess.topk(claims, k=5).count()
+                walls.append(round(time.time() - t0, 2))
+            sess.close()
+            med = statistics.median(walls)
+            out[f"{key}_warm_walls_sec"] = walls
+            out[f"{key}_warm_claims_per_sec"] = round(200 / med, 2)
+
+        warm_serve(d_del, "masked")          # vs query_serving's warm number
+        t0 = time.time()
+        props = merge_builds(spark, [d_del], d_c, cfg)
+        out["compaction_sec"] = round(time.time() - t0, 2)
+        out["compaction_docs_per_sec"] = round(props["n_docs"] / (time.time() - t0), 1)
+        out["compacted_docs"] = props["n_docs"]
+        warm_serve(d_c, "compacted")
+    finally:
+        spark.stop()
+    return out
+
+
 def _build_in_subprocess(cores: int) -> dict:
     """Each timed build gets its own OS process, CPU-PINNED to exactly
     ``cores`` vCPUs (taskset). Two reasons: (a) a stopped-and-recreated
@@ -360,6 +425,10 @@ def main():
 
     # -- query serving over the built index ---------------------------------
     results["query_serving"] = bench_query_serving(CPUS, f"{CACHE}/idx_{N_LARGE}")
+
+    # -- live-docs lifecycle: masked serving + compaction --------------------
+    if DO_DELETES:
+        results["deletes"] = bench_deletes(CPUS, f"{CACHE}/idx_{N_LARGE}", n_docs)
 
     # -- two-generation build + merge + serve at 1M docs --------------------
     if DO_MERGE:
