@@ -210,3 +210,74 @@ def test_extract_plain_text_is_whitespace_normalization(txt):
     # with no tags/entities the extractor must only normalize whitespace
     out = extract_text_one(txt.encode("utf-8"))
     assert out == " ".join(txt.split())
+
+
+# -- WAND cursor machinery under tombstones: fuzz vs brute-force oracle -----
+# The delete-mask paths (_load_block skip-forward over fully-deleted blocks,
+# advance_to landing past a deleted block boundary) have branchy control
+# flow that fixture tests only graze; this drives them with random posting
+# lists, block sizes, and delete sets.
+
+_wand_case = st.integers(min_value=0, max_value=2**31 - 1)
+
+
+@given(_wand_case, st.integers(min_value=2, max_value=9),
+       st.integers(min_value=1, max_value=8))
+@settings(deadline=None, max_examples=60)
+def test_wand_kernel_matches_bruteforce_under_deletes(case_seed, block_size, k):
+    import pandas as pd
+
+    from defactonlp_spark.operators.wand import wand_topk_kernel
+
+    rng = np.random.default_rng(case_seed)
+    n_universe = int(rng.integers(5, 200))
+    n_terms = int(rng.integers(1, 5))
+    dls = rng.integers(1, 50, size=n_universe).astype(np.int64)  # per-DOC
+    avgdl = float(dls.mean())
+    n_docs = n_universe + int(rng.integers(0, 20))
+    cfg = EngineConfig(block_size=block_size)
+
+    rows, term_posts = [], {}
+    for t in range(n_terms):
+        term = f"t{t:02d}"
+        sz = int(rng.integers(1, n_universe + 1))
+        ids = np.sort(rng.choice(n_universe, size=sz, replace=False)).astype(np.int64)
+        tfs = rng.integers(1, 6, size=sz).astype(np.int64)
+        seg = encode_slice(ids, tfs, dls[ids], term_df=sz, n_docs=n_docs,
+                           avgdl=avgdl, cfg=cfg)
+        seg["term"] = term
+        rows.append(seg)
+        term_posts[term] = (ids, tfs)
+
+    # tombstones: random docs (sometimes contiguous runs that empty whole
+    # blocks) plus ids outside the universe entirely
+    dead = set(rng.choice(n_universe, size=int(rng.integers(0, n_universe)),
+                          replace=False).tolist())
+    if rng.random() < 0.5 and n_universe > 10:
+        lo = int(rng.integers(0, n_universe - 5))
+        dead |= set(range(lo, min(lo + block_size * 2, n_universe)))
+    dead |= {n_universe + 1000, -5 % (1 << 62)}
+    deletes = np.array(sorted(dead), dtype=np.int64)
+
+    got = wand_topk_kernel(pd.DataFrame(rows), n_docs, avgdl, k,
+                           cfg.bm25, block_size, deletes=deletes)
+
+    # oracle: per-doc float64 sum in ascending term order over LIVE postings,
+    # stored df — the parity contract's summation order
+    acc = np.zeros(n_universe, dtype=np.float64)
+    seen = np.zeros(n_universe, dtype=bool)
+    for term in sorted(term_posts):
+        ids, tfs = term_posts[term]
+        c = bm25_contrib(tfs, dls[ids], float(idf(ids.size, n_docs)), avgdl,
+                         cfg.bm25)
+        acc[ids] += c
+        seen[ids] = True
+    live = seen.copy()
+    live[[d for d in dead if 0 <= d < n_universe]] = False
+    cand = np.flatnonzero(live)
+    order = np.lexsort((cand, -acc[cand]))[:k]
+    expect = [(int(cand[i]), float(acc[cand[i]])) for i in order]
+
+    assert [d for d, _ in got] == [d for d, _ in expect]
+    np.testing.assert_allclose([s for _, s in got], [s for _, s in expect],
+                               rtol=0, atol=1e-12)
