@@ -373,6 +373,26 @@ def q_bm25_topk_conjunctive(spark, sf_dir):
     return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
 
 
+def q_bm25_topk_filtered(spark, sf_dir):
+    """Filtered retrieval (plans/query.py::query_filtered — the Lucene
+    filter-query analog): exact top-k among docs passing a metadata
+    predicate (lang = 'en'), scored with the STORED full-corpus stats —
+    corpus statistics don't change because a query filters. The allowed
+    set joins distributively (left-semi), never rides a closure. Oracle:
+    BM25 SQL with full stats, scoring restricted to the predicate's docs."""
+    from defactonlp_spark.operators.bm25 import claim_terms, score_exhaustive
+    from defactonlp_spark.operators.postings import term_stats
+
+    p = _postings_cached(spark, sf_dir)
+    n_docs, avgdl = _engine_corpus_stats(p)
+    allowed = _docs(spark, sf_dir).filter(F.col("lang") == "en").select("doc_id")
+    res = score_exhaustive(
+        p.join(allowed, "doc_id", "left_semi"), term_stats(p),
+        claim_terms(_claims_df(spark)), n_docs, avgdl, k=TOPK,
+    )
+    return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
+
+
 def q_bm25_topk_merged(spark, sf_dir):
     """Generation merge (operator B5) under the driver's oracle gate: the
     corpus postings are split into two doc-disjoint GENERATIONS (doc_id
@@ -1012,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_conjunctive": q_bm25_topk_conjunctive,
         "bm25_topk_wand_deletes": q_bm25_topk_wand_deletes,
         "bm25_topk_merged": q_bm25_topk_merged,
+        "bm25_topk_filtered": q_bm25_topk_filtered,
         "tpch_q1": q_tpch_q1,
         "top_customers_by_segment": q_top_customers_by_segment,
         "events_hourly": q_events_hourly,
@@ -1112,6 +1133,10 @@ def oracle_sql() -> dict[str, str]:
             _TOKS_SQL, _CLAIMS_SQL, TOPK, mask_sql="p.doc_id % 5 <> 0"
         ),
         "bm25_topk_merged": _BM25_CORE_SQL,
+        "bm25_topk_filtered": _bm25_sql(
+            _TOKS_SQL, _CLAIMS_SQL, TOPK,
+            mask_sql="p.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')",
+        ),
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

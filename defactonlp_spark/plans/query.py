@@ -166,6 +166,47 @@ def query_exhaustive(reader: IndexReader, claims: DataFrame, k: int = 5, cfg: En
     )
 
 
+def query_filtered(
+    reader: IndexReader,
+    claims: DataFrame,
+    allowed: DataFrame,
+    k: int = 5,
+    cfg: EngineConfig | None = None,
+) -> DataFrame:
+    """Top-k BM25 restricted to an ``allowed`` doc set — metadata-predicate
+    retrieval (the Lucene filter-query analog): "best k docs WHERE
+    lang='en'", takedown scopes, date ranges, licence filters.
+
+    ``allowed``: any DataFrame with a ``doc_id`` column (e.g. a doc-attrs
+    table filtered by the predicate). Unlike the tombstone mask it never
+    rides a task closure — it joins DISTRIBUTIVELY (left-semi on the
+    decoded postings; AQE turns it into a broadcast join when the filter
+    output is small), so the allowed set can be any size up to the corpus.
+
+    Semantics: EXACT top-k among allowed docs, scored with the STORED
+    df/N/avgdl (identical to ranking the unfiltered results and keeping
+    allowed docs — corpus-level statistics don't change because a query
+    filters). Tombstones compose: deleted docs are masked first.
+
+    Why not WAND-with-overfetch: under a selective filter the block-max
+    upper bounds (computed over ALL docs) stop pruning — the classic
+    filtered-retrieval result — and an overfetch loop needs per-claim
+    refill rounds. One pruned decode of the query terms' slices plus one
+    semi-join is cheaper and exact at every selectivity; a HEAVILY reused
+    filter at 10^12 scale is better served by building a sub-index
+    generation for the filtered corpus (IndexBuild on the filtered scan).
+    """
+    cfg = cfg or EngineConfig()
+    q = claim_terms(claims)
+    postings, stats = _pruned_postings(reader, q)
+    postings = postings.join(
+        allowed.select("doc_id").distinct(), "doc_id", "left_semi"
+    )
+    return score_exhaustive(
+        postings, stats, q, reader.n_docs, reader.avgdl, k=k, params=cfg.bm25
+    )
+
+
 def query_conjunctive(reader: IndexReader, claims: DataFrame, k: int = 5, cfg: EngineConfig | None = None) -> DataFrame:
     """Top-k docs containing ALL of a claim's terms, BM25-ranked.
 
