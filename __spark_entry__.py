@@ -373,6 +373,83 @@ def q_bm25_topk_conjunctive(spark, sf_dir):
     return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
 
 
+# exact-phrase fixture: real fixture bigrams/trigram (checked present at
+# sf0.01), a repeated-term phrase, and a no-hit phrase
+PHRASE_CLAIMS = [
+    (0, "table hash"),
+    (1, "part filter"),
+    (2, "data spark"),
+    (3, "slow key scan"),
+    (4, "a a the"),
+    (5, "warehouse moonbeam"),
+]
+_PHRASE_VALUES = "(VALUES " + ", ".join(f"({i}, '{p}')" for i, p in PHRASE_CLAIMS) + ")"
+
+_PHRASE_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+claims(claim_id, phrase) AS {_PHRASE_VALUES},
+qterms AS (
+  SELECT DISTINCT claim_id, unnest(list_filter(regexp_split_to_array(lower(phrase),
+    '[^a-z0-9]+'), t -> t <> '')) AS term FROM claims
+),
+-- adjacency via normalized token strings: tokens are [a-z0-9]+ joined by
+-- single spaces with sentinel spaces at both ends, so consecutive-subseq
+-- containment IS a LIKE containment (no wildcards can occur in tokens)
+docstr AS (
+  SELECT doc_id, ' ' || array_to_string(list_filter(regexp_split_to_array(lower(text),
+    '[^a-z0-9]+'), t -> t <> ''), ' ') || ' ' AS s FROM documents
+),
+pnorm AS (
+  SELECT claim_id, ' ' || array_to_string(list_filter(regexp_split_to_array(lower(phrase),
+    '[^a-z0-9]+'), t -> t <> ''), ' ') || ' ' AS p FROM claims
+),
+matches AS (
+  SELECT pn.claim_id, d.doc_id FROM pnorm pn JOIN docstr d ON d.s LIKE '%' || pn.p || '%'
+),
+scored AS (
+  SELECT q.claim_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * p.tf * {K1 + 1.0}
+              / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)) ) AS score
+  FROM qterms q
+  JOIN postings p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl l ON l.doc_id = p.doc_id
+  JOIN matches m ON m.claim_id = q.claim_id AND m.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT claim_id::BIGINT AS claim_id, doc_id::BIGINT AS doc_id, round(score, 4) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY claim_id ORDER BY score DESC, doc_id) AS rn
+      FROM scored)
+WHERE rn <= {TOPK}
+"""
+
+
+def q_phrase_topk(spark, sf_dir):
+    """Exact phrase retrieval (operators/phrase.py): positional token
+    explode -> anchor-trick adjacency (groupBy(claim, doc, pos-idx) count
+    == phrase length — pure relational, no UDF) -> BM25 over the phrase's
+    terms restricted to matching docs, stored stats. Oracle: LIKE
+    containment over normalized token strings + the same restricted BM25."""
+    from defactonlp_spark.functions.tokenize import tokenize_tokens
+    from defactonlp_spark.operators.phrase import score_phrase
+    from defactonlp_spark.operators.postings import term_stats
+
+    p = _postings_cached(spark, sf_dir)
+    n_docs, avgdl = _engine_corpus_stats(p)
+    docs = _docs(spark, sf_dir)
+    phrases = spark.createDataFrame(PHRASE_CLAIMS, "claim_id long, phrase string")
+    res = score_phrase(
+        p, term_stats(p), tokenize_tokens(docs), phrases, n_docs, avgdl, k=TOPK
+    )
+    return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
+
+
 def q_bm25_topk_filtered(spark, sf_dir):
     """Filtered retrieval (plans/query.py::query_filtered — the Lucene
     filter-query analog): exact top-k among docs passing a metadata
@@ -1033,6 +1110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_wand_deletes": q_bm25_topk_wand_deletes,
         "bm25_topk_merged": q_bm25_topk_merged,
         "bm25_topk_filtered": q_bm25_topk_filtered,
+        "phrase_topk": q_phrase_topk,
         "tpch_q1": q_tpch_q1,
         "top_customers_by_segment": q_top_customers_by_segment,
         "events_hourly": q_events_hourly,
@@ -1137,6 +1215,7 @@ def oracle_sql() -> dict[str, str]:
             _TOKS_SQL, _CLAIMS_SQL, TOPK,
             mask_sql="p.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')",
         ),
+        "phrase_topk": _PHRASE_SQL,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

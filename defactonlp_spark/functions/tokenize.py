@@ -101,6 +101,55 @@ def _batch_postings(pdf: pd.DataFrame, id_col: str, text_col: str) -> pd.DataFra
     )
 
 
+TOKENS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("pos", T.IntegerType(), False),
+        T.StructField("term", T.StringType(), False),
+    ]
+)
+
+
+def tokenize_tokens(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """corpus -> token-level (doc_id, pos, term): the POSITIONAL explode
+    (phrase/proximity queries need token order; the tf-aggregated
+    ``tokenize_postings`` deliberately erases it). Same pinned tokenizer
+    byte-for-byte; ``pos`` is the 0-based token index within the doc.
+
+    Emits |tokens| rows — ~dl/|postings| times bigger than the postings
+    long table, which is why the phrase operators semi-join this relation
+    down to the query's terms BEFORE anything shuffles."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = pdf[text_col]
+            norm = pd.Series(
+                [unicodedata.normalize("NFD", t).casefold() if isinstance(t, str) else ""
+                 for t in texts],
+                index=texts.index, dtype=object,
+            )
+            toks = norm.str.findall(TOKEN_RE)
+            dl = toks.str.len().to_numpy(np.int64)
+            if int(dl.sum()) == 0:
+                yield pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                    "pos": pd.Series(dtype="int32"),
+                                    "term": pd.Series(dtype=object)})
+                continue
+            flat = np.concatenate([np.asarray(t, dtype=object) if t else np.empty(0, object)
+                                   for t in toks.to_numpy()])
+            offsets = np.concatenate(([0], np.cumsum(dl)[:-1]))
+            pos = np.arange(int(dl.sum()), dtype=np.int64) - np.repeat(offsets, dl)
+            ids = pdf[id_col].to_numpy(np.int64)
+            yield pd.DataFrame({
+                "doc_id": np.repeat(ids, dl),
+                "pos": pos.astype("int32"),
+                "term": flat,
+            })
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema=TOKENS_SCHEMA)
+
+
 def tokenize_postings(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """corpus(doc_id, text, ...) -> postings_long(term, doc_id, tf, dl).
 

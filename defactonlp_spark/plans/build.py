@@ -226,6 +226,7 @@ class IndexBuild:
         build_id: str | None = None,
         n_groups: int = 4,
         id_offset: int = 0,
+        store_tokens: bool = False,
     ):
         self.out_dir = out_dir
         self.cfg = cfg or EngineConfig()
@@ -235,6 +236,13 @@ class IndexBuild:
         #: incremental appends pass generation * 2^50 so generations are
         #: id-disjoint and merge_segments can compact them (B5)
         self.id_offset = id_offset
+        #: positional sidecar for exact-phrase queries (query_phrase): a
+        #: bucket-partitioned, term-sorted (doc_id, pos, term) table — the
+        #: Lucene .prx analog in Spark idiom: parquet dictionary/delta
+        #: encoding is the codec, hive partitions + term row-group stats are
+        #: the skip lists. Costs one extra tokenize pass and ~|tokens| rows
+        #: of columnar storage; off by default.
+        self.store_tokens = store_tokens
         self.postings_dir = os.path.join(out_dir, "postings")
         self.segments = LocalTable(os.path.join(out_dir, "segments"))
         self.checkpoints = LocalTable(os.path.join(out_dir, "checkpoints"))
@@ -340,6 +348,33 @@ class IndexBuild:
         n_docs, avgdl, total_tokens = int(cs["n_docs"]), float(cs["avgdl"]), int(cs["total_tokens"])
         _mark("corpus_stats", ts, bs)
 
+        # ---- optional positional sidecar (query_phrase): bucket-partitioned
+        # like the segments so phrase queries prune FILES, term-sorted within
+        # partitions so row-group stats prune inside them --------------------
+        if self.store_tokens:
+            ts, bs = time.time(), _busy()
+            tokens_tbl = LocalTable(os.path.join(self.out_dir, "tokens"))
+            if tokens_tbl.current_snapshot() is None:
+                if "text" not in corpus.columns:
+                    raise ValueError(
+                        "store_tokens requires a corpus with an extracted "
+                        "`text` column (prepare_webpages output): the fused "
+                        "html path assigns doc ids inside the postings "
+                        "kernel, and the sidecar must share those ids"
+                    )
+                from defactonlp_spark.functions.tokenize import tokenize_tokens
+
+                toks = (
+                    tokenize_tokens(corpus)
+                    .withColumn("bucket", bucket_expr(boundaries))
+                    .repartitionByRange(cfg.n_buckets, "bucket", "term")
+                    .sortWithinPartitions("term", "doc_id", "pos")
+                )
+                tokens_tbl.overwrite(
+                    toks, properties={**lineage}, partition_by=["bucket"]
+                )
+            _mark("tokens_sidecar", ts, bs)
+
         # ---- stage 2: per bucket-group encode + commit ---------------------
         done = self._done_buckets(spark)
         pending = [b for b in range(cfg.n_buckets) if b not in done]
@@ -415,6 +450,7 @@ class IndexBuild:
             "k1": cfg.bm25.k1,
             "b": cfg.bm25.b,
             "block_size": cfg.block_size,
+            "has_tokens": self.store_tokens,
             "wall_s": time.time() - t0,
         }
         self.manifest.overwrite(
@@ -607,6 +643,17 @@ class IndexReader:
 
     def segments(self) -> DataFrame:
         return self.table.read(self.spark)
+
+    def tokens(self) -> DataFrame:
+        """The positional sidecar (doc_id, pos, term, bucket) for
+        query_phrase; built with ``IndexBuild(store_tokens=True)``."""
+        tbl = LocalTable(os.path.join(self.out_dir, "tokens"))
+        if tbl.current_snapshot() is None:
+            raise FileNotFoundError(
+                f"no positional sidecar in {self.out_dir}: build with "
+                "IndexBuild(store_tokens=True) to serve phrase queries"
+            )
+        return tbl.read(self.spark)
 
     def deletes_df(self) -> DataFrame | None:
         """Distinct tombstoned doc_ids (delete_docs appends), None if the

@@ -207,6 +207,43 @@ def query_filtered(
     )
 
 
+def query_phrase(
+    reader: IndexReader,
+    phrases: DataFrame,
+    k: int = 5,
+    cfg: EngineConfig | None = None,
+) -> DataFrame:
+    """Exact phrase top-k over a built index (operators/phrase.py) using
+    the positional sidecar (``IndexBuild(store_tokens=True)`` — the Lucene
+    .prx analog: bucket-partitioned hive layout prunes FILES for the
+    phrase's terms, term row-group stats prune inside them, parquet
+    dictionary/delta encoding is the positional codec).
+
+    BM25 part reads the compressed segments through the same pruned decode
+    as the other relational paths, so stored-stats semantics and tombstone
+    masking compose: a deleted doc's postings are anti-joined away, which
+    removes it from the final semi-join even when the sidecar still holds
+    its tokens."""
+    from defactonlp_spark.operators.phrase import phrase_positions, score_phrase
+
+    cfg = cfg or EngineConfig()
+    qpos = phrase_positions(phrases)
+    qterms = qpos.select("claim_id", "term").distinct()
+    postings, stats = _pruned_postings(reader, qterms)
+
+    terms = [r["term"] for r in qterms.select("term").distinct().collect()]
+    toks = reader.tokens()
+    bks = reader.buckets_for_terms(terms)
+    if bks and "bucket" in toks.columns:
+        toks = toks.filter(F.col("bucket").isin(bks))
+    toks = toks.filter(F.col("term").isin(terms))
+
+    return score_phrase(
+        postings, stats, toks, phrases, reader.n_docs, reader.avgdl,
+        k=k, params=cfg.bm25,
+    )
+
+
 def query_conjunctive(reader: IndexReader, claims: DataFrame, k: int = 5, cfg: EngineConfig | None = None) -> DataFrame:
     """Top-k docs containing ALL of a claim's terms, BM25-ranked.
 
