@@ -606,6 +606,29 @@ def merge_builds(
         properties=lineage,
         partition_by=["bucket"],
     )
+
+    # positional sidecar (B11): carried through compaction when EVERY source
+    # has one (a partial union would silently break phrase recall on the
+    # merged index); tombstoned docs' tokens are dropped physically and the
+    # bucket column is recomputed against the MERGED boundaries
+    tok_tbls = [LocalTable(os.path.join(d, "tokens")) for d, _, _ in srcs]
+    has_tokens = all(t.current_snapshot() is not None for t in tok_tbls)
+    if has_tokens:
+        toks = reduce(
+            lambda a, b: a.unionByName(b),
+            [t.read(spark).select("doc_id", "pos", "term") for t in tok_tbls],
+        )
+        if dels is not None:
+            toks = toks.join(F.broadcast(dels), "doc_id", "left_anti")
+        toks = (
+            toks.withColumn("bucket", bucket_expr(boundaries))
+            .repartitionByRange(cfg.n_buckets, "bucket", "term")
+            .sortWithinPartitions("term", "doc_id", "pos")
+        )
+        LocalTable(os.path.join(dest_dir, "tokens")).overwrite(
+            toks, properties=lineage, partition_by=["bucket"]
+        )
+
     props = {
         **lineage,
         "n_docs": n_docs,
@@ -617,6 +640,7 @@ def merge_builds(
         "k1": cfg.bm25.k1,
         "b": cfg.bm25.b,
         "block_size": cfg.block_size,
+        "has_tokens": has_tokens,
         "wall_s": time.time() - t0,
     }
     LocalTable(os.path.join(dest_dir, "manifest")).overwrite(

@@ -174,3 +174,48 @@ def test_query_phrase_index_path(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="store_tokens"):
         query_phrase(IndexReader(spark, d2), phrases, k=5, cfg=cfg).count()
     corpus.unpersist()
+
+
+def test_phrase_sidecar_survives_compaction(spark, tmp_path):
+    """merge_builds carries the positional sidecar: tombstoned docs' tokens
+    are dropped physically, buckets recomputed, and query_phrase keeps
+    working over the compacted index."""
+    from defactonlp_spark.config import EngineConfig
+    from defactonlp_spark.plans.build import (
+        IndexBuild,
+        IndexReader,
+        delete_docs,
+        merge_builds,
+        prepare_webpages,
+    )
+    from defactonlp_spark.plans.query import query_phrase
+    from defactonlp_spark.sources.fixtures import gen_webpages
+
+    cfg = EngineConfig(n_buckets=4)
+    corpus = prepare_webpages(
+        spark.createDataFrame(gen_webpages(n=150, seed=43))
+    ).persist()
+    d = str(tmp_path / "src")
+    IndexBuild(d, cfg, build_id="s", n_groups=1, store_tokens=True).run(
+        spark, corpus, input_snapshot="s"
+    )
+    t0 = tokenize_one(corpus.select("text").first()["text"])
+    phrases = spark.createDataFrame(
+        [(0, f"{t0[0]} {t0[1]}")], "claim_id long, phrase string"
+    )
+    base = query_phrase(IndexReader(spark, d), phrases, k=5, cfg=cfg).toPandas()
+    assert len(base) > 0
+    best = int(base.loc[base["rank"] == 1, "doc_id"].iloc[0])
+    delete_docs(spark, d, [best])
+
+    dst = str(tmp_path / "dst")
+    props = merge_builds(spark, [d], dst, cfg)
+    assert props["has_tokens"] is True
+    rm = IndexReader(spark, dst)
+    got = query_phrase(rm, phrases, k=5, cfg=cfg).toPandas()
+    assert best not in set(got["doc_id"].astype(int))
+    # the deleted doc's tokens are physically gone from the merged sidecar
+    assert rm.tokens().filter(f"doc_id = {best}").count() == 0
+    # surviving matches intact: every pre-delete hit except the tombstone
+    assert set(got["doc_id"].astype(int)) == set(base["doc_id"].astype(int)) - {best}
+    corpus.unpersist()
