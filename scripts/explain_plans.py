@@ -115,7 +115,9 @@ def main():
     import shutil
 
     shutil.rmtree(idx_dir, ignore_errors=True)
-    IndexBuild(idx_dir, cfg, build_id="plans").run(spark, docs, input_snapshot="plans")
+    IndexBuild(idx_dir, cfg, build_id="plans", store_tokens=True).run(
+        spark, docs, input_snapshot="plans"
+    )
     reader = IndexReader(spark, idx_dir)
     seg_t = reader.segments()
     terms = ["the", "merge"]
@@ -134,6 +136,21 @@ def main():
         plan_of(query_wand(reader, claims2, k=5, cfg=cfg)),
         must=["PartitionFilters: [bucket", "PushedFilters: [In(term"],
     )
+
+    # 7. phrase serving: the positional-sidecar scan prunes files (bucket)
+    # and row groups (term) exactly like the segment scan
+    from defactonlp_spark.plans.query import query_phrase
+
+    phrases = spark.createDataFrame([(0, "the merge")], "claim_id long, phrase string")
+    pplan = plan_of(query_phrase(reader, phrases, k=5, cfg=cfg))
+    tok_scans = [s for s in pplan.split("Scan parquet")
+                 if "Location" in s and "tokens" in s.split("Location")[1][:300]]
+    ok_tok = bool(tok_scans) and all(
+        "PartitionFilters: [" in s and "In(term" in s for s in tok_scans
+    )
+    print(f"== query_phrase sidecar scan ==\n  [{'x' if ok_tok else ' '}] "
+          "tokens scan has PartitionFilters(bucket) + PushedFilters In(term)")
+    ok &= ok_tok
 
     print("\nPLANS " + ("OK" if ok else "NOT OK"))
     spark.stop()
