@@ -450,6 +450,157 @@ def q_phrase_topk(spark, sf_dir):
     return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
 
 
+_SNIPPET_W = 3
+# first-occurrence token index via string search on the normalized token
+# string (tokens are [a-z0-9]+ joined by single spaces with sentinel
+# spaces): anchor = spaces before the match position, minus the sentinel
+_SNIPPET_SQL = f"""
+WITH tl AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS t FROM documents
+),
+docstr AS (SELECT doc_id, t, ' ' || array_to_string(t, ' ') || ' ' AS s FROM tl),
+claims(claim_id, phrase) AS {_PHRASE_VALUES},
+q AS (
+  SELECT claim_id,
+         list_filter(regexp_split_to_array(lower(phrase), '[^a-z0-9]+'), x -> x <> '') AS p
+  FROM claims
+),
+hit AS (
+  SELECT q.claim_id, d.doc_id, d.t AS toks, d.s, len(q.p) AS plen,
+         strpos(d.s, ' ' || array_to_string(q.p, ' ') || ' ') AS b
+  FROM q JOIN docstr d ON strpos(d.s, ' ' || array_to_string(q.p, ' ') || ' ') > 0
+)
+SELECT claim_id::BIGINT AS claim_id, doc_id::BIGINT AS doc_id,
+       (length(s[1:b]) - length(replace(s[1:b], ' ', '')) - 1)::BIGINT AS anchor,
+       array_to_string(
+         toks[greatest(1, anchor + 1 - {_SNIPPET_W}) : anchor + plen + {_SNIPPET_W}], ' '
+       ) AS snippet
+FROM hit
+"""
+
+
+def q_phrase_snippets(spark, sf_dir):
+    """KWIC snippets (operators/phrase.py::phrase_snippets): first phrase
+    occurrence per matching doc with +-3 tokens of context, rebuilt purely
+    from the positional relation (sorted collect over the snippet window —
+    no text round-trip, no UDF). Oracle: strpos over normalized token
+    strings -> token index arithmetic -> list slice."""
+    from defactonlp_spark.functions.tokenize import tokenize_tokens
+    from defactonlp_spark.operators.phrase import phrase_snippets
+
+    docs = _docs(spark, sf_dir)
+    phrases = spark.createDataFrame(PHRASE_CLAIMS, "claim_id long, phrase string")
+    res = phrase_snippets(tokenize_tokens(docs), phrases, window=_SNIPPET_W)
+    return res.select(
+        "claim_id", "doc_id", F.col("anchor").cast("long").alias("anchor"), "snippet"
+    )
+
+
+# 's' matches {scan, small, slow, sort, spark, stream} so the df-ordered
+# top-5 window is contested and one candidate is CUT; 'c'/'b' hit several;
+# zzz hits nothing
+SUGGEST_PREFIXES = [("s",), ("c",), ("b",), ("qu",), ("zzz",)]
+
+PROX_W = 6
+PROX_CLAIMS = [
+    (0, "spark query window"),
+    (1, "customer join order"),
+    (2, "value stream batch sort"),
+    (3, "spark moonbeam"),
+]
+_PROX_VALUES = "(VALUES " + ", ".join(f"({i}, '{c}')" for i, c in PROX_CLAIMS) + ")"
+
+_PROX_SQL = f"""
+WITH tl AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS t FROM documents
+),
+tokpos AS (
+  SELECT doc_id, i AS pos, t[i] AS term FROM tl, unnest(range(1, len(t) + 1)) AS u(i)
+),
+toks AS (SELECT doc_id, term FROM tokpos),
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+claims(claim_id, claim) AS {_PROX_VALUES},
+qterms AS (
+  SELECT DISTINCT claim_id, unnest(list_filter(regexp_split_to_array(lower(claim),
+    '[^a-z0-9]+'), t -> t <> '')) AS term FROM claims
+),
+mreq AS (SELECT claim_id, count(*)::BIGINT AS m FROM qterms GROUP BY 1),
+occ AS (
+  SELECT q.claim_id, tk.doc_id, tk.pos, tk.term
+  FROM qterms q JOIN tokpos tk USING (term)
+),
+anch AS (
+  SELECT a.claim_id, a.doc_id, a.pos, count(DISTINCT b.term) AS c
+  FROM occ a JOIN occ b
+    ON b.claim_id = a.claim_id AND b.doc_id = a.doc_id
+   AND b.pos BETWEEN a.pos AND a.pos + {PROX_W - 1}
+  GROUP BY 1, 2, 3
+),
+matches AS (
+  SELECT DISTINCT a.claim_id, a.doc_id
+  FROM anch a JOIN mreq USING (claim_id) WHERE c = m
+),
+scored AS (
+  SELECT q.claim_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * p.tf * {K1 + 1.0}
+              / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)) ) AS score
+  FROM qterms q
+  JOIN postings p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl l ON l.doc_id = p.doc_id
+  JOIN matches mt ON mt.claim_id = q.claim_id AND mt.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT claim_id::BIGINT AS claim_id, doc_id::BIGINT AS doc_id, round(score, 4) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY claim_id ORDER BY score DESC, doc_id) AS rn
+      FROM scored)
+WHERE rn <= {TOPK}
+"""
+
+
+def q_proximity_topk(spark, sf_dir):
+    """Proximity retrieval (operators/phrase.py::score_proximity): docs
+    where ALL of a claim's terms co-occur inside one 6-token window, any
+    order — the phrase anchor trick generalized to a range self-join
+    (count distinct terms per [pos, pos+W-1], fan-out bounded by W).
+    Matching docs BM25-ranked with stored stats."""
+    from defactonlp_spark.functions.tokenize import tokenize_tokens
+    from defactonlp_spark.operators.phrase import score_proximity
+    from defactonlp_spark.operators.postings import term_stats
+
+    p = _postings_cached(spark, sf_dir)
+    n_docs, avgdl = _engine_corpus_stats(p)
+    docs = _docs(spark, sf_dir)
+    claims = spark.createDataFrame(PROX_CLAIMS, "claim_id long, claim string")
+    res = score_proximity(
+        p, term_stats(p), tokenize_tokens(docs), claims, n_docs, avgdl,
+        window=PROX_W, k=TOPK,
+    )
+    return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
+
+
+def q_term_suggest(spark, sf_dir):
+    """Search-box suggester (operators/postings.py::suggest_terms): top-5
+    dictionary terms by df per prefix — broadcast theta-join on the
+    Heaps-bounded term dictionary + windowed top-k."""
+    from defactonlp_spark.operators.postings import suggest_terms, term_stats
+
+    p = _postings_cached(spark, sf_dir)
+    prefixes = spark.createDataFrame(SUGGEST_PREFIXES, "prefix string")
+    res = suggest_terms(term_stats(p), prefixes, k=5)
+    return res.select(
+        "prefix", F.col("rank").cast("long").alias("rank"), "term",
+        F.col("df").cast("long").alias("df"),
+    )
+
+
 def q_bm25_topk_filtered(spark, sf_dir):
     """Filtered retrieval (plans/query.py::query_filtered — the Lucene
     filter-query analog): exact top-k among docs passing a metadata
@@ -1111,6 +1262,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_merged": q_bm25_topk_merged,
         "bm25_topk_filtered": q_bm25_topk_filtered,
         "phrase_topk": q_phrase_topk,
+        "phrase_snippets": q_phrase_snippets,
+        "term_suggest": q_term_suggest,
+        "proximity_topk": q_proximity_topk,
         "tpch_q1": q_tpch_q1,
         "top_customers_by_segment": q_top_customers_by_segment,
         "events_hourly": q_events_hourly,
@@ -1216,6 +1370,20 @@ def oracle_sql() -> dict[str, str]:
             mask_sql="p.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')",
         ),
         "phrase_topk": _PHRASE_SQL,
+        "phrase_snippets": _SNIPPET_SQL,
+        "proximity_topk": _PROX_SQL,
+        "term_suggest": f"""
+WITH toks AS ({_TOKS_SQL}),
+postings AS (SELECT term, doc_id FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY 1),
+prefixes(prefix) AS (VALUES {", ".join(f"('{p}')" for (p,) in SUGGEST_PREFIXES)})
+SELECT prefix, rank, term, df
+FROM (SELECT p.prefix, d.term, d.df,
+             row_number() OVER (PARTITION BY p.prefix
+                                ORDER BY d.df DESC, d.term) AS rank
+      FROM prefixes p JOIN dfreq d ON d.term LIKE p.prefix || '%')
+WHERE rank <= 5
+""",
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

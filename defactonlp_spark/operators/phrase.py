@@ -64,6 +64,152 @@ def phrase_matches(tokens: DataFrame, qpos: DataFrame) -> DataFrame:
     )
 
 
+def phrase_first_hits(tokens: DataFrame, qpos: DataFrame) -> DataFrame:
+    """(claim_id, doc_id, anchor, plen): the FIRST occurrence position of
+    each phrase in each matching doc — same anchor plan as
+    :func:`phrase_matches`, keeping min(anchor) instead of dropping it."""
+    plen = qpos.groupBy("claim_id").agg(F.count(F.lit(1)).alias("plen"))
+    hits = tokens.join(F.broadcast(qpos), "term", "inner").select(
+        "claim_id",
+        "doc_id",
+        (F.col("pos").cast("long") - F.col("idx")).alias("anchor"),
+    )
+    return (
+        hits.groupBy("claim_id", "doc_id", "anchor")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .join(F.broadcast(plen), "claim_id", "inner")
+        .filter(F.col("m") == F.col("plen"))
+        .groupBy("claim_id", "doc_id", "plen")
+        .agg(F.min("anchor").alias("anchor"))
+        .select("claim_id", "doc_id", "anchor", "plen")
+    )
+
+
+def phrase_snippets(
+    tokens: DataFrame,
+    phrases: DataFrame,
+    window: int = 3,
+    limit_docs: DataFrame | None = None,
+) -> DataFrame:
+    """KWIC snippets: for each (phrase, matching doc), the phrase's first
+    occurrence with ``window`` tokens of context either side, rebuilt FROM
+    THE POSITIONAL RELATION — no text column round-trip, no UDF:
+
+        first_hits ⋈ tokens ON doc_id AND pos ∈ [anchor-w, anchor+plen-1+w]
+        -> groupBy(claim, doc): sort by pos, join with spaces
+
+    ``limit_docs`` (claim_id, doc_id — e.g. :func:`score_phrase`'s top-k)
+    restricts snippets to those hits and makes the first-hits side
+    broadcast-small; without it a Zipf-common phrase over a web corpus
+    produces |matches| snippets and the join is left to the planner.
+    Returns (claim_id, doc_id, anchor, snippet)."""
+    fh = phrase_first_hits(tokens, phrase_positions(phrases))
+    if limit_docs is not None:
+        fh = fh.join(
+            limit_docs.select("claim_id", "doc_id"), ["claim_id", "doc_id"], "left_semi"
+        )
+    # fh derives from tokens — rename its join keys so the theta self-join
+    # is unambiguous
+    fh = fh.select(
+        "claim_id", F.col("doc_id").alias("m_doc"), "anchor", "plen"
+    )
+    if limit_docs is not None:
+        fh = F.broadcast(fh)
+    span = tokens.join(
+        fh,
+        (F.col("doc_id") == F.col("m_doc"))
+        & (F.col("pos") >= F.col("anchor") - window)
+        & (F.col("pos") <= F.col("anchor") + F.col("plen") - 1 + window),
+        "inner",
+    ).select("claim_id", F.col("m_doc").alias("doc_id"), "anchor", "pos", "term")
+    return (
+        span.groupBy("claim_id", "doc_id", "anchor")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                    lambda x: x["term"],
+                ),
+                " ",
+            ).alias("snippet")
+        )
+        .select("claim_id", "doc_id", "anchor", "snippet")
+    )
+
+
+def proximity_matches(tokens: DataFrame, qterms: DataFrame, window: int) -> DataFrame:
+    """(doc_id, pos, term) x DISTINCT (claim_id, term) -> (claim_id, doc_id)
+    pairs where ALL the claim's terms co-occur within ``window`` consecutive
+    token positions, in any order.
+
+    The phrase anchor trick generalized to a RANGE self-join: a valid
+    window exists iff one starts at some query-term occurrence, so anchor
+    every occurrence and count distinct terms in [pos, pos+window-1].
+    Fan-out per anchor is bounded by the window length, so the join output
+    is <= |hits| * window — never quadratic in document length."""
+    m = qterms.groupBy("claim_id").agg(F.count(F.lit(1)).alias("m_terms"))
+    occ = tokens.join(F.broadcast(qterms), "term", "inner").select(
+        "claim_id", "doc_id", "pos", "term"
+    )
+    a = occ.select("claim_id", "doc_id", F.col("pos").alias("apos"))
+    b = occ.select(
+        F.col("claim_id").alias("b_claim"), F.col("doc_id").alias("b_doc"),
+        F.col("pos").alias("bpos"), F.col("term").alias("b_term"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("claim_id") == F.col("b_claim"))
+            & (F.col("doc_id") == F.col("b_doc"))
+            & (F.col("bpos") >= F.col("apos"))
+            & (F.col("bpos") <= F.col("apos") + window - 1),
+            "inner",
+        )
+        .groupBy("claim_id", "doc_id", "apos")
+        .agg(F.countDistinct("b_term").alias("c"))
+        .join(F.broadcast(m), "claim_id", "inner")
+        .filter(F.col("c") == F.col("m_terms"))
+        .select("claim_id", "doc_id")
+        .distinct()
+    )
+
+
+def score_proximity(
+    postings: DataFrame,
+    stats: DataFrame,
+    tokens: DataFrame,
+    claims: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    window: int,
+    k: int = 5,
+    params: BM25Params = BM25Params(),
+) -> DataFrame:
+    """Top-k proximity retrieval: docs where all of a claim's terms fall
+    inside one ``window``-token span (any order), BM25-ranked over those
+    terms with stored stats — the unordered sibling of :func:`score_phrase`
+    (window == phrase length and ordered adjacency make phrase the tighter
+    constraint). ``claims``: (claim_id, claim) free text."""
+    from defactonlp_spark.operators.bm25 import claim_terms
+
+    qterms = claim_terms(claims)
+    matches = proximity_matches(tokens, qterms, window)
+    q = qterms.join(stats, "term", "inner")
+    scored = (
+        postings.join(F.broadcast(q), "term", "inner")
+        .withColumn("contrib", bm25_score_expr(n_docs, avgdl, params))
+        .join(matches, ["claim_id", "doc_id"], "left_semi")
+        .groupBy("claim_id", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    w = Window.partitionBy("claim_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("claim_id", "rank", "doc_id", "score")
+    )
+
+
 def score_phrase(
     postings: DataFrame,
     stats: DataFrame,

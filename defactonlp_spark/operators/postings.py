@@ -124,6 +124,32 @@ def corpus_stats(postings: DataFrame) -> DataFrame:
     )
 
 
+def suggest_terms(stats: DataFrame, prefixes: DataFrame, k: int = 5) -> DataFrame:
+    """Search-box term suggester: for each prefix, the top-k dictionary
+    terms by document frequency (ties broken lexicographically).
+
+    Relational shape: the prefix set is query-sized — broadcast it onto the
+    term dictionary with a ``startswith`` theta-join (the dictionary is
+    |vocabulary| rows, Heaps-law bounded, NOT |corpus|), then a windowed
+    top-k per prefix. A latency-critical deployment would additionally
+    range-partition + sort the dictionary by term so the prefix becomes a
+    range predicate; at batch scale the broadcast scan is one pass.
+
+    ``prefixes``: DataFrame with a ``prefix`` column. Returns
+    (prefix, rank, term, df)."""
+    joined = stats.join(
+        F.broadcast(prefixes.select("prefix").distinct()),
+        F.col("term").startswith(F.col("prefix")),
+        "inner",
+    )
+    w = Window.partitionBy("prefix").orderBy(F.desc("df"), F.asc("term"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("prefix", "rank", "term", "df")
+    )
+
+
 def salt_plan(stats: DataFrame, n_docs: int, cfg: EngineConfig) -> DataFrame:
     """Head terms (df > salt_df_ratio * n_docs) -> n_salts sub-lists.
 

@@ -219,3 +219,110 @@ def test_phrase_sidecar_survives_compaction(spark, tmp_path):
     # surviving matches intact: every pre-delete hit except the tombstone
     assert set(got["doc_id"].astype(int)) == set(base["doc_id"].astype(int)) - {best}
     corpus.unpersist()
+
+
+def test_phrase_snippets(spark):
+    """KWIC snippets vs a scalar slice oracle, window clipping included."""
+    from defactonlp_spark.operators.phrase import phrase_snippets
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    phrases = spark.createDataFrame(PHRASES, "claim_id long, phrase string")
+    got = {
+        (r["claim_id"], r["doc_id"]): (r["anchor"], r["snippet"])
+        for r in phrase_snippets(tokenize_tokens(docs), phrases, window=2).collect()
+    }
+    toks = {d: tokenize_one(t) for d, t in DOCS}
+    expect = {}
+    for cid, ph in PHRASES:
+        p = tokenize_one(ph)
+        for d, t in toks.items():
+            firsts = [i for i in range(len(t) - len(p) + 1) if t[i : i + len(p)] == p]
+            if firsts:
+                a = firsts[0]
+                expect[(cid, d)] = (a, " ".join(t[max(0, a - 2) : a + len(p) + 2]))
+    assert got == expect
+    # doc 3 "alpha beta alpha beta" + phrase 100 "alpha beta": FIRST hit at 0
+    assert got[(100, 3)] == (0, "alpha beta alpha beta")
+
+    # limit_docs restricts to given (claim, doc) hits
+    lim = spark.createDataFrame([(100, 0)], "claim_id long, doc_id long")
+    only = phrase_snippets(tokenize_tokens(docs), phrases, window=2, limit_docs=lim).collect()
+    assert {(r["claim_id"], r["doc_id"]) for r in only} == {(100, 0)}
+
+
+def test_suggest_terms(spark):
+    from defactonlp_spark.operators.postings import suggest_terms
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    stats = P.term_stats(P.build_postings(docs))
+    prefixes = spark.createDataFrame([("al",), ("b",), ("zzz",)], "prefix string")
+    got = suggest_terms(stats, prefixes, k=2).toPandas()
+    rows = {(r.prefix, r.rank): (r.term, r.df) for r in got.itertuples()}
+    # df: alpha in docs 0-4 (5), alphabeta in doc 5 (1); beta in 0-4 (5)
+    assert rows[("al", 1)] == ("alpha", 5)
+    assert rows[("al", 2)] == ("alphabeta", 1)
+    assert rows[("b", 1)] == ("beta", 5)
+    assert ("zzz", 1) not in rows
+
+
+def _brute_prox(text: str, terms: list[str], w: int) -> bool:
+    t = tokenize_one(text)
+    occ = [i for i, x in enumerate(t) if x in terms]
+    need = set(terms)
+    return any(need <= set(t[a : a + w]) for a in occ)
+
+
+def test_proximity_matches_and_scores(spark):
+    from defactonlp_spark.operators.phrase import proximity_matches, score_proximity
+    from defactonlp_spark.operators.bm25 import claim_terms
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    claims = [(200, "alpha gamma"), (201, "delta beta"), (202, "alpha zeta")]
+    cdf = spark.createDataFrame(claims, "claim_id long, claim string")
+    W = 3
+    got = {
+        (r["claim_id"], r["doc_id"])
+        for r in proximity_matches(tokenize_tokens(docs), claim_terms(cdf), W).collect()
+    }
+    expect = {
+        (cid, did)
+        for cid, c in claims
+        for did, text in DOCS
+        if _brute_prox(text, tokenize_one(c), W)
+    }
+    assert got == expect
+    # sanity on the shape: "alpha gamma" never ADJACENT (phrase fails) but
+    # within 3 tokens in docs 0/1/2/4; out-of-corpus zeta matches nothing
+    assert (200, 0) in got and all(c != 202 for c, _ in got)
+
+    res = score_proximity(
+        P.build_postings(docs), P.term_stats(P.build_postings(docs)),
+        tokenize_tokens(docs), cdf, 6, 3.5, window=W, k=10,
+    ).toPandas()
+    assert {(r.claim_id, r.doc_id) for r in res.itertuples()} == got
+
+
+def test_proximity_random_corpus_vs_bruteforce(spark):
+    from defactonlp_spark.operators.bm25 import claim_terms
+    from defactonlp_spark.operators.phrase import proximity_matches
+    from defactonlp_spark.sources.fixtures import gen_webpages
+
+    pdf = gen_webpages(n=80, seed=55, dup_frac=0.0)
+    pdf["doc_id"] = range(len(pdf))
+    docs = spark.createDataFrame(pdf[["doc_id", "text"]])
+    toks5 = tokenize_one(pdf["text"].iloc[2])
+    claims = [(0, f"{toks5[0]} {toks5[7]}"), (1, f"{toks5[1]} {toks5[4]} {toks5[9]}")]
+    cdf = spark.createDataFrame(claims, "claim_id long, claim string")
+    for W in (4, 12):
+        got = {
+            (r["claim_id"], r["doc_id"])
+            for r in proximity_matches(tokenize_tokens(docs), claim_terms(cdf), W).collect()
+        }
+        expect = {
+            (cid, int(d))
+            for cid, c in claims
+            for d, text in zip(pdf["doc_id"], pdf["text"])
+            if _brute_prox(text, tokenize_one(c), W)
+        }
+        assert got == expect, W
+    assert len(got) > 0
