@@ -59,6 +59,8 @@ CACHE = "/tmp/spark_graft_bench"
 DO_MERGE = os.environ.get("BENCH_MERGE", "1") == "1"
 # live-docs lifecycle: masked serving + compaction over the 320k index:
 DO_DELETES = os.environ.get("BENCH_DELETES", "1") == "1"
+# the sf0.1 harness-query loop (set 0 for section-focused partial runs):
+DO_HARNESS = os.environ.get("BENCH_HARNESS", "1") == "1"
 MERGE_PAGES = int(os.environ.get("BENCH_MERGE_PAGES", "1000000"))
 
 
@@ -453,6 +455,11 @@ def main():
         results["merge_serve"] = bench_merge_serve(CPUS)
 
     # -- harness queries at SF_DIR ------------------------------------------
+    if not DO_HARNESS:
+        results["queries"] = {}
+        results["value"] = 0.0
+        print(json.dumps(results))
+        return
     from defactonlp_spark.operators.dedup import release_cached
 
     spark = _spark(CPUS)
