@@ -28,6 +28,16 @@ BM25_CLAIMS = [
     (3, "spark group query row"),
     (4, "sort table scan vector"),
 ]
+# boolean retrieval fixture: (claim_id, must, should, must_not) — exercises
+# pure-must, pure-should, veto, out-of-corpus must, and the clause-precedence
+# rule (term in every clause -> must_not wins)
+BOOL_QUERIES = [
+    (0, "merge batch", "spark window", "customer"),
+    (1, "", "line stream", "join"),
+    (2, "filter sort scan", "", ""),
+    (3, "key qqunseenterm", "table", ""),
+    (4, "query", "query", "query"),
+]
 K1, B = 1.2, 0.75
 TOPK = 5
 
@@ -128,6 +138,59 @@ WHERE rn <= {k}
 
 
 _BM25_CORE_SQL = _bm25_sql(_TOKS_SQL, _CLAIMS_SQL, TOPK)
+
+# boolean (must/should/must_not) twin — same BM25 core, clause logic as
+# integer precedence (0 must_not, 1 must, 2 should; min() = the engine's
+# clause-precedence dedup in operators/bm25.py::boolean_terms)
+_BOOL_VALUES = "(VALUES " + ", ".join(
+    f"({i}, '{m}', '{s}', '{n}')" for i, m, s, n in BOOL_QUERIES
+) + ")"
+_SPLIT = "unnest(list_filter(regexp_split_to_array(lower({c}), '[^a-z0-9]+'), t -> t <> ''))"
+_BOOL_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+bq(claim_id, must, should, must_not) AS {_BOOL_VALUES},
+clause_terms AS (
+  SELECT claim_id, 1 AS pri, {_SPLIT.format(c='must')} AS term FROM bq
+  UNION ALL
+  SELECT claim_id, 2 AS pri, {_SPLIT.format(c='should')} AS term FROM bq
+  UNION ALL
+  SELECT claim_id, 0 AS pri, {_SPLIT.format(c='must_not')} AS term FROM bq
+),
+qterms AS (SELECT claim_id, term, min(pri) AS pri FROM clause_terms GROUP BY 1, 2),
+nmust AS (SELECT claim_id, sum(CASE WHEN pri = 1 THEN 1 ELSE 0 END)::BIGINT AS n_must
+          FROM qterms GROUP BY 1),
+scored AS (
+  SELECT q.claim_id, p.doc_id,
+         sum(CASE WHEN q.pri <> 0 THEN
+               ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+               * p.tf * {K1 + 1.0}
+               / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl))
+             ELSE 0 END) AS score,
+         sum(CASE WHEN q.pri = 1 THEN 1 ELSE 0 END)::BIGINT AS n_must_m,
+         sum(CASE WHEN q.pri = 0 THEN 1 ELSE 0 END)::BIGINT AS n_not_m,
+         sum(CASE WHEN q.pri = 2 THEN 1 ELSE 0 END)::BIGINT AS n_should_m
+  FROM qterms q
+  JOIN postings p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl l ON l.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ok AS (
+  SELECT s.claim_id, s.doc_id, s.score
+  FROM scored s JOIN nmust m USING (claim_id)
+  WHERE s.n_not_m = 0 AND s.n_must_m = m.n_must
+    AND (m.n_must > 0 OR s.n_should_m >= 1)
+)
+SELECT claim_id::BIGINT AS claim_id, doc_id::BIGINT AS doc_id, round(score, 4) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY claim_id ORDER BY score DESC, doc_id) AS rn
+      FROM ok)
+WHERE rn <= {TOPK}
+"""
 
 # ---- SQL twins for the reference-surface operators (A12-A15, A18, A9-A11) --
 
@@ -370,6 +433,22 @@ def q_bm25_topk_conjunctive(spark, sf_dir):
     res = score_conjunctive(
         p, term_stats(p), claim_terms(_claims_df(spark)), n_docs, avgdl, k=TOPK
     )
+    return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
+
+
+def q_bm25_topk_boolean(spark, sf_dir):
+    """Boolean must/should/must_not retrieval — the Lucene BooleanQuery
+    analog (operators/bm25.py::score_boolean; the index path is
+    plans/query.py::query_boolean over pruned decoded segments)."""
+    from defactonlp_spark.operators.bm25 import boolean_terms, score_boolean
+    from defactonlp_spark.operators.postings import term_stats
+
+    p = _postings_cached(spark, sf_dir)
+    n_docs, avgdl = _engine_corpus_stats(p)
+    bq = spark.createDataFrame(
+        BOOL_QUERIES, "claim_id long, must string, should string, must_not string"
+    )
+    res = score_boolean(p, term_stats(p), boolean_terms(bq), n_docs, avgdl, k=TOPK)
     return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
 
 
@@ -1258,6 +1337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_topk_wand": q_bm25_topk_wand,
         "bm25_topk_conjunctive": q_bm25_topk_conjunctive,
+        "bm25_topk_boolean": q_bm25_topk_boolean,
         "bm25_topk_wand_deletes": q_bm25_topk_wand_deletes,
         "bm25_topk_merged": q_bm25_topk_merged,
         "bm25_topk_filtered": q_bm25_topk_filtered,
@@ -1361,6 +1441,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _BM25_CORE_SQL,
         "bm25_topk_wand": _BM25_CORE_SQL,
         "bm25_topk_conjunctive": _bm25_sql(_TOKS_SQL, _CLAIMS_SQL, TOPK, conjunctive=True),
+        "bm25_topk_boolean": _BOOL_SQL,
         "bm25_topk_wand_deletes": _bm25_sql(
             _TOKS_SQL, _CLAIMS_SQL, TOPK, mask_sql="p.doc_id % 5 <> 0"
         ),

@@ -118,3 +118,109 @@ def score_conjunctive(
         .filter(F.col("rank") <= k)
         .select("claim_id", "rank", "doc_id", "score")
     )
+
+
+# -- boolean (must / should / must_not) retrieval ---------------------------
+#
+# The Lucene BooleanQuery analog (public semantics: MUST terms all required,
+# MUST_NOT terms all excluded, SHOULD terms optional scorers with
+# minimum_should_match=1 when no MUST clause is present). Score = sum of
+# BM25 contributions of the matched must+should terms; must_not terms never
+# contribute to the score.
+
+#: clause precedence when one term appears in several clauses of the same
+#: query: must_not wins over must wins over should (Lucene: prohibited
+#: clauses veto, required clauses subsume optional ones).
+_CLAUSE_PRI = {"must_not": 0, "must": 1, "should": 2}
+
+
+def boolean_terms(
+    queries: DataFrame,
+    id_col: str = "claim_id",
+    must_col: str = "must",
+    should_col: str = "should",
+    not_col: str = "must_not",
+) -> DataFrame:
+    """queries(claim_id, must, should, must_not — free-text clause columns)
+    -> distinct (claim_id, term, pri) with clause-precedence dedup.
+
+    Each clause column is tokenized with the engine tokenizer (so boolean
+    queries see exactly the index's term space); NULL/empty clause columns
+    yield no terms. ``pri`` is the integer precedence (0 must_not, 1 must,
+    2 should) — downstream operators and the DuckDB oracle branch on the
+    same integers.
+    """
+    parts = []
+    for col, clause in ((not_col, "must_not"), (must_col, "must"), (should_col, "should")):
+        if col in queries.columns:
+            parts.append(
+                claim_terms(
+                    queries.select(F.col(id_col), F.coalesce(F.col(col), F.lit("")).alias("claim")),
+                    id_col=id_col,
+                ).withColumn("pri", F.lit(_CLAUSE_PRI[clause]))
+            )
+    if not parts:
+        raise ValueError("queries has none of the clause columns")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy(id_col, "term").agg(F.min("pri").alias("pri"))
+
+
+def score_boolean(
+    postings: DataFrame,
+    stats: DataFrame,
+    qterms: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k: int = 5,
+    params: BM25Params = BM25Params(),
+) -> DataFrame:
+    """Boolean BM25 top-k over (claim_id, term, pri) clause terms.
+
+    A doc qualifies for a claim iff it matches ALL must terms (a must term
+    absent from the corpus makes the claim unmatchable), NO must_not term,
+    and — when the claim has no must terms — at least one should term.
+    Qualifying docs are ranked by the BM25 sum of their matched must+should
+    contributions (score desc, doc_id asc), exactly the
+    :func:`score_exhaustive` ranking rule.
+
+    Plan shape: identical single postings scan + broadcast clause join as
+    the other ad-hoc paths; must_not postings ride the same scan but their
+    contribution is zeroed in the codegen'd CASE, so exclusion costs one
+    extra term's postings, not a second pass. All clause logic lives in ONE
+    hash aggregate + a broadcast join against the per-claim must count.
+    """
+    # must count from the RAW clause terms (before the stats join) so an
+    # out-of-corpus must term still makes the claim unmatchable
+    nmust = qterms.groupBy("claim_id").agg(
+        F.sum((F.col("pri") == 1).cast("int")).alias("n_must")
+    )
+    q = qterms.join(stats, "term", "inner")
+    is_not = F.col("pri") == 0
+    scored = (
+        postings.join(F.broadcast(q), "term", "inner")
+        .withColumn(
+            "contrib",
+            F.when(is_not, F.lit(0.0)).otherwise(bm25_score_expr(n_docs, avgdl, params)),
+        )
+        .groupBy("claim_id", "doc_id")
+        .agg(
+            F.sum("contrib").alias("score"),
+            F.sum((F.col("pri") == 1).cast("int")).alias("n_must_m"),
+            F.sum((F.col("pri") == 0).cast("int")).alias("n_not_m"),
+            F.sum((F.col("pri") == 2).cast("int")).alias("n_should_m"),
+        )
+        .join(F.broadcast(nmust), "claim_id", "inner")
+        .filter(
+            (F.col("n_not_m") == 0)
+            & (F.col("n_must_m") == F.col("n_must"))
+            & ((F.col("n_must") > 0) | (F.col("n_should_m") >= 1))
+        )
+    )
+    w = Window.partitionBy("claim_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("claim_id", "rank", "doc_id", "score")
+    )

@@ -258,3 +258,29 @@ def query_conjunctive(reader: IndexReader, claims: DataFrame, k: int = 5, cfg: E
     return score_conjunctive(
         postings, stats, q, reader.n_docs, reader.avgdl, k=k, params=cfg.bm25
     )
+
+
+def query_boolean(
+    reader: IndexReader,
+    queries: DataFrame,
+    k: int = 5,
+    cfg: EngineConfig | None = None,
+) -> DataFrame:
+    """Boolean (must / should / must_not) BM25 top-k over a built index —
+    the Lucene BooleanQuery analog (operators/bm25.py::score_boolean).
+
+    ``queries``: (claim_id, must, should, must_not) free-text clause
+    columns. The pruned segment scan covers ALL clause terms (must_not
+    included — their postings are needed to veto docs), then the single
+    scored aggregate applies clause logic. Tombstone masking rides
+    :func:`_pruned_postings`' anti-join, so deleted docs can neither match
+    nor veto.
+    """
+    from defactonlp_spark.operators.bm25 import boolean_terms, score_boolean
+
+    cfg = cfg or EngineConfig()
+    q = boolean_terms(queries)
+    postings, stats = _pruned_postings(reader, q)
+    return score_boolean(
+        postings, stats, q, reader.n_docs, reader.avgdl, k=k, params=cfg.bm25
+    )
