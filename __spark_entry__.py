@@ -947,6 +947,15 @@ def q_lang_id(spark, sf_dir):
     return lang_id(_docs(spark, sf_dir))
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Gopher/C4-style repetition quality gates (functions/textstats.py::
+    repetition_stats): dup-line fraction, top-bigram fraction, duplicated
+    5-gram fraction — the standard LLM-pretraining repetition filters."""
+    from defactonlp_spark.functions.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
 def q_doc_fingerprint(spark, sf_dir):
     from defactonlp_spark.functions.textstats import fingerprint
 
@@ -1361,6 +1370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_repetition": q_doc_repetition,
         "token_counts": q_token_counts,
         "title_match": q_title_match,
         "candidate_union": q_candidate_union,
@@ -1641,6 +1651,46 @@ WHERE rank <= 5
                         ELSE 'de' END AS pred_lang
             FROM hits
         """,
+        "doc_repetition": """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks,
+         list_filter(str_split(text, chr(10)), l -> l <> '') AS lines
+  FROM documents
+),
+n AS (
+  SELECT doc_id, len(toks)::BIGINT AS n_tokens, len(lines) AS n_lines,
+         len(list_distinct(lines)) AS n_dlines
+  FROM base
+),
+big AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+  FROM base, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+  WHERE len(toks) >= 2
+),
+bigc AS (
+  SELECT doc_id, max(c)::DOUBLE AS mx, sum(c)::DOUBLE AS tot
+  FROM (SELECT doc_id, g, count(*) AS c FROM big GROUP BY 1, 2) GROUP BY 1
+),
+g5 AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+         toks[i+3] || ' ' || toks[i+4] AS g
+  FROM base, unnest(generate_series(1, len(toks) - 4)) AS t(i)
+  WHERE len(toks) >= 5
+),
+g5c AS (
+  SELECT doc_id, sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::DOUBLE AS dup,
+         sum(c)::DOUBLE AS tot
+  FROM (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2) GROUP BY 1
+)
+SELECT n.doc_id, n.n_tokens,
+       CASE WHEN n.n_lines > 0
+            THEN round((n.n_lines - n.n_dlines) / n.n_lines::DOUBLE, 6)
+            ELSE 0.0 END AS dup_line_frac,
+       coalesce(round(bigc.mx / bigc.tot, 6), 0.0) AS top_bigram_frac,
+       coalesce(round(g5c.dup / g5c.tot, 6), 0.0) AS dup_5gram_frac
+FROM n LEFT JOIN bigc USING (doc_id) LEFT JOIN g5c USING (doc_id)
+""",
         "doc_fingerprint": f"""
             WITH base AS (
               SELECT doc_id,

@@ -20,7 +20,13 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from defactonlp_spark.operators.dedup import tokens_col
 from defactonlp_spark.session import floor_parallelism
@@ -257,3 +263,139 @@ def fingerprint_sql(docs: DataFrame, n: int = 5, n_hashes: int = 4, id_col: str 
         for i in range(n_hashes)
     ]
     return with_grams.select(F.col(id_col), *mins)
+
+
+# -- repetition statistics (Gopher/C4-style quality gates) -------------------
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc repetition metrics — the Gopher/C4 quality-gate family
+    (public refs: Rae et al. 2021 "Scaling Language Models" §A1.1 repetition
+    filters; Raffel et al. 2020 C4 line dedup), token-occurrence flavored:
+
+    - ``n_tokens``        engine-tokenizer token count
+    - ``dup_line_frac``   duplicated newline-split non-empty lines over all
+                          such lines: (n_lines - n_distinct_lines)/n_lines
+    - ``top_bigram_frac`` occurrences of the most frequent token bigram over
+                          all bigram positions (n_tokens - 1)
+    - ``dup_5gram_frac``  occurrences of 5-grams appearing >= 2 times over
+                          all 5-gram positions (n_tokens - 4)
+
+    Zero-denominator cases are 0.0; NULL text yields NULL metrics. All
+    fractions rounded to 6 dp. One Arrow-batched kernel (tokens from the
+    JVM tokenizer), shuffle-free — byte-identical to
+    :func:`repetition_stats_sql` (parity-tested) and the DuckDB oracle.
+    """
+    from collections import Counter
+
+    id_field = docs.schema[id_col]
+    schema = StructType(
+        [
+            StructField(id_field.name, id_field.dataType),
+            StructField("n_tokens", LongType()),
+        ]
+        + [
+            StructField(c, DoubleType())
+            for c in ("dup_line_frac", "top_bigram_frac", "dup_5gram_frac")
+        ]
+    )
+
+    def kern(batches):
+        for pdf in batches:
+            n_toks, dline, topbi, dup5 = [], [], [], []
+            for text, toks in zip(pdf["_text"], pdf["_toks"]):
+                if toks is None or text is None:
+                    n_toks.append(None)
+                    dline.append(None)
+                    topbi.append(None)
+                    dup5.append(None)
+                    continue
+                toks = list(toks)
+                n = len(toks)
+                n_toks.append(n)
+                lines = [l for l in text.split("\n") if l != ""]
+                dline.append(
+                    round((len(lines) - len(set(lines))) / len(lines), 6)
+                    if lines else 0.0
+                )
+                if n >= 2:
+                    bc = Counter(zip(toks, toks[1:]))
+                    topbi.append(round(max(bc.values()) / (n - 1), 6))
+                else:
+                    topbi.append(0.0)
+                if n >= 5:
+                    gc = Counter(
+                        tuple(toks[i : i + 5]) for i in range(n - 4)
+                    )
+                    dup = sum(c for c in gc.values() if c >= 2)
+                    dup5.append(round(dup / (n - 4), 6))
+                else:
+                    dup5.append(0.0)
+            yield pd.DataFrame(
+                {
+                    id_field.name: pdf[id_field.name],
+                    "n_tokens": pd.array(n_toks, dtype="Int64"),
+                    "dup_line_frac": pd.array(dline, dtype="Float64"),
+                    "top_bigram_frac": pd.array(topbi, dtype="Float64"),
+                    "dup_5gram_frac": pd.array(dup5, dtype="Float64"),
+                }
+            )
+
+    prepared = floor_parallelism(
+        docs.select(F.col(id_col), F.col(text_col).alias("_text"), tokens_col(text_col).alias("_toks"))
+    )
+    return prepared.mapInPandas(kern, schema)
+
+
+def _gram_counts(grams):
+    """counts per distinct gram, as an interpreted higher-order expr."""
+    return F.transform(
+        F.array_distinct(grams),
+        lambda g: F.size(F.filter(grams, lambda x: x == g)),
+    )
+
+
+def repetition_stats_sql(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Pure-Catalyst twin of :func:`repetition_stats` — interpreted
+    higher-order expressions; parity-test + executable spec only (the
+    kernel is the production path)."""
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    lines = F.filter(F.split(F.col(text_col), "\n", -1), lambda l: l != F.lit(""))
+    n_lines = F.size(lines)
+    dup_line = F.when(
+        n_lines > 0,
+        F.round((n_lines - F.size(F.array_distinct(lines))).cast("double") / n_lines, 6),
+    ).otherwise(F.when(n_lines.isNotNull(), F.lit(0.0)))
+
+    def grams_of(width: int):
+        return F.when(
+            n >= width,
+            F.transform(
+                F.sequence(F.lit(1), n - (width - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(width)]
+                ),
+            ),
+        ).otherwise(F.when(n.isNotNull(), F.array().cast("array<string>")))
+
+    bi = grams_of(2)
+    top_bi = F.when(
+        F.size(bi) > 0,
+        F.round(F.array_max(_gram_counts(bi)).cast("double") / F.size(bi), 6),
+    ).otherwise(F.when(n.isNotNull(), F.lit(0.0)))
+    g5 = grams_of(5)
+    dup5_occ = F.aggregate(
+        _gram_counts(g5),
+        F.lit(0),
+        lambda acc, c: acc + F.when(c >= 2, c).otherwise(F.lit(0)),
+    )
+    dup5 = F.when(
+        F.size(g5) > 0, F.round(dup5_occ.cast("double") / F.size(g5), 6)
+    ).otherwise(F.when(n.isNotNull(), F.lit(0.0)))
+    return docs.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        dup_line.alias("dup_line_frac"),
+        top_bi.alias("top_bigram_frac"),
+        dup5.alias("dup_5gram_frac"),
+    )
