@@ -139,6 +139,35 @@ WHERE rn <= {k}
 
 _BM25_CORE_SQL = _bm25_sql(_TOKS_SQL, _CLAIMS_SQL, TOPK)
 
+from defactonlp_spark.functions.pii import pii_oracle_sql as _pii_oracle_sql  # noqa: E402
+
+# URL feature extraction twin — the SAME regex patterns as
+# functions/urls.py (Java/RE2 shared dialect), over the synthesized url
+_URL_FEATS_SQL = """
+WITH u AS {src},
+hp AS (
+  SELECT doc_id, url,
+         nullif(regexp_extract(url, '^([a-z][a-z0-9+.-]*)://', 1), '') AS scheme,
+         nullif(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1), '') AS hostport,
+         nullif(regexp_extract(url, '://[^/?#]*(/[^?#]*)', 1), '') AS path,
+         nullif(regexp_extract(url, '\\?([^#]*)', 1), '') AS query
+  FROM u
+),
+f AS (
+  SELECT doc_id, url, scheme, path, query,
+         nullif(regexp_extract(hostport, '^([^:]+)', 1), '') AS host,
+         nullif(regexp_extract(hostport, ':([0-9]+)$', 1), '')::INTEGER AS port
+  FROM hp
+)
+SELECT doc_id, scheme, host, port, path, query,
+       nullif(regexp_extract(host, '([^.]+\\.[^.]+)$', 1), '') AS registrable_domain,
+       (CASE WHEN path IS NOT NULL
+             THEN len(path) - len(replace(path, '/', ''))
+             ELSE 0 END)::INTEGER AS path_depth,
+       (CASE WHEN scheme = 'https' THEN 1 ELSE 0 END)::INTEGER AS is_https
+FROM f
+"""
+
 # boolean (must/should/must_not) twin — same BM25 core, clause logic as
 # integer precedence (0 must_not, 1 must, 2 should; min() = the engine's
 # clause-precedence dedup in operators/bm25.py::boolean_terms)
@@ -947,6 +976,91 @@ def q_lang_id(spark, sf_dir):
     return lang_id(_docs(spark, sf_dir))
 
 
+def _docs_with_pii(spark, sf_dir):
+    """documents + a deterministic synthetic PII suffix on every third doc
+    (same expression in the DuckDB twin) so the redaction oracle exercises
+    real matches, not just the no-op path."""
+    d = _docs(spark, sf_dir)
+    suffix = F.concat(
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@m"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com at 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".9 call 555-123-4567"),
+    )
+    return d.withColumn(
+        "text",
+        F.concat(F.col("text"), F.when(F.col("doc_id") % 3 == 0, suffix).otherwise(F.lit(""))),
+    )
+
+
+_PII_TEXT_SQL = (
+    "(SELECT doc_id, text || CASE WHEN doc_id % 3 = 0 THEN"
+    " ' contact user' || doc_id || '@m' || (doc_id % 7) ||"
+    " '.com at 10.0.' || (doc_id % 256) || '.9 call 555-123-4567'"
+    " ELSE '' END AS text FROM documents) t"
+)
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing chain (functions/pii.py::redact_pii): email/IPv4/phone
+    regexp redaction + per-category counts, all whole-stage codegen."""
+    from defactonlp_spark.functions.pii import redact_pii
+
+    return redact_pii(_docs_with_pii(spark, sf_dir))
+
+
+def _docs_with_url(spark, sf_dir):
+    """documents + a deterministic synthetic url column (mirrored verbatim
+    in the DuckDB twin) covering scheme/subdomain/port/query variants."""
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 3 == 0, F.lit("https")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(did % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.when(did % 5 == 0, F.lit(".org")).otherwise(F.lit(".example.com")),
+        F.when(did % 7 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/p/"), did.cast("string"),
+        F.when(did % 4 == 0, F.lit("?q=x")).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", url.alias("url"))
+
+
+_URL_TEXT_SQL = """
+(SELECT doc_id,
+        (CASE WHEN doc_id % 3 = 0 THEN 'https' ELSE 'http' END) || '://'
+        || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+        || source
+        || (CASE WHEN doc_id % 5 = 0 THEN '.org' ELSE '.example.com' END)
+        || (CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END)
+        || '/p/' || doc_id
+        || (CASE WHEN doc_id % 4 = 0 THEN '?q=x' ELSE '' END) AS url
+ FROM documents)
+"""
+
+
+def q_url_parse(spark, sf_dir):
+    """URL feature extraction (functions/urls.py::url_features): scheme,
+    host, port, path, query, naive registrable domain, path depth — pure
+    regexp codegen in the Java/RE2 shared dialect."""
+    from defactonlp_spark.functions.urls import url_features
+
+    return url_features(_docs_with_url(spark, sf_dir)).select(
+        "doc_id", "scheme", "host", "port", "path", "query",
+        "registrable_domain", "path_depth",
+        F.col("is_https").cast("int").alias("is_https"),
+    )
+
+
+def q_domain_rollup(spark, sf_dir):
+    """Per-registrable-domain crawl stats (functions/urls.py::domain_rollup):
+    page count, distinct hosts, https fraction, mean path depth."""
+    from defactonlp_spark.functions.urls import domain_rollup
+
+    return domain_rollup(_docs_with_url(spark, sf_dir))
+
+
 def q_doc_repetition(spark, sf_dir):
     """Gopher/C4-style repetition quality gates (functions/textstats.py::
     repetition_stats): dup-line fraction, top-bigram fraction, duplicated
@@ -1371,6 +1485,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_repetition": q_doc_repetition,
+        "pii_redact": q_pii_redact,
+        "url_parse": q_url_parse,
+        "domain_rollup": q_domain_rollup,
         "token_counts": q_token_counts,
         "title_match": q_title_match,
         "candidate_union": q_candidate_union,
@@ -1651,6 +1768,19 @@ WHERE rank <= 5
                         ELSE 'de' END AS pred_lang
             FROM hits
         """,
+        "pii_redact": _pii_oracle_sql(_PII_TEXT_SQL),
+        "url_parse": _URL_FEATS_SQL.format(src=_URL_TEXT_SQL),
+        "domain_rollup": f"""
+WITH feats AS ({_URL_FEATS_SQL.format(src=_URL_TEXT_SQL)})
+SELECT registrable_domain,
+       count(*)::BIGINT AS n_pages,
+       count(DISTINCT host)::BIGINT AS n_hosts,
+       round(avg(is_https::DOUBLE), 6) AS https_frac,
+       round(avg(path_depth::DOUBLE), 6) AS mean_path_depth
+FROM feats
+WHERE registrable_domain IS NOT NULL
+GROUP BY 1
+""",
         "doc_repetition": """
 WITH base AS (
   SELECT doc_id,
