@@ -141,6 +141,91 @@ _BM25_CORE_SQL = _bm25_sql(_TOKS_SQL, _CLAIMS_SQL, TOPK)
 
 from defactonlp_spark.functions.pii import pii_oracle_sql as _pii_oracle_sql  # noqa: E402
 
+# RM3 twin — the full pinned spec from operators/expansion.py: first pass
+# (rank on round(score,6)), p(D) normalization, rm weights @9dp, top
+# fb_terms, renormalize @9dp, alpha-interpolate @9dp, weighted second pass
+# (rank on round(score,6)), final scores @4dp
+_RM3_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+claims(claim_id, claim) AS {{claims}},
+qterms AS (
+  SELECT DISTINCT claim_id, unnest(list_filter(regexp_split_to_array(lower(claim),
+    '[^a-z0-9]+'), t -> t <> '')) AS term FROM claims
+),
+scored1 AS (
+  SELECT q.claim_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * p.tf * {K1 + 1.0}
+              / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)) ) AS score
+  FROM qterms q
+  JOIN postings p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl l ON l.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+fbdocs AS (
+  SELECT claim_id, doc_id, score
+  FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
+          ORDER BY round(score, 6) DESC, doc_id) AS rn FROM scored1)
+  WHERE rn <= {{fb_docs}}
+),
+fb AS (
+  SELECT f.claim_id, f.doc_id, f.score / s.ssum AS p_d
+  FROM fbdocs f JOIN (SELECT claim_id, sum(score) AS ssum FROM fbdocs GROUP BY 1) s
+    USING (claim_id)
+),
+rm AS (
+  SELECT f.claim_id, p.term, round(sum(p.tf / l.dl * f.p_d), 9) AS rm_w
+  FROM fb f
+  JOIN postings p ON p.doc_id = f.doc_id
+  JOIN dl l ON l.doc_id = f.doc_id
+  GROUP BY 1, 2
+),
+kept AS (
+  SELECT claim_id, term, rm_w
+  FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
+          ORDER BY rm_w DESC, term) AS rn FROM rm)
+  WHERE rn <= {{fb_terms}}
+),
+rm_p AS (
+  SELECT k.claim_id, k.term, round(k.rm_w / s.ksum, 9) AS rm_p
+  FROM kept k JOIN (SELECT claim_id, sum(rm_w) AS ksum FROM kept GROUP BY 1) s
+    USING (claim_id)
+),
+orig AS (
+  SELECT q.claim_id, q.term, 1.0 / s.n_q AS orig_p
+  FROM qterms q JOIN (SELECT claim_id, count(*) AS n_q FROM qterms GROUP BY 1) s
+    USING (claim_id)
+),
+wterms AS (
+  SELECT coalesce(o.claim_id, r.claim_id) AS claim_id,
+         coalesce(o.term, r.term) AS term,
+         round({{alpha}} * coalesce(o.orig_p, 0) + {{one_minus_alpha}} * coalesce(r.rm_p, 0), 9) AS weight
+  FROM orig o FULL OUTER JOIN rm_p r ON o.claim_id = r.claim_id AND o.term = r.term
+),
+scored2 AS (
+  SELECT w.claim_id, p.doc_id,
+         sum( w.weight * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * p.tf * {K1 + 1.0}
+              / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)) ) AS score
+  FROM wterms w
+  JOIN postings p ON p.term = w.term
+  JOIN dfreq d ON d.term = w.term
+  JOIN dl l ON l.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT claim_id::BIGINT AS claim_id, doc_id::BIGINT AS doc_id, round(score, 4) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
+        ORDER BY round(score, 6) DESC, doc_id) AS rn FROM scored2)
+WHERE rn <= {{k}}
+"""
+
 # URL feature extraction twin — the SAME regex patterns as
 # functions/urls.py (Java/RE2 shared dialect), over the synthesized url
 _URL_FEATS_SQL = """
@@ -461,6 +546,28 @@ def q_bm25_topk_conjunctive(spark, sf_dir):
     n_docs, avgdl = _engine_corpus_stats(p)
     res = score_conjunctive(
         p, term_stats(p), claim_terms(_claims_df(spark)), n_docs, avgdl, k=TOPK
+    )
+    return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
+
+
+RM3_FB_DOCS, RM3_FB_TERMS, RM3_ALPHA = 5, 8, 0.5
+
+
+def q_bm25_topk_rm3(spark, sf_dir):
+    """RM3 pseudo-relevance-feedback retrieval (operators/expansion.py):
+    BM25 first pass -> relevance model over the fb docs' vectors -> top
+    fb_terms expansion -> interpolated weighted second pass. rank_dp=6
+    pins mathematically-tied docs to the doc_id tie-break in both engines."""
+    from defactonlp_spark.operators.bm25 import claim_terms
+    from defactonlp_spark.operators.expansion import rm3_topk
+    from defactonlp_spark.operators.postings import term_stats
+
+    p = _postings_cached(spark, sf_dir)
+    n_docs, avgdl = _engine_corpus_stats(p)
+    res = rm3_topk(
+        p, term_stats(p), claim_terms(_claims_df(spark)), n_docs, avgdl,
+        k=TOPK, fb_docs=RM3_FB_DOCS, fb_terms=RM3_FB_TERMS, alpha=RM3_ALPHA,
+        rank_dp=6,
     )
     return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
 
@@ -1461,6 +1568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_wand": q_bm25_topk_wand,
         "bm25_topk_conjunctive": q_bm25_topk_conjunctive,
         "bm25_topk_boolean": q_bm25_topk_boolean,
+        "bm25_topk_rm3": q_bm25_topk_rm3,
         "bm25_topk_wand_deletes": q_bm25_topk_wand_deletes,
         "bm25_topk_merged": q_bm25_topk_merged,
         "bm25_topk_filtered": q_bm25_topk_filtered,
@@ -1569,6 +1677,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_wand": _BM25_CORE_SQL,
         "bm25_topk_conjunctive": _bm25_sql(_TOKS_SQL, _CLAIMS_SQL, TOPK, conjunctive=True),
         "bm25_topk_boolean": _BOOL_SQL,
+        "bm25_topk_rm3": _RM3_SQL.format(
+            claims=_CLAIMS_SQL, fb_docs=RM3_FB_DOCS, fb_terms=RM3_FB_TERMS,
+            alpha=RM3_ALPHA, one_minus_alpha=1.0 - RM3_ALPHA, k=TOPK,
+        ),
         "bm25_topk_wand_deletes": _bm25_sql(
             _TOKS_SQL, _CLAIMS_SQL, TOPK, mask_sql="p.doc_id % 5 <> 0"
         ),

@@ -52,6 +52,7 @@ def score_exhaustive(
     avgdl: float,
     k: int = 5,
     params: BM25Params = BM25Params(),
+    rank_dp: int | None = None,
 ) -> DataFrame:
     """postings_long x (claim_id, term) -> top-k (claim_id, doc_id, score, rank).
 
@@ -66,7 +67,11 @@ def score_exhaustive(
         .groupBy("claim_id", "doc_id")
         .agg(F.sum("contrib").alias("score"))
     )
-    w = Window.partitionBy("claim_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    # rank_dp: rank on round(score, rank_dp) so mathematically-tied docs
+    # order by doc_id instead of engine summation noise (RM3's fb-doc
+    # cutoff needs this; None preserves the raw contract everywhere else)
+    rank_key = F.col("score") if rank_dp is None else F.round("score", rank_dp)
+    w = Window.partitionBy("claim_id").orderBy(rank_key.desc(), F.asc("doc_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)

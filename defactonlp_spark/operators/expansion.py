@@ -1,0 +1,167 @@
+"""RM3 pseudo-relevance-feedback query expansion (public refs: Lavrenko &
+Croft 2001 relevance models; Abdul-Jaleel et al. 2004 UMass RM3; the
+Anserini/Pyserini default expansion). Pure DataFrame algebra end to end.
+
+Pinned semantics (the DuckDB oracle and the pytest scalar oracle implement
+the same spec):
+
+1. First pass: BM25 top ``fb_docs`` per claim (score desc, doc_id asc).
+2. Doc weight  p(D) = score(D) / sum of the claim's fb scores.
+3. Relevance model  rm(w) = sum over fb docs of (tf(w,D)/|D|) * p(D),
+   ROUNDED to 9 dp (pins cross-engine float-sum order differences).
+4. Keep the top ``fb_terms`` terms per claim (rm desc, term asc), then
+   renormalize the kept weights to sum 1, rounding to 9 dp again.
+5. Interpolate with the uniform original query model (1/|q| per distinct
+   query term): weight(w) = alpha * orig(w) + (1-alpha) * rm(w), 9 dp.
+6. Second pass: weighted BM25 — score(D) = sum_w weight(w) * bm25_w(D),
+   ranked score desc, doc_id asc, top k.
+
+Scale shape: two scored passes over term-pruned postings plus ONE doc-keyed
+join against the postings relation to read the fb docs' vectors (claims x
+fb_docs rows broadcast onto it). No driver materialization beyond the term
+list that prunes the scan (same contract as every other query path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from defactonlp_spark.config import BM25Params
+from defactonlp_spark.operators.bm25 import bm25_score_expr, score_exhaustive
+
+
+def rm3_weights(
+    first: DataFrame,
+    doc_postings: DataFrame,
+    qterms: DataFrame,
+    fb_terms: int = 10,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """(first-pass top docs, postings relation, original query terms) ->
+    interpolated (claim_id, term, weight).
+
+    ``first``: (claim_id, doc_id, score) — the fb docs (already top-fb_docs).
+    ``doc_postings``: any (term, doc_id, tf, dl) relation covering those
+    docs (the full build postings table; the join prunes it by doc_id).
+    """
+    ssum = first.groupBy("claim_id").agg(F.sum("score").alias("ssum"))
+    fb = (
+        first.join(ssum, "claim_id")
+        .select("claim_id", "doc_id", (F.col("score") / F.col("ssum")).alias("p_d"))
+    )
+    rm = (
+        doc_postings.join(F.broadcast(fb), "doc_id")
+        .groupBy("claim_id", "term")
+        .agg(
+            F.round(
+                F.sum(F.col("tf").cast("double") / F.col("dl") * F.col("p_d")), 9
+            ).alias("rm_w")
+        )
+    )
+    w = Window.partitionBy("claim_id").orderBy(F.desc("rm_w"), F.asc("term"))
+    kept = rm.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= fb_terms)
+    knorm = kept.groupBy("claim_id").agg(F.sum("rm_w").alias("ksum"))
+    rm_p = kept.join(knorm, "claim_id").select(
+        "claim_id", "term", F.round(F.col("rm_w") / F.col("ksum"), 9).alias("rm_p")
+    )
+    nq = qterms.groupBy("claim_id").agg(F.count(F.lit(1)).alias("n_q"))
+    orig = qterms.join(nq, "claim_id").select(
+        "claim_id", "term", (F.lit(1.0) / F.col("n_q")).alias("orig_p")
+    )
+    return (
+        orig.join(rm_p, ["claim_id", "term"], "full_outer")
+        .select(
+            "claim_id",
+            "term",
+            F.round(
+                F.lit(alpha) * F.coalesce(F.col("orig_p"), F.lit(0.0))
+                + F.lit(1.0 - alpha) * F.coalesce(F.col("rm_p"), F.lit(0.0)),
+                9,
+            ).alias("weight"),
+        )
+    )
+
+
+def score_weighted(
+    postings: DataFrame,
+    stats: DataFrame,
+    wterms: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k: int = 5,
+    params: BM25Params = BM25Params(),
+    rank_dp: int | None = None,
+) -> DataFrame:
+    """Weighted-query BM25 top-k: score = sum_w weight * bm25_w. The same
+    single-scan broadcast-join plan as score_exhaustive with one extra
+    multiply in the codegen'd contribution.
+
+    ``rank_dp``: rank on round(score, rank_dp) instead of the raw float.
+    Weighted sums produce EXACT mathematical ties between docs with equal
+    term profiles, and different engines/plans break those ties by
+    last-ulp summation-order noise — rounding before the window pins the
+    tie and lets doc_id break it deterministically (the same device as
+    the _bm25_sql oracle's rank-on-round option)."""
+    q = wterms.join(stats, "term", "inner")
+    scored = (
+        postings.join(F.broadcast(q), "term", "inner")
+        .withColumn(
+            "contrib", F.col("weight") * bm25_score_expr(n_docs, avgdl, params)
+        )
+        .groupBy("claim_id", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    rank_key = F.col("score") if rank_dp is None else F.round("score", rank_dp)
+    w = Window.partitionBy("claim_id").orderBy(rank_key.desc(), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("claim_id", "rank", "doc_id", "score")
+    )
+
+
+def rm3_expand(
+    postings: DataFrame,
+    stats: DataFrame,
+    qterms: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    fb_docs: int = 10,
+    fb_terms: int = 10,
+    alpha: float = 0.5,
+    params: BM25Params = BM25Params(),
+    rank_dp: int | None = None,
+) -> DataFrame:
+    """Ad-hoc (single postings relation) RM3: first pass + relevance model
+    + interpolation -> (claim_id, term, weight). ``rank_dp`` pins the
+    fb-doc cutoff ordering (see score_weighted)."""
+    first = score_exhaustive(
+        postings, stats, qterms, n_docs, avgdl, k=fb_docs, params=params,
+        rank_dp=rank_dp,
+    ).select("claim_id", "doc_id", "score")
+    return rm3_weights(first, postings, qterms, fb_terms=fb_terms, alpha=alpha)
+
+
+def rm3_topk(
+    postings: DataFrame,
+    stats: DataFrame,
+    qterms: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k: int = 5,
+    fb_docs: int = 10,
+    fb_terms: int = 10,
+    alpha: float = 0.5,
+    params: BM25Params = BM25Params(),
+    rank_dp: int | None = None,
+) -> DataFrame:
+    """Full ad-hoc RM3 retrieval: expand, then weighted second pass."""
+    wterms = rm3_expand(
+        postings, stats, qterms, n_docs, avgdl,
+        fb_docs=fb_docs, fb_terms=fb_terms, alpha=alpha, params=params,
+        rank_dp=rank_dp,
+    )
+    return score_weighted(
+        postings, stats, wterms, n_docs, avgdl, k=k, params=params, rank_dp=rank_dp
+    )

@@ -668,6 +668,18 @@ class IndexReader:
     def segments(self) -> DataFrame:
         return self.table.read(self.spark)
 
+    def postings(self) -> DataFrame:
+        """The build's materialized postings long table (term, doc_id, tf,
+        dl) — the index's doc-vector source for pseudo-relevance feedback
+        (operators/expansion.py). Term-keyed parquet, so a doc-keyed lookup
+        scans; a deployment serving heavy RM3 traffic would also write a
+        doc_id-bucketed sidecar of the SAME relation (one extra shuffle at
+        build time, pushdown-prunable by doc at query time)."""
+        path = os.path.join(self.out_dir, "postings")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            raise FileNotFoundError(f"no postings materialization in {self.out_dir}")
+        return self.spark.read.parquet(path)
+
     def tokens(self) -> DataFrame:
         """The positional sidecar (doc_id, pos, term, bucket) for
         query_phrase; built with ``IndexBuild(store_tokens=True)``."""

@@ -284,3 +284,41 @@ def query_boolean(
     return score_boolean(
         postings, stats, q, reader.n_docs, reader.avgdl, k=k, params=cfg.bm25
     )
+
+
+def query_rm3(
+    reader: IndexReader,
+    claims: DataFrame,
+    k: int = 5,
+    fb_docs: int = 10,
+    fb_terms: int = 10,
+    alpha: float = 0.5,
+    cfg: EngineConfig | None = None,
+    rank_dp: int | None = None,
+) -> DataFrame:
+    """RM3 pseudo-relevance-feedback retrieval over a built index
+    (operators/expansion.py): pruned first pass -> relevance model from the
+    fb docs' vectors (read off the build's postings materialization) ->
+    pruned weighted second pass.
+
+    Tombstones compose: both scored passes read masked postings via
+    :func:`_pruned_postings`, so deleted docs neither rank nor feed the
+    relevance model (the fb-doc join starts from masked first-pass docs).
+    """
+    from defactonlp_spark.operators.expansion import rm3_weights, score_weighted
+
+    cfg = cfg or EngineConfig()
+    q = claim_terms(claims)
+    postings1, stats1 = _pruned_postings(reader, q)
+    first = score_exhaustive(
+        postings1, stats1, q, reader.n_docs, reader.avgdl, k=fb_docs,
+        params=cfg.bm25, rank_dp=rank_dp,
+    ).select("claim_id", "doc_id", "score")
+    wterms = rm3_weights(
+        first, reader.postings(), q, fb_terms=fb_terms, alpha=alpha
+    )
+    postings2, stats2 = _pruned_postings(reader, wterms)
+    return score_weighted(
+        postings2, stats2, wterms, reader.n_docs, reader.avgdl, k=k,
+        params=cfg.bm25, rank_dp=rank_dp,
+    )

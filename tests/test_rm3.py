@@ -1,0 +1,159 @@
+"""RM3 pseudo-relevance feedback (operators/expansion.py) vs a scalar
+oracle implementing the pinned spec, plus ad-hoc vs index-path parity."""
+
+import math
+from collections import Counter
+
+import pytest
+
+from defactonlp_spark.config import BM25Params, EngineConfig
+from defactonlp_spark.functions.tokenize import tokenize_one
+from defactonlp_spark.operators import postings as P
+from defactonlp_spark.operators.bm25 import claim_terms
+from defactonlp_spark.operators.expansion import rm3_expand, rm3_topk
+from tests.oracle_bm25 import bm25_topk_oracle, build_oracle_index
+
+DOCS = [
+    (0, "apple banana cherry apple"),
+    (1, "banana cherry date elder"),
+    (2, "apple apple fig grape"),
+    (3, "cherry date fig apple banana"),
+    (4, "grape elder banana banana"),
+    (5, "fig grape date cherry"),
+    (6, "apple elder fig banana cherry"),
+    (7, "date date grape apple"),
+]
+CLAIMS = {100: "apple banana", 101: "fig", 102: "zzznope"}
+FB_DOCS, FB_TERMS, ALPHA, K = 3, 4, 0.5, 5
+
+
+def _scalar_rm3():
+    texts = dict(DOCS)
+    postings, dl, n, avgdl = build_oracle_index(texts)
+    first = bm25_topk_oracle(texts, CLAIMS, k=FB_DOCS)
+    params = BM25Params()
+    weights = {}
+    for cid, claim in CLAIMS.items():
+        fb = first.get(cid, [])
+        qs = sorted(set(tokenize_one(claim)))
+        orig = {t: 1.0 / len(qs) for t in qs}
+        rm_p = {}
+        if fb:
+            ssum = sum(s for _, s in fb)
+            rm = Counter()
+            for did, s in fb:
+                toks = tokenize_one(texts[did])
+                c = Counter(toks)
+                for t, tf in c.items():
+                    rm[t] += tf / len(toks) * (s / ssum)
+            rm = {t: round(v, 9) for t, v in rm.items()}
+            kept = sorted(rm.items(), key=lambda kv: (-kv[1], kv[0]))[:FB_TERMS]
+            ksum = sum(v for _, v in kept)
+            rm_p = {t: round(v / ksum, 9) for t, v in kept}
+        weights[cid] = {
+            t: round(ALPHA * orig.get(t, 0.0) + (1 - ALPHA) * rm_p.get(t, 0.0), 9)
+            for t in set(orig) | set(rm_p)
+        }
+    # weighted second pass
+    out = {}
+    for cid, ws in weights.items():
+        rows = []
+        for did in dl:
+            toks = tokenize_one(texts[did])
+            c = Counter(toks)
+            score = 0.0
+            for t in sorted(ws):
+                if c.get(t, 0) == 0 or t not in postings:
+                    continue
+                df = len(postings[t])
+                idf = math.log1p((n - df + 0.5) / (df + 0.5))
+                tf = c[t]
+                score += ws[t] * (
+                    idf * tf * (params.k1 + 1)
+                    / (tf + params.k1 * (1 - params.b + params.b * dl[did] / avgdl))
+                )
+            if score > 0:
+                rows.append((did, score))
+        # rank on round(score, 9): weighted sums tie exactly for docs with
+        # equal term profiles, and raw-float ordering of such ties is
+        # engine noise (matches the engine's rank_dp=9)
+        rows.sort(key=lambda r: (-round(r[1], 9), r[0]))
+        out[cid] = rows[:K]
+    return weights, out
+
+
+@pytest.fixture(scope="module")
+def fixtures(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    claims = spark.createDataFrame(
+        list(CLAIMS.items()), "claim_id long, claim string"
+    )
+    p = P.build_postings(docs).persist()
+    n_docs, avgdl = P.corpus_stats(p).collect()[0][:2]
+    return docs, claims, p, int(n_docs), float(avgdl)
+
+
+def test_rm3_weights_match_scalar(spark, fixtures):
+    docs, claims, p, n_docs, avgdl = fixtures
+    want, _ = _scalar_rm3()
+    got = rm3_expand(
+        p, P.term_stats(p), claim_terms(claims), n_docs, avgdl,
+        fb_docs=FB_DOCS, fb_terms=FB_TERMS, alpha=ALPHA,
+    ).collect()
+    got_map: dict = {}
+    for r in got:
+        got_map.setdefault(r["claim_id"], {})[r["term"]] = r["weight"]
+    for cid, ws in want.items():
+        assert set(got_map.get(cid, {})) == set(ws), cid
+        for t, v in ws.items():
+            assert got_map[cid][t] == pytest.approx(v, abs=2e-9), (cid, t)
+    # OOV-only claim keeps just its original (never-matching) term
+    assert got_map[102] == {"zzznope": pytest.approx(0.5)}
+
+
+def test_rm3_topk_matches_scalar(spark, fixtures):
+    docs, claims, p, n_docs, avgdl = fixtures
+    _, want = _scalar_rm3()
+    got = rm3_topk(
+        p, P.term_stats(p), claim_terms(claims), n_docs, avgdl,
+        k=K, fb_docs=FB_DOCS, fb_terms=FB_TERMS, alpha=ALPHA, rank_dp=9,
+    ).collect()
+    got_map: dict = {}
+    for r in got:
+        got_map.setdefault(r["claim_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"])
+        )
+    for cid, rows in want.items():
+        have = sorted(got_map.get(cid, []))
+        assert [d for _, d, _ in have] == [d for d, _ in rows], cid
+        for (_, _, hs), (_, ws) in zip(have, rows):
+            # weights are pinned at 9 dp; a half-boundary there can move a
+            # score by ~1e-9 * bm25 — allow that, ids above are exact
+            assert hs == pytest.approx(ws, abs=5e-9), cid
+    assert 102 not in got_map  # OOV claim: no results
+
+
+def test_index_path_matches_adhoc(spark, fixtures, tmp_path):
+    from defactonlp_spark.plans.build import IndexBuild, IndexReader
+    from defactonlp_spark.plans.query import query_rm3
+
+    docs, claims, p, n_docs, avgdl = fixtures
+    adhoc = rm3_topk(
+        p, P.term_stats(p), claim_terms(claims), n_docs, avgdl,
+        k=K, fb_docs=FB_DOCS, fb_terms=FB_TERMS, alpha=ALPHA, rank_dp=9,
+    ).collect()
+    cfg = EngineConfig(n_buckets=4)
+    IndexBuild(str(tmp_path / "idx"), cfg, build_id="r").run(
+        spark, docs, input_snapshot="r"
+    )
+    r = IndexReader(spark, str(tmp_path / "idx"))
+    idx = query_rm3(
+        r, claims, k=K, fb_docs=FB_DOCS, fb_terms=FB_TERMS, alpha=ALPHA,
+        cfg=cfg, rank_dp=9,
+    ).collect()
+    key = lambda rows: sorted((x["claim_id"], x["rank"], x["doc_id"]) for x in rows)
+    assert key(adhoc) == key(idx)
+    sa = {(x["claim_id"], x["doc_id"]): x["score"] for x in adhoc}
+    si = {(x["claim_id"], x["doc_id"]): x["score"] for x in idx}
+    for kk, v in sa.items():
+        assert si[kk] == pytest.approx(v, rel=1e-12)
