@@ -1168,6 +1168,34 @@ def q_domain_rollup(spark, sf_dir):
     return domain_rollup(_docs_with_url(spark, sf_dir))
 
 
+def q_bigram_pmi(spark, sf_dir):
+    """Collocation mining (operators/analytics.py::bigram_pmi): top token
+    bigrams by PMI with a min-count support filter."""
+    from defactonlp_spark.operators.analytics import bigram_pmi
+
+    return bigram_pmi(_docs(spark, sf_dir), min_count=20, top=50)
+
+
+def q_doc_keywords(spark, sf_dir):
+    """Per-doc TF-IDF keyword extraction (operators/analytics.py::
+    doc_keywords): top-3 terms per doc by tf * ln(N/df)."""
+    from defactonlp_spark.operators.analytics import doc_keywords
+
+    p = _postings_cached(spark, sf_dir)
+    n_docs, _ = _engine_corpus_stats(p)
+    return doc_keywords(p, n_docs, k=3).select(
+        "doc_id", F.col("rank").cast("long").alias("rank"), "term", "weight"
+    )
+
+
+def q_chunk_dedup(spark, sf_dir):
+    """Cross-corpus chunk-level exact dedup counts (operators/dedup.py::
+    chunk_dedup — the C4 span-dedup rule, token-chunk flavored)."""
+    from defactonlp_spark.operators.dedup import chunk_dedup
+
+    return chunk_dedup(_docs(spark, sf_dir), chunk_tokens=10)
+
+
 def q_doc_repetition(spark, sf_dir):
     """Gopher/C4-style repetition quality gates (functions/textstats.py::
     repetition_stats): dup-line fraction, top-bigram fraction, duplicated
@@ -1592,6 +1620,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "bigram_pmi": q_bigram_pmi,
+        "doc_keywords": q_doc_keywords,
+        "chunk_dedup": q_chunk_dedup,
         "doc_repetition": q_doc_repetition,
         "pii_redact": q_pii_redact,
         "url_parse": q_url_parse,
@@ -1892,6 +1923,59 @@ SELECT registrable_domain,
 FROM feats
 WHERE registrable_domain IS NOT NULL
 GROUP BY 1
+""",
+        "bigram_pmi": """
+WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+                '[^a-z0-9]+'), t -> t <> '') AS tl FROM documents),
+uni AS (
+  SELECT w, count(*)::BIGINT AS c
+  FROM (SELECT unnest(tl) AS w FROM toks) GROUP BY 1
+),
+big AS (
+  SELECT tl[i] AS w1, tl[i+1] AS w2
+  FROM toks, unnest(generate_series(1, len(tl) - 1)) AS t(i)
+  WHERE len(tl) >= 2
+),
+bigc AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM big GROUP BY 1, 2),
+tot AS (
+  SELECT (SELECT sum(c)::DOUBLE FROM uni) AS t,
+         (SELECT sum(c12)::DOUBLE FROM bigc) AS t2
+)
+SELECT w1, w2, c12,
+       round(ln(((c12 * t.t) * t.t) / ((t.t2 * u1.c) * u2.c)), 6) AS pmi
+FROM bigc
+JOIN uni u1 ON u1.w = w1
+JOIN uni u2 ON u2.w = w2
+CROSS JOIN tot t
+WHERE c12 >= 20
+ORDER BY pmi DESC, w1, w2
+LIMIT 50
+""",
+        "doc_keywords": f"""
+WITH toks AS ({_TOKS_SQL}),
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM toks),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+scored AS (
+  SELECT p.doc_id, p.term,
+         round(p.tf * ln(n.n_docs / d.df), 6) AS weight
+  FROM postings p JOIN dfreq d ON d.term = p.term CROSS JOIN n
+)
+SELECT doc_id, rank, term, weight
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        ORDER BY weight DESC, term) AS rank FROM scored)
+WHERE rank <= 3
+""",
+        "chunk_dedup": _CHUNKS_SQL + """
+, flagged AS (
+  SELECT doc_id,
+         (row_number() OVER (PARTITION BY sentence ORDER BY doc_id, sent_idx) = 1) AS keep
+  FROM chunks
+)
+SELECT doc_id, count(*)::BIGINT AS n_chunks,
+       sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_dropped
+FROM flagged GROUP BY 1
 """,
         "doc_repetition": """
 WITH base AS (

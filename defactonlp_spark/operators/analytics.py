@@ -1,0 +1,115 @@
+"""Corpus analytics: collocation mining and per-doc keyword extraction.
+
+Both are single-shuffle relational jobs on the engine tokenizer's term
+space — classic corpus-exploration ops a webtext pipeline runs alongside
+quality gates (public refs: Church & Hanks 1990 PMI collocations; standard
+TF-IDF keyword extraction).
+
+All arithmetic is written with explicit association so the DuckDB oracle
+reproduces it bit-for-bit; ranking keys are rounded before the window so
+mathematical ties break on the term, never on engine float noise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from defactonlp_spark.operators.dedup import tokens_col
+
+
+def token_bigrams(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """-> one row per in-doc token bigram (w1, w2). JVM-side: slice +
+    arrays_zip + explode, all codegen; no Python, no shuffle."""
+    t = tokens_col(text_col)
+    n1 = F.greatest(F.size(t) - 1, F.lit(0))
+    prep = docs.select(
+        F.slice(t, F.lit(1), n1).alias("w1s"),
+        F.slice(t, F.lit(2), n1).alias("w2s"),
+    )
+    return prep.select(F.explode(F.arrays_zip("w1s", "w2s")).alias("p")).select(
+        F.col("p.w1s").alias("w1"), F.col("p.w2s").alias("w2")
+    )
+
+
+def bigram_pmi(
+    docs: DataFrame,
+    min_count: int = 5,
+    top: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top collocations by pointwise mutual information:
+
+    pmi(w1,w2) = ln( ((c12 * T) * T) / ((T2 * c1) * c2) ), rounded to 6 dp,
+    where c12 = bigram count, c1/c2 = unigram counts, T = total tokens,
+    T2 = total bigrams. Pairs with c12 < ``min_count`` are dropped; the top
+    ``top`` pairs by (pmi desc, w1, w2) are returned.
+
+    Plan: one explode + hash-agg for bigrams, one for unigrams (both
+    map-side combined), two broadcast joins of the (small) unigram counts
+    onto the bigram counts, one global top-k window. The corpus totals are
+    single-row aggregates (no driver loop over data)."""
+    pairs = token_bigrams(docs, text_col=text_col)
+    c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = (
+        docs.select(F.explode(tokens_col(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = uni.agg(F.sum("c").alias("t")).collect()[0]
+    t = float(totals["t"] or 0)
+    t2 = float(
+        c12.agg(F.sum("c12").alias("t2")).collect()[0]["t2"] or 0
+    )
+    scored = (
+        c12.filter(F.col("c12") >= min_count)
+        .join(F.broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1")), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2")), "w2")
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    ((F.col("c12").cast("double") * F.lit(t)) * F.lit(t))
+                    / ((F.lit(t2) * F.col("c1").cast("double")) * F.col("c2"))
+                ),
+                6,
+            ),
+        )
+    )
+    # global top-k via sort+limit = TakeOrderedAndProject (distributed
+    # partial top-k per partition, merge on the driver) — NOT a
+    # row_number window, which would single-partition the whole relation
+    return (
+        scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(top)
+        .select("w1", "w2", F.col("c12").cast("long").alias("c12"), "pmi")
+    )
+
+
+def doc_keywords(
+    postings: DataFrame,
+    n_docs: int,
+    k: int = 5,
+) -> DataFrame:
+    """Per-doc top-k keywords by tf-idf over a postings long table
+    (term, doc_id, tf): weight = tf * ln(n_docs / df), rounded to 6 dp,
+    ranked (weight desc, term asc) within each doc.
+
+    Plan: one hash-agg for df, broadcast it back onto postings, one
+    per-doc window — the keyword-extraction shape that needs no second
+    corpus pass because df rides the (vocabulary-sized) broadcast."""
+    df_counts = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = postings.join(F.broadcast(df_counts), "term").withColumn(
+        "weight",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+            6,
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("weight"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+        .select("doc_id", F.col("rn").alias("rank"), "term", "weight")
+    )

@@ -22,7 +22,7 @@ dedup is a first-class build stage (BASELINE.json webtext tier).
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -392,4 +392,43 @@ def simhash_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
         .distinct()
+    )
+
+
+def chunk_dedup(
+    docs: DataFrame,
+    chunk_tokens: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-corpus chunk-level exact dedup (the C4 'three-sentence span'
+    rule, token-chunk flavored): split every doc into ``chunk_tokens``-token
+    chunks (operators/sentences.py::split_chunks), keep the FIRST occurrence
+    of each distinct chunk text corpus-wide (first = smallest (doc_id,
+    chunk_idx)), and report per-doc keep/drop counts:
+
+        (doc_id, n_chunks, n_kept, n_dropped)
+
+    Plan: one Python chunking pass (the tokenizer kernel), one shuffle on
+    md5(chunk) for the keeper window — hashing the chunk text keys the
+    exchange on a uniform 128-bit value, so hot identical chunks land
+    together by necessity but distinct chunks spread evenly — then one
+    per-doc hash-agg. At 10^12 docs this is the same cost envelope as exact
+    doc dedup plus the chunking pass."""
+    from defactonlp_spark.operators.sentences import split_chunks
+
+    chunks = split_chunks(
+        docs, chunk_tokens=chunk_tokens, id_col=id_col, text_col=text_col
+    )
+    w = Window.partitionBy(F.md5(F.col("sentence"))).orderBy(
+        F.asc(id_col), F.asc("sent_idx")
+    )
+    flagged = chunks.withColumn("keep", F.row_number().over(w) == 1)
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),
+            F.sum((~F.col("keep")).cast("long")).cast("long").alias("n_dropped"),
+        )
     )

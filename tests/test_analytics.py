@@ -1,0 +1,90 @@
+"""Collocation PMI, TF-IDF keywords (operators/analytics.py) and chunk
+dedup (operators/dedup.py::chunk_dedup) vs scalar oracles."""
+
+import math
+from collections import Counter
+
+import pytest
+
+from defactonlp_spark.functions.tokenize import tokenize_one
+from defactonlp_spark.operators import postings as P
+from defactonlp_spark.operators.analytics import bigram_pmi, doc_keywords
+from defactonlp_spark.operators.dedup import chunk_dedup
+
+DOCS = [
+    (0, "new york is big and new york is old"),
+    (1, "san francisco and new york"),
+    (2, "york new is not a phrase but new york is"),
+    (3, "big and old and big and old"),
+]
+
+
+def _scalar_pmi(min_count, top):
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    for _, text in DOCS:
+        toks = tokenize_one(text)
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    t = sum(uni.values())
+    t2 = sum(big.values())
+    rows = []
+    for (w1, w2), c12 in big.items():
+        if c12 < min_count:
+            continue
+        pmi = round(math.log(((c12 * t) * t) / ((t2 * uni[w1]) * uni[w2])), 6)
+        rows.append((w1, w2, c12, pmi))
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    return rows[:top]
+
+
+def test_bigram_pmi(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = [
+        (r["w1"], r["w2"], r["c12"], r["pmi"])
+        for r in bigram_pmi(docs, min_count=2, top=10).collect()
+    ]
+    want = _scalar_pmi(2, 10)
+    assert got == want
+    # 'new york' (4 occurrences) must be present and beat 'is big'-style
+    assert ("new", "york") in {(a, b) for a, b, _, _ in got}
+
+
+def test_doc_keywords(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    p = P.build_postings(docs)
+    n_docs = 4
+    got = {}
+    for r in doc_keywords(p, n_docs, k=2).collect():
+        got.setdefault(r["doc_id"], []).append((r["rank"], r["term"], r["weight"]))
+    # scalar: weight = tf * ln(N/df)
+    postings = {}
+    for did, text in DOCS:
+        for t, tf in Counter(tokenize_one(text)).items():
+            postings.setdefault(t, {})[did] = tf
+    for did, text in DOCS:
+        ws = [
+            (t, round(tf * math.log(n_docs / len(postings[t])), 6))
+            for t, tf in Counter(tokenize_one(text)).items()
+        ]
+        ws.sort(key=lambda kv: (-kv[1], kv[0]))
+        want = [(i + 1, t, w) for i, (t, w) in enumerate(ws[:2])]
+        assert sorted(got[did]) == want, did
+
+
+def test_chunk_dedup(spark):
+    # chunk_tokens=3: doc 10 = [a b c][a b c][d e f]; doc 11 = [a b c][x y z]
+    docs = spark.createDataFrame(
+        [
+            (10, "a b c a b c d e f"),
+            (11, "a b c x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in chunk_dedup(docs, chunk_tokens=3).collect()}
+    assert rows[10]["n_chunks"] == 3
+    # first [a b c] kept (smallest doc_id, sent_idx), second dropped
+    assert rows[10]["n_kept"] == 2 and rows[10]["n_dropped"] == 1
+    assert rows[11]["n_chunks"] == 2
+    # doc 11's [a b c] loses to doc 10's first chunk
+    assert rows[11]["n_kept"] == 1 and rows[11]["n_dropped"] == 1
