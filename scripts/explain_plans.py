@@ -152,6 +152,58 @@ def main():
           "tokens scan has PartitionFilters(bucket) + PushedFilters In(term)")
     ok &= ok_tok
 
+    # 8. boolean retrieval: same one-scan broadcast + single agg shape as
+    # the other ad-hoc scorers, top-k rank pushed into the sort
+    from defactonlp_spark.operators.bm25 import boolean_terms, score_boolean
+
+    bq = spark.createDataFrame(
+        [(0, "merge batch", "spark", "customer")],
+        "claim_id long, must string, should string, must_not string",
+    )
+    ok &= check(
+        "boolean retrieval",
+        plan_of(score_boolean(postings, stats, boolean_terms(bq), 500, 56.0)),
+        must=["BroadcastHashJoin", "HashAggregate", "WindowGroupLimit"],
+    )
+
+    # 9. RM3: fb-doc vectors join is broadcast (claims x fb_docs rows onto
+    # postings), weighted second pass keeps the bm25 shape
+    from defactonlp_spark.operators.expansion import rm3_topk
+
+    ok &= check(
+        "rm3 retrieval",
+        plan_of(rm3_topk(postings, stats, claim_terms(claims), 500, 56.0,
+                         k=5, fb_docs=5, fb_terms=8, rank_dp=6)),
+        must=["BroadcastHashJoin", "WindowGroupLimit"],
+    )
+
+    # 10. PII + URL ops: map-only projections, zero exchanges, zero Python
+    from defactonlp_spark.functions.pii import redact_pii
+    from defactonlp_spark.functions.urls import url_features
+
+    ok &= check("pii redaction (map-only)", plan_of(redact_pii(docs)),
+                must=["Project"], must_not=["Exchange", "MapInPandas"])
+    udf = docs.withColumn("url", F.concat(F.lit("https://h.example.com/p/"),
+                                          F.col("doc_id").cast("string")))
+    ok &= check("url features (map-only)", plan_of(url_features(udf)),
+                must=["Project"], must_not=["Exchange", "MapInPandas"])
+
+    # 11. PMI top-k is TakeOrdered (distributed partial top-k), never a
+    # single-partition global row_number window
+    from defactonlp_spark.operators.analytics import bigram_pmi
+
+    ok &= check("bigram_pmi global top-k", plan_of(bigram_pmi(docs, 20, 50)),
+                must=["TakeOrderedAndProject"], must_not=["Window"])
+
+    # 12. chunk dedup: the keeper window shuffles on md5(chunk), then one
+    # per-doc hash aggregate
+    from defactonlp_spark.operators.dedup import chunk_dedup
+
+    # (Catalyst projects md5(sentence) to a _w0 attr before the exchange,
+    # so assert on the projected expr + the partial agg instead)
+    ok &= check("chunk dedup", plan_of(chunk_dedup(docs)),
+                must=["md5(cast(sentence", "Window", "partial_count"])
+
     print("\nPLANS " + ("OK" if ok else "NOT OK"))
     spark.stop()
     sys.exit(0 if ok else 1)
