@@ -1168,6 +1168,40 @@ def q_domain_rollup(spark, sf_dir):
     return domain_rollup(_docs_with_url(spark, sf_dir))
 
 
+MLT_SEEDS = [0, 1, 2]
+
+
+def q_more_like_this(spark, sf_dir):
+    """Lucene MoreLikeThis analog (operators/analytics.py::more_like_this):
+    per-seed top-5 corpus-idf keywords -> disjunctive BM25, self excluded."""
+    from defactonlp_spark.operators.analytics import more_like_this
+    from defactonlp_spark.operators.postings import term_stats
+
+    p = _postings_cached(spark, sf_dir)
+    n_docs, avgdl = _engine_corpus_stats(p)
+    seeds = spark.createDataFrame([(s,) for s in MLT_SEEDS], "doc_id long")
+    res = more_like_this(
+        p, term_stats(p), seeds, n_docs, avgdl, like_terms=5, k=TOPK, rank_dp=6
+    )
+    return res.select(
+        "seed_id", F.col("rank").cast("long").alias("rank"), "doc_id",
+        F.round("score", 4).alias("score"),
+    )
+
+
+def q_facet_counts(spark, sf_dir):
+    """Faceted search (operators/bm25.py::match_docs + analytics.py::
+    facet_counts): per-claim matching-doc counts by lang and source over
+    the FULL conjunctive match set (pre-top-k, the Lucene facet shape)."""
+    from defactonlp_spark.operators.analytics import facet_counts
+    from defactonlp_spark.operators.bm25 import claim_terms, match_docs
+
+    p = _postings_cached(spark, sf_dir)
+    matches = match_docs(p, claim_terms(_claims_df(spark)), require_all=True)
+    attrs = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    return facet_counts(matches, attrs, ["lang", "source"])
+
+
 def q_bigram_pmi(spark, sf_dir):
     """Collocation mining (operators/analytics.py::bigram_pmi): top token
     bigrams by PMI with a min-count support filter."""
@@ -1620,6 +1654,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "more_like_this": q_more_like_this,
+        "facet_counts": q_facet_counts,
         "bigram_pmi": q_bigram_pmi,
         "doc_keywords": q_doc_keywords,
         "chunk_dedup": q_chunk_dedup,
@@ -1923,6 +1959,66 @@ SELECT registrable_domain,
 FROM feats
 WHERE registrable_domain IS NOT NULL
 GROUP BY 1
+""",
+        "more_like_this": f"""
+WITH toks AS ({_TOKS_SQL}),
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+seeds(doc_id) AS (VALUES {", ".join(f"({s})" for s in MLT_SEEDS)}),
+kw AS (
+  SELECT claim_id, term FROM (
+    SELECT p.doc_id AS claim_id, p.term,
+           row_number() OVER (PARTITION BY p.doc_id
+             ORDER BY round(p.tf * ln(s.n / d.df), 6) DESC, p.term) AS rn
+    FROM postings p
+    JOIN seeds sd ON sd.doc_id = p.doc_id
+    JOIN dfreq d ON d.term = p.term
+    CROSS JOIN stats s
+  ) WHERE rn <= 5
+),
+scored AS (
+  SELECT q.claim_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * p.tf * {K1 + 1.0}
+              / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)) ) AS score
+  FROM kw q
+  JOIN postings p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl l ON l.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT claim_id::BIGINT AS seed_id, rank::BIGINT AS rank,
+       doc_id::BIGINT AS doc_id, round(score, 4) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
+        ORDER BY round(score, 6) DESC, doc_id) AS rank
+      FROM scored WHERE doc_id <> claim_id)
+WHERE rank <= {TOPK}
+""",
+        "facet_counts": f"""
+WITH toks AS ({_TOKS_SQL}),
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+claims(claim_id, claim) AS {_CLAIMS_SQL},
+qterms AS (
+  SELECT DISTINCT claim_id, unnest(list_filter(regexp_split_to_array(lower(claim),
+    '[^a-z0-9]+'), t -> t <> '')) AS term FROM claims
+),
+nq AS (SELECT claim_id, count(*)::BIGINT AS n_q FROM qterms GROUP BY 1),
+matches AS (
+  SELECT m.claim_id, m.doc_id
+  FROM (SELECT q.claim_id, p.doc_id, count(*)::BIGINT AS n_matched
+        FROM qterms q JOIN postings p ON p.term = q.term GROUP BY 1, 2) m
+  JOIN nq ON nq.claim_id = m.claim_id AND m.n_matched = nq.n_q
+),
+joined AS (SELECT m.claim_id, d.lang, d.source
+           FROM matches m JOIN documents d ON d.doc_id = m.doc_id)
+SELECT claim_id, 'lang' AS facet, lang AS value, count(*)::BIGINT AS n_docs
+FROM joined GROUP BY 1, 3
+UNION ALL
+SELECT claim_id, 'source' AS facet, source AS value, count(*)::BIGINT AS n_docs
+FROM joined GROUP BY 1, 3
 """,
         "bigram_pmi": """
 WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),

@@ -90,15 +90,23 @@ def doc_keywords(
     postings: DataFrame,
     n_docs: int,
     k: int = 5,
+    df_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc top-k keywords by tf-idf over a postings long table
     (term, doc_id, tf): weight = tf * ln(n_docs / df), rounded to 6 dp,
     ranked (weight desc, term asc) within each doc.
 
+    ``df_counts``: optional (term, df) relation; pass it when ``postings``
+    is a SUBSET of the corpus (e.g. the seed vectors in more_like_this) so
+    idf stays corpus-level. Defaults to counting df from ``postings``.
+
     Plan: one hash-agg for df, broadcast it back onto postings, one
     per-doc window — the keyword-extraction shape that needs no second
     corpus pass because df rides the (vocabulary-sized) broadcast."""
-    df_counts = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if df_counts is None:
+        df_counts = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    else:
+        df_counts = df_counts.select("term", "df")
     scored = postings.join(F.broadcast(df_counts), "term").withColumn(
         "weight",
         F.round(
@@ -113,3 +121,85 @@ def doc_keywords(
         .filter(F.col("rn") <= k)
         .select("doc_id", F.col("rn").alias("rank"), "term", "weight")
     )
+
+
+def more_like_this(
+    postings: DataFrame,
+    stats: DataFrame,
+    seed_docs: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    like_terms: int = 10,
+    k: int = 5,
+    params=None,
+    rank_dp: int | None = None,
+) -> DataFrame:
+    """Lucene MoreLikeThis analog: for each seed doc, extract its top
+    ``like_terms`` tf-idf keywords (:func:`doc_keywords` selection rule:
+    tf * ln(N/df) rounded 6 dp, weight desc / term asc) and run them as a
+    disjunctive BM25 query, excluding the seed doc itself from its own
+    results. Returns (seed_id, rank, doc_id, score).
+
+    ``seed_docs``: any DataFrame with a ``doc_id`` column naming the seeds.
+    Plan: the seed vectors come off the postings relation via one semi-join
+    (broadcast — seeds are query-sized), keyword selection is a per-seed
+    window over those few rows, and the second pass is the standard
+    one-scan broadcast-join BM25."""
+    from defactonlp_spark.config import BM25Params
+    from defactonlp_spark.operators.bm25 import score_exhaustive
+
+    params = params or BM25Params()
+    seeds = seed_docs.select("doc_id").distinct()
+    seed_vecs = postings.join(F.broadcast(seeds), "doc_id", "left_semi")
+    # corpus-level df from stats — df over the seed subset would inflate
+    # every seed term's idf to near-max and garble the selection
+    kw = doc_keywords(seed_vecs, n_docs, k=like_terms, df_counts=stats)
+    qterms = kw.select(F.col("doc_id").alias("claim_id"), "term")
+    res = score_exhaustive(
+        postings, stats, qterms, n_docs, avgdl,
+        k=k + 1,  # overfetch 1: the seed itself always matches
+        params=params, rank_dp=rank_dp,
+    )
+    res = res.filter(F.col("doc_id") != F.col("claim_id"))
+    w = Window.partitionBy("claim_id").orderBy(F.asc("rank"))
+    return (
+        res.withColumn("new_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("new_rank") <= k)
+        .select(
+            F.col("claim_id").alias("seed_id"),
+            F.col("new_rank").alias("rank"),
+            "doc_id",
+            "score",
+        )
+    )
+
+
+def facet_counts(
+    matches: DataFrame,
+    doc_attrs: DataFrame,
+    facet_cols: list[str],
+) -> DataFrame:
+    """Lucene-style facets: for each query, count MATCHING docs per value
+    of each facet column. ``matches``: (claim_id, doc_id) — any match
+    relation (boolean/conjunctive/filtered result sets before the top-k
+    cut, or the top-k itself). ``doc_attrs``: doc_id + the facet columns.
+
+    Returns (claim_id, facet, value, n_docs) — one unpivoted relation so
+    callers render any number of facet dimensions from one pass.
+
+    Plan: one join (broadcast when the match set is query-sized, shuffle
+    otherwise — Catalyst/AQE picks), then one hash agg per facet unioned
+    map-side; facet cardinality is typically tiny so the agg output is
+    negligible."""
+    joined = matches.select("claim_id", "doc_id").join(doc_attrs, "doc_id")
+    parts = []
+    for c in facet_cols:
+        parts.append(
+            joined.groupBy("claim_id", F.lit(c).alias("facet"),
+                           F.col(c).cast("string").alias("value"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -229,3 +229,30 @@ def score_boolean(
         .filter(F.col("rank") <= k)
         .select("claim_id", "rank", "doc_id", "score")
     )
+
+
+def match_docs(
+    postings: DataFrame,
+    qterms: DataFrame,
+    require_all: bool = True,
+) -> DataFrame:
+    """The pre-top-k match relation (claim_id, doc_id): docs containing
+    ALL (``require_all``) or ANY of a claim's terms. This is what facet
+    counting and match-count estimation consume — the result-set shape
+    BEFORE ranking cuts it. Same one-scan broadcast-join + single hash agg
+    as the scorers, minus the scoring arithmetic."""
+    if not require_all:
+        return (
+            postings.join(F.broadcast(qterms), "term", "inner")
+            .select("claim_id", "doc_id")
+            .distinct()
+        )
+    nq = qterms.groupBy("claim_id").agg(F.count(F.lit(1)).alias("n_q"))
+    return (
+        postings.join(F.broadcast(qterms), "term", "inner")
+        .groupBy("claim_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .join(F.broadcast(nq), "claim_id", "inner")
+        .filter(F.col("n_matched") == F.col("n_q"))
+        .select("claim_id", "doc_id")
+    )

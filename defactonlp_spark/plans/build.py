@@ -680,6 +680,15 @@ class IndexReader:
             raise FileNotFoundError(f"no postings materialization in {self.out_dir}")
         return self.spark.read.parquet(path)
 
+    def term_stats(self) -> DataFrame:
+        """The build's materialized per-term stats (term, df, ...) — the
+        dictionary relation query-side feature selection (more-like-this
+        keyword idf) reads without touching segments."""
+        path = os.path.join(self.out_dir, "term_stats")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            raise FileNotFoundError(f"no term_stats materialization in {self.out_dir}")
+        return self.spark.read.parquet(path)
+
     def tokens(self) -> DataFrame:
         """The positional sidecar (doc_id, pos, term, bucket) for
         query_phrase; built with ``IndexBuild(store_tokens=True)``."""

@@ -322,3 +322,50 @@ def query_rm3(
         postings2, stats2, wterms, reader.n_docs, reader.avgdl, k=k,
         params=cfg.bm25, rank_dp=rank_dp,
     )
+
+
+def query_more_like_this(
+    reader: IndexReader,
+    seed_docs: DataFrame,
+    like_terms: int = 10,
+    k: int = 5,
+    cfg: EngineConfig | None = None,
+    rank_dp: int | None = None,
+) -> DataFrame:
+    """MoreLikeThis over a built index: seed doc vectors come off the
+    build's postings materialization, keyword idf off the stored term
+    dictionary, and the scoring pass reads term-pruned decoded segments
+    (so tombstones mask results exactly like every other relational path).
+
+    Note the seed docs themselves are NOT tombstone-checked — asking for
+    docs like a deleted one is legal (the classic "find replacements for
+    the doc we just removed" flow); the deleted doc simply can't appear in
+    results.
+    """
+    from defactonlp_spark.operators.analytics import doc_keywords
+
+    cfg = cfg or EngineConfig()
+    seeds = seed_docs.select("doc_id").distinct()
+    seed_vecs = reader.postings().join(F.broadcast(seeds), "doc_id", "left_semi")
+    kw = doc_keywords(
+        seed_vecs, reader.n_docs, k=like_terms, df_counts=reader.term_stats()
+    )
+    qterms = kw.select(F.col("doc_id").alias("claim_id"), "term")
+    postings, stats = _pruned_postings(reader, qterms)
+    res = score_exhaustive(
+        postings, stats, qterms, reader.n_docs, reader.avgdl,
+        k=k + 1, params=cfg.bm25, rank_dp=rank_dp,
+    ).filter(F.col("doc_id") != F.col("claim_id"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("claim_id").orderBy(F.asc("rank"))
+    return (
+        res.withColumn("new_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("new_rank") <= k)
+        .select(
+            F.col("claim_id").alias("seed_id"),
+            F.col("new_rank").alias("rank"),
+            "doc_id",
+            "score",
+        )
+    )

@@ -88,3 +88,89 @@ def test_chunk_dedup(spark):
     assert rows[11]["n_chunks"] == 2
     # doc 11's [a b c] loses to doc 10's first chunk
     assert rows[11]["n_kept"] == 1 and rows[11]["n_dropped"] == 1
+
+
+def test_more_like_this(spark):
+    from defactonlp_spark.operators.analytics import more_like_this
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    p = P.build_postings(docs)
+    n_docs, avgdl = P.corpus_stats(p).collect()[0][:2]
+    seeds = spark.createDataFrame([(0,), (3,)], "doc_id long")
+    got = more_like_this(
+        p, P.term_stats(p), seeds, int(n_docs), float(avgdl),
+        like_terms=3, k=3,
+    ).collect()
+    by_seed: dict = {}
+    for r in got:
+        by_seed.setdefault(r["seed_id"], []).append((r["rank"], r["doc_id"]))
+    # seed never appears in its own results
+    for sid, rows in by_seed.items():
+        assert sid not in {d for _, d in rows}
+        assert [rk for rk, _ in sorted(rows)] == list(range(1, len(rows) + 1))
+    # scalar oracle: top-3 corpus-idf keywords of seed 0, then bm25
+    import math
+    from tests.oracle_bm25 import bm25_topk_oracle, build_oracle_index
+
+    texts = dict(DOCS)
+    postings, dl, n, _ = build_oracle_index(texts)
+    kws = sorted(
+        (
+            (t, round(tf * math.log(n / len(postings[t])), 6))
+            for t, tf in Counter(tokenize_one(texts[0])).items()
+        ),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:3]
+    want = bm25_topk_oracle(texts, {0: " ".join(t for t, _ in kws)}, k=4)[0]
+    want_ids = [d for d, _ in want if d != 0][:3]
+    assert [d for _, d in sorted(by_seed[0])] == want_ids
+
+
+def test_facet_counts(spark):
+    from defactonlp_spark.operators.analytics import facet_counts
+
+    matches = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 11)], "claim_id long, doc_id long"
+    )
+    attrs = spark.createDataFrame(
+        [(10, "en", "a"), (11, "de", "a"), (12, "en", "b")],
+        "doc_id long, lang string, source string",
+    )
+    got = {
+        (r["claim_id"], r["facet"], r["value"]): r["n_docs"]
+        for r in facet_counts(matches, attrs, ["lang", "source"]).collect()
+    }
+    assert got == {
+        (1, "lang", "en"): 2,
+        (1, "lang", "de"): 1,
+        (1, "source", "a"): 2,
+        (1, "source", "b"): 1,
+        (2, "lang", "de"): 1,
+        (2, "source", "a"): 1,
+    }
+
+
+def test_query_more_like_this_index_path(spark, tmp_path):
+    from defactonlp_spark.config import EngineConfig
+    from defactonlp_spark.operators.analytics import more_like_this
+    from defactonlp_spark.plans.build import IndexBuild, IndexReader
+    from defactonlp_spark.plans.query import query_more_like_this
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    p = P.build_postings(docs)
+    n_docs, avgdl = P.corpus_stats(p).collect()[0][:2]
+    seeds = spark.createDataFrame([(0,), (3,)], "doc_id long")
+    adhoc = more_like_this(
+        p, P.term_stats(p), seeds, int(n_docs), float(avgdl),
+        like_terms=3, k=3, rank_dp=9,
+    ).collect()
+    cfg = EngineConfig(n_buckets=4)
+    IndexBuild(str(tmp_path / "idx"), cfg, build_id="m").run(
+        spark, docs, input_snapshot="m"
+    )
+    r = IndexReader(spark, str(tmp_path / "idx"))
+    idx = query_more_like_this(
+        r, seeds, like_terms=3, k=3, cfg=cfg, rank_dp=9
+    ).collect()
+    key = lambda rows: sorted((x["seed_id"], x["rank"], x["doc_id"]) for x in rows)
+    assert key(adhoc) == key(idx)
