@@ -551,6 +551,30 @@ def q_bm25_topk_conjunctive(spark, sf_dir):
 
 
 RM3_FB_DOCS, RM3_FB_TERMS, RM3_ALPHA = 5, 8, 0.5
+# synonym dictionary fixture: (term, variant) — variants are corpus terms
+SYNONYMS = [
+    ("merge", "join"),
+    ("batch", "stream"),
+    ("customer", "supplier"),
+    ("vector", "column"),
+]
+SYN_WEIGHT = 0.5
+
+
+def q_bm25_topk_synonyms(spark, sf_dir):
+    """Query-time synonym expansion (operators/expansion.py::
+    expand_synonyms + score_weighted): variants score at weight 0.5,
+    originals at 1.0, max wins on overlap."""
+    from defactonlp_spark.operators.bm25 import claim_terms
+    from defactonlp_spark.operators.expansion import expand_synonyms, score_weighted
+    from defactonlp_spark.operators.postings import term_stats
+
+    p = _postings_cached(spark, sf_dir)
+    n_docs, avgdl = _engine_corpus_stats(p)
+    syns = spark.createDataFrame(SYNONYMS, "term string, variant string")
+    w = expand_synonyms(claim_terms(_claims_df(spark)), syns, syn_weight=SYN_WEIGHT)
+    res = score_weighted(p, term_stats(p), w, n_docs, avgdl, k=TOPK, rank_dp=6)
+    return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
 
 
 def q_bm25_topk_rm3(spark, sf_dir):
@@ -1631,6 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_conjunctive": q_bm25_topk_conjunctive,
         "bm25_topk_boolean": q_bm25_topk_boolean,
         "bm25_topk_rm3": q_bm25_topk_rm3,
+        "bm25_topk_synonyms": q_bm25_topk_synonyms,
         "bm25_topk_wand_deletes": q_bm25_topk_wand_deletes,
         "bm25_topk_merged": q_bm25_topk_merged,
         "bm25_topk_filtered": q_bm25_topk_filtered,
@@ -1744,6 +1769,43 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_wand": _BM25_CORE_SQL,
         "bm25_topk_conjunctive": _bm25_sql(_TOKS_SQL, _CLAIMS_SQL, TOPK, conjunctive=True),
         "bm25_topk_boolean": _BOOL_SQL,
+        "bm25_topk_synonyms": f"""
+WITH toks AS ({_TOKS_SQL}),
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+claims(claim_id, claim) AS {_CLAIMS_SQL},
+qterms AS (
+  SELECT DISTINCT claim_id, unnest(list_filter(regexp_split_to_array(lower(claim),
+    '[^a-z0-9]+'), t -> t <> '')) AS term FROM claims
+),
+syns(term, variant) AS (VALUES {", ".join(f"('{t}', '{v}')" for t, v in SYNONYMS)}),
+wterms AS (
+  SELECT claim_id, term, max(weight) AS weight FROM (
+    SELECT claim_id, term, 1.0 AS weight FROM qterms
+    UNION ALL
+    SELECT q.claim_id, s.variant AS term, {SYN_WEIGHT} AS weight
+    FROM qterms q JOIN syns s ON s.term = q.term
+  ) GROUP BY 1, 2
+),
+scored AS (
+  SELECT w.claim_id, p.doc_id,
+         sum( w.weight * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * p.tf * {K1 + 1.0}
+              / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)) ) AS score
+  FROM wterms w
+  JOIN postings p ON p.term = w.term
+  JOIN dfreq d ON d.term = w.term
+  JOIN dl l ON l.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT claim_id::BIGINT AS claim_id, doc_id::BIGINT AS doc_id, round(score, 4) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
+        ORDER BY round(score, 6) DESC, doc_id) AS rn FROM scored)
+WHERE rn <= {TOPK}
+""",
         "bm25_topk_rm3": _RM3_SQL.format(
             claims=_CLAIMS_SQL, fb_docs=RM3_FB_DOCS, fb_terms=RM3_FB_TERMS,
             alpha=RM3_ALPHA, one_minus_alpha=1.0 - RM3_ALPHA, k=TOPK,

@@ -165,3 +165,30 @@ def rm3_topk(
     return score_weighted(
         postings, stats, wterms, n_docs, avgdl, k=k, params=params, rank_dp=rank_dp
     )
+
+
+def expand_synonyms(
+    qterms: DataFrame,
+    synonyms: DataFrame,
+    syn_weight: float = 0.5,
+) -> DataFrame:
+    """Query-time synonym expansion (the Lucene SynonymQuery analog with a
+    discounted variant weight): original query terms keep weight 1.0; for
+    each (term, variant) row of ``synonyms`` whose term appears in a query,
+    the variant joins that query with weight ``syn_weight``. A variant that
+    is ALSO an original term of the same query keeps 1.0 (max wins).
+
+    -> (claim_id, term, weight), ready for :func:`score_weighted`.
+    The synonyms relation is broadcast — dictionaries are vocabulary-sized.
+    """
+    orig = qterms.select("claim_id", "term", F.lit(1.0).alias("weight"))
+    vars_ = (
+        qterms.join(F.broadcast(synonyms), "term")
+        .select("claim_id", F.col("variant").alias("term"),
+                F.lit(float(syn_weight)).alias("weight"))
+    )
+    return (
+        orig.unionByName(vars_)
+        .groupBy("claim_id", "term")
+        .agg(F.max("weight").alias("weight"))
+    )

@@ -157,3 +157,29 @@ def test_index_path_matches_adhoc(spark, fixtures, tmp_path):
     si = {(x["claim_id"], x["doc_id"]): x["score"] for x in idx}
     for kk, v in sa.items():
         assert si[kk] == pytest.approx(v, rel=1e-12)
+
+
+def test_expand_synonyms(spark, fixtures):
+    from defactonlp_spark.operators.expansion import expand_synonyms, score_weighted
+
+    docs, claims, p, n_docs, avgdl = fixtures
+    syns = spark.createDataFrame(
+        [("apple", "fig"), ("banana", "apple"), ("zzznope", "grape")],
+        "term string, variant string",
+    )
+    q = claim_terms(claims)
+    w = expand_synonyms(q, syns, syn_weight=0.5)
+    got = {(r["claim_id"], r["term"]): r["weight"] for r in w.collect()}
+    # claim 100 = "apple banana": apple orig 1.0 (beats the 0.5 variant of
+    # banana), banana 1.0, fig 0.5 via apple
+    assert got[(100, "apple")] == 1.0
+    assert got[(100, "banana")] == 1.0
+    assert got[(100, "fig")] == 0.5
+    # claim 101 = "fig": no synonym rows for fig -> unchanged
+    assert got[(101, "fig")] == 1.0 and (101, "apple") not in got
+    # claim 102 = "zzznope": variant still attaches (scoring drops the OOV
+    # original naturally; the variant CAN match)
+    assert got[(102, "grape")] == 0.5
+    res = score_weighted(p, P.term_stats(p), w, n_docs, avgdl, k=5, rank_dp=9)
+    rows = {r["claim_id"] for r in res.collect()}
+    assert 102 in rows  # grape matches even though zzznope is OOV
