@@ -1226,6 +1226,38 @@ def q_facet_counts(spark, sf_dir):
     return facet_counts(matches, attrs, ["lang", "source"])
 
 
+HYBRID_N_EACH = 10  # depth of each base ranking fed to RRF
+
+
+def q_hybrid_similar(spark, sf_dir):
+    """Hybrid similar-items: MoreLikeThis BM25 (lexical) + brute-force
+    cosine over the aligned embeddings table (vector), fused with
+    reciprocal-rank fusion (operators/analytics.py::rrf_fuse) — the
+    standard hybrid-retrieval shape (rank-only fusion, scores never
+    compared across modalities)."""
+    from defactonlp_spark.operators.analytics import more_like_this, rrf_fuse
+    from defactonlp_spark.operators.postings import term_stats
+    from defactonlp_spark.operators.similarity import cosine_topk
+
+    p = _postings_cached(spark, sf_dir)
+    n_docs, avgdl = _engine_corpus_stats(p)
+    seeds = spark.createDataFrame([(s,) for s in MLT_SEEDS], "doc_id long")
+    text = more_like_this(
+        p, term_stats(p), seeds, n_docs, avgdl,
+        like_terms=5, k=HYBRID_N_EACH, rank_dp=6,
+    ).select(F.col("seed_id").alias("claim_id"), "rank", "doc_id")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vec = cosine_topk(emb, MLT_SEEDS, k=HYBRID_N_EACH).select(
+        F.col("query_id").alias("claim_id"), "rank",
+        F.col("vec_id").alias("doc_id"),
+    )
+    return rrf_fuse([text, vec], k=TOPK).select(
+        F.col("claim_id").cast("long").alias("seed_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id", "rrf",
+    )
+
+
 def q_bigram_pmi(spark, sf_dir):
     """Collocation mining (operators/analytics.py::bigram_pmi): top token
     bigrams by PMI with a min-count support filter."""
@@ -1680,6 +1712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "more_like_this": q_more_like_this,
+        "hybrid_similar": q_hybrid_similar,
         "facet_counts": q_facet_counts,
         "bigram_pmi": q_bigram_pmi,
         "doc_keywords": q_doc_keywords,
@@ -2057,6 +2090,70 @@ SELECT claim_id::BIGINT AS seed_id, rank::BIGINT AS rank,
 FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
         ORDER BY round(score, 6) DESC, doc_id) AS rank
       FROM scored WHERE doc_id <> claim_id)
+WHERE rank <= {TOPK}
+""",
+        "hybrid_similar": f"""
+WITH toks AS ({_TOKS_SQL}),
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+seeds(doc_id) AS (VALUES {", ".join(f"({s})" for s in MLT_SEEDS)}),
+kw AS (
+  SELECT claim_id, term FROM (
+    SELECT p.doc_id AS claim_id, p.term,
+           row_number() OVER (PARTITION BY p.doc_id
+             ORDER BY round(p.tf * ln(s.n / d.df), 6) DESC, p.term) AS rn
+    FROM postings p
+    JOIN seeds sd ON sd.doc_id = p.doc_id
+    JOIN dfreq d ON d.term = p.term
+    CROSS JOIN stats s
+  ) WHERE rn <= 5
+),
+tscored AS (
+  SELECT q.claim_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * p.tf * {K1 + 1.0}
+              / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)) ) AS score
+  FROM kw q
+  JOIN postings p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl l ON l.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+text_rank AS (
+  SELECT claim_id, doc_id, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY claim_id
+      ORDER BY round(score, 6) DESC, doc_id) AS rank
+    FROM tscored WHERE doc_id <> claim_id)
+  WHERE rank <= {HYBRID_N_EACH}
+),
+qv AS (SELECT vec_id AS claim_id, embedding AS qvec FROM embeddings
+       WHERE vec_id IN ({", ".join(str(s) for s in MLT_SEEDS)})),
+vscored AS (
+  SELECT q.claim_id, e.vec_id AS doc_id,
+         round(list_dot_product(q.qvec::DOUBLE[], e.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[]))
+                  * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS cos
+  FROM embeddings e CROSS JOIN qv q
+  WHERE e.vec_id <> q.claim_id
+),
+vec_rank AS (
+  SELECT claim_id, doc_id, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY claim_id
+      ORDER BY cos DESC, doc_id) AS rank FROM vscored)
+  WHERE rank <= {HYBRID_N_EACH}
+),
+fused AS (
+  SELECT claim_id, doc_id, round(sum(1.0 / (60.0 + rank)), 9) AS rrf
+  FROM (SELECT * FROM text_rank UNION ALL SELECT * FROM vec_rank)
+  GROUP BY 1, 2
+)
+SELECT claim_id::BIGINT AS seed_id, rank::BIGINT AS rank,
+       doc_id::BIGINT AS doc_id, rrf
+FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
+        ORDER BY rrf DESC, doc_id) AS rank FROM fused)
 WHERE rank <= {TOPK}
 """,
         "facet_counts": f"""

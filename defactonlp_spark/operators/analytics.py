@@ -203,3 +203,42 @@ def facet_counts(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 5,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009 — the standard hybrid
+    lexical+vector fusion rule): each input ranking contributes
+    1/(rrf_k + rank) per (claim_id, doc_id); candidates are re-ranked by
+    the summed score (rounded 9 dp; ties -> doc_id asc).
+
+    ``rankings``: DataFrames with (claim_id, rank, doc_id) — any retrieval
+    output in this repo (BM25/WAND/boolean/RM3/MLT/cosine after a rename).
+    Rank-only fusion never touches the incomparable raw scores, which is
+    exactly why RRF is the robust default for fusing BM25 with cosine.
+
+    Plan: union (no shuffle) -> one hash agg on (claim_id, doc_id) -> one
+    per-claim window; cost is the size of the input top-N lists, never the
+    corpus."""
+    parts = [
+        r.select(
+            "claim_id", "doc_id",
+            (F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("rank").cast("double"))).alias("c"),
+        )
+        for r in rankings
+    ]
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    fused = allp.groupBy("claim_id", "doc_id").agg(
+        F.round(F.sum("c"), 9).alias("rrf")
+    )
+    w = Window.partitionBy("claim_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("claim_id", "rank", "doc_id", "rrf")
+    )

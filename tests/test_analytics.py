@@ -174,3 +174,27 @@ def test_query_more_like_this_index_path(spark, tmp_path):
     ).collect()
     key = lambda rows: sorted((x["seed_id"], x["rank"], x["doc_id"]) for x in rows)
     assert key(adhoc) == key(idx)
+
+
+def test_rrf_fuse(spark):
+    from defactonlp_spark.operators.analytics import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 1, 100), (1, 2, 101), (1, 3, 102)], "claim_id long, rank int, doc_id long"
+    )
+    b = spark.createDataFrame(
+        [(1, 1, 102), (1, 2, 100), (2, 1, 200)], "claim_id long, rank int, doc_id long"
+    )
+    got = {
+        (r["claim_id"], r["doc_id"]): (r["rank"], r["rrf"])
+        for r in rrf_fuse([a, b], k=3, rrf_k=60).collect()
+    }
+    # doc 100: 1/61 + 1/62 ; doc 102: 1/63 + 1/61 ; doc 101: 1/62
+    s100 = round(1 / 61 + 1 / 62, 9)
+    s102 = round(1 / 63 + 1 / 61, 9)
+    s101 = round(1 / 62, 9)
+    assert got[(1, 100)] == (1, s100)
+    assert got[(1, 102)] == (2, s102)
+    assert got[(1, 101)] == (3, s101)
+    assert got[(2, 200)] == (1, round(1 / 61, 9))
+    assert s100 > s102 > s101
