@@ -1228,6 +1228,32 @@ def q_facet_counts(spark, sf_dir):
 
 HYBRID_N_EACH = 10  # depth of each base ranking fed to RRF
 
+# did-you-mean fixture: (claim_id, typo) — distance-1/2 misspellings of
+# corpus terms plus one hopeless token
+TYPO_TERMS = [
+    (0, "mrge"),
+    (0, "joinn"),
+    (1, "windoww"),
+    (1, "batc"),
+    (2, "qqqzzzqq"),
+]
+
+
+def q_spell_correct(spark, sf_dir):
+    """Did-you-mean (operators/postings.py::suggest_corrections): top
+    dictionary term within Levenshtein 2 for each OOV query term, ranked
+    dist asc / df desc / term asc."""
+    from defactonlp_spark.operators.postings import suggest_corrections, term_stats
+
+    p = _postings_cached(spark, sf_dir)
+    q = spark.createDataFrame(TYPO_TERMS, "claim_id long, term string")
+    res = suggest_corrections(term_stats(p), q, max_dist=2, topn=3)
+    return res.select(
+        "claim_id", "term", F.col("rank").cast("long").alias("rank"),
+        "suggestion", F.col("dist").cast("long").alias("dist"),
+        F.col("df").cast("long").alias("df"),
+    )
+
 
 def q_hybrid_similar(spark, sf_dir):
     """Hybrid similar-items: MoreLikeThis BM25 (lexical) + brute-force
@@ -1713,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "more_like_this": q_more_like_this,
         "hybrid_similar": q_hybrid_similar,
+        "spell_correct": q_spell_correct,
         "facet_counts": q_facet_counts,
         "bigram_pmi": q_bigram_pmi,
         "doc_keywords": q_doc_keywords,
@@ -2091,6 +2118,23 @@ FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
         ORDER BY round(score, 6) DESC, doc_id) AS rank
       FROM scored WHERE doc_id <> claim_id)
 WHERE rank <= {TOPK}
+""",
+        "spell_correct": f"""
+WITH toks AS ({_TOKS_SQL}),
+postings AS (SELECT term, doc_id FROM toks GROUP BY 1, 2),
+dict AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY 1),
+q(claim_id, term) AS (VALUES {", ".join(f"({c}, '{t}')" for c, t in TYPO_TERMS)}),
+oov AS (SELECT q.* FROM q LEFT JOIN dict d ON d.term = q.term WHERE d.term IS NULL),
+cand AS (
+  SELECT o.claim_id, o.term, d.term AS suggestion,
+         levenshtein(o.term, d.term)::BIGINT AS dist, d.df
+  FROM oov o JOIN dict d ON abs(len(d.term) - len(o.term)) <= 2
+  WHERE levenshtein(o.term, d.term) <= 2
+)
+SELECT claim_id, term, rank, suggestion, dist, df
+FROM (SELECT *, row_number() OVER (PARTITION BY claim_id, term
+        ORDER BY dist, df DESC, suggestion) AS rank FROM cand)
+WHERE rank <= 3
 """,
         "hybrid_similar": f"""
 WITH toks AS ({_TOKS_SQL}),

@@ -150,6 +150,48 @@ def suggest_terms(stats: DataFrame, prefixes: DataFrame, k: int = 5) -> DataFram
     )
 
 
+def suggest_corrections(
+    stats: DataFrame,
+    qterms: DataFrame,
+    max_dist: int = 2,
+    topn: int = 1,
+) -> DataFrame:
+    """Did-you-mean spell correction for out-of-vocabulary query terms
+    (the Lucene DirectSpellChecker shape): for each query term NOT in the
+    dictionary, the ``topn`` dictionary terms within Levenshtein distance
+    ``max_dist``, ranked distance asc / df desc / term asc.
+
+    Relational shape: OOV terms = anti-join against the dictionary (both
+    sides tiny on the query side); candidates = broadcast theta-join of the
+    OOV terms onto the Heaps-bounded dictionary, pre-filtered by the
+    |length difference| <= max_dist band before the levenshtein expr runs
+    (Spark evaluates the cheap band predicate first). At web vocabulary
+    sizes a latency deployment precomputes a SymSpell deletion
+    neighborhood instead — same output contract, one equi-join.
+
+    ``qterms``: (claim_id, term). Returns
+    (claim_id, term, rank, suggestion, dist, df)."""
+    dict_terms = stats.select("term", "df")
+    oov = qterms.join(dict_terms, "term", "left_anti")
+    cand = dict_terms.select(
+        F.col("term").alias("suggestion"), "df"
+    ).join(
+        F.broadcast(oov),
+        F.abs(F.length("suggestion") - F.length("term")) <= max_dist,
+        "inner",
+    ).withColumn("dist", F.levenshtein("term", "suggestion")).filter(
+        F.col("dist") <= max_dist
+    )
+    w = Window.partitionBy("claim_id", "term").orderBy(
+        F.asc("dist"), F.desc("df"), F.asc("suggestion")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= topn)
+        .select("claim_id", "term", "rank", "suggestion", "dist", "df")
+    )
+
+
 def salt_plan(stats: DataFrame, n_docs: int, cfg: EngineConfig) -> DataFrame:
     """Head terms (df > salt_df_ratio * n_docs) -> n_salts sub-lists.
 

@@ -198,3 +198,29 @@ def test_rrf_fuse(spark):
     assert got[(1, 101)] == (3, s101)
     assert got[(2, 200)] == (1, round(1 / 61, 9))
     assert s100 > s102 > s101
+
+
+def test_suggest_corrections(spark):
+    from defactonlp_spark.operators.postings import suggest_corrections, term_stats
+
+    docs = spark.createDataFrame(
+        [(0, "merge merge join batch"), (1, "merge stream window"), (2, "marge")],
+        "doc_id long, text string",
+    )
+    p = P.build_postings(docs)
+    q = spark.createDataFrame(
+        [(1, "mrge"), (1, "join"), (2, "windoww"), (3, "zzzzzzzz")],
+        "claim_id long, term string",
+    )
+    got = {
+        (r["claim_id"], r["term"]): (r["suggestion"], r["dist"])
+        for r in suggest_corrections(term_stats(p), q, max_dist=2, topn=1).collect()
+    }
+    # 'mrge' -> distance-1 candidates 'merge' (df 2) and 'marge' (df 1):
+    # distance ties break on df desc
+    assert got[(1, "mrge")] == ("merge", 1)
+    # in-vocabulary terms are never "corrected"
+    assert (1, "join") not in got
+    assert got[(2, "windoww")] == ("window", 1)
+    # nothing within distance 2
+    assert (3, "zzzzzzzz") not in got
