@@ -140,6 +140,7 @@ WHERE rn <= {k}
 _BM25_CORE_SQL = _bm25_sql(_TOKS_SQL, _CLAIMS_SQL, TOPK)
 
 from defactonlp_spark.functions.pii import pii_oracle_sql as _pii_oracle_sql  # noqa: E402
+from defactonlp_spark.functions.stem import S_STEM_SQL_CASE as _S_STEM_CASE  # noqa: E402
 
 # RM3 twin — the full pinned spec from operators/expansion.py: first pass
 # (rank on round(score,6)), p(D) normalization, rm weights @9dp, top
@@ -1312,6 +1313,31 @@ def q_chunk_dedup(spark, sf_dir):
     return chunk_dedup(_docs(spark, sf_dir), chunk_tokens=10)
 
 
+_STEM_SUFFIX = " queries tables stories glasses plus bus"
+
+
+def q_stemmed_term_counts(spark, sf_dir):
+    """S-stemmed vocabulary rollup (functions/stem.py): stem every token
+    (suffix-class dispatch, codegen CASE), re-aggregate tf/df per stem.
+    Every 4th doc gets a deterministic plural-rich suffix (mirrored in the
+    twin) so all three rules + guards fire on the fixture corpus."""
+    from defactonlp_spark.functions.stem import stem_postings
+    from defactonlp_spark.operators.postings import build_postings
+
+    d = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(_STEM_SUFFIX)).otherwise(F.lit("")),
+        ),
+    )
+    sp = stem_postings(build_postings(d))
+    return sp.groupBy("term").agg(
+        F.sum("tf").cast("long").alias("total_tf"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+    )
+
+
 def q_doc_repetition(spark, sf_dir):
     """Gopher/C4-style repetition quality gates (functions/textstats.py::
     repetition_stats): dup-line fraction, top-bigram fraction, duplicated
@@ -1744,6 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_pmi": q_bigram_pmi,
         "doc_keywords": q_doc_keywords,
         "chunk_dedup": q_chunk_dedup,
+        "stemmed_term_counts": q_stemmed_term_counts,
         "doc_repetition": q_doc_repetition,
         "pii_redact": q_pii_redact,
         "url_parse": q_url_parse,
@@ -2276,6 +2303,22 @@ SELECT doc_id, count(*)::BIGINT AS n_chunks,
        sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_dropped
 FROM flagged GROUP BY 1
 """,
+        "stemmed_term_counts": ("""
+WITH src AS (
+  SELECT doc_id, text || CASE WHEN doc_id % 4 = 0
+           THEN '""" + _STEM_SUFFIX + """' ELSE '' END AS text
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text),
+    '[^a-z0-9]+'), t -> t <> '')) AS term FROM src
+),
+stemmed AS (SELECT doc_id, """
++ _S_STEM_CASE.format(t="term") + """ AS term FROM toks),
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM stemmed GROUP BY 1, 2)
+SELECT term, sum(tf)::BIGINT AS total_tf, count(*)::BIGINT AS df
+FROM postings GROUP BY 1
+"""),
         "doc_repetition": """
 WITH base AS (
   SELECT doc_id,

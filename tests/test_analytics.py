@@ -224,3 +224,41 @@ def test_suggest_corrections(spark):
     assert got[(2, "windoww")] == ("window", 1)
     # nothing within distance 2
     assert (3, "zzzzzzzz") not in got
+
+
+def test_s_stem(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from defactonlp_spark.functions.stem import s_stem
+
+    cases = {
+        "queries": "query", "stories": "story", "tables": "table",
+        "glasses": "glasse",    # -es rule; the -ss guard protects 'glass', not '-sses'
+        "corpus": "corpus",     # -us guard
+        "goes": "goes",         # -oes guard (terminal: no fall-through to -s)
+        "trees": "trees",       # -ees guard (terminal)
+        "cats": "cat", "is": "i", "a": "a", "merge": "merge",
+        "ies": "y", "glass": "glass",
+    }
+    df = spark.createDataFrame(pd.DataFrame({"w": list(cases)}))
+    got = {r["w"]: r["s"] for r in df.select("w", s_stem(F.col("w")).alias("s")).collect()}
+    assert got == cases
+
+
+def test_s_stem_matches_duckdb_case(spark):
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from defactonlp_spark.functions.stem import S_STEM_SQL_CASE, s_stem
+
+    words = ["queries", "stories", "tables", "glasses", "corpus", "goes",
+             "trees", "cats", "is", "a", "merge", "ies", "aies", "eies",
+             "aes", "s", "ss", "us", "es"]
+    df = spark.createDataFrame(pd.DataFrame({"w": words}))
+    got = df.select("w", s_stem(F.col("w")).alias("s")).toPandas().sort_values("w")
+    con = duckdb.connect()
+    con.register("words", pd.DataFrame({"w": words}))
+    want = con.execute(
+        f"SELECT w, {S_STEM_SQL_CASE.format(t='w')} AS s FROM words ORDER BY w"
+    ).df()
+    assert list(got["s"]) == list(want["s"])
