@@ -1313,6 +1313,24 @@ def q_chunk_dedup(spark, sf_dir):
     return chunk_dedup(_docs(spark, sf_dir), chunk_tokens=10)
 
 
+def q_curation_keep_stats(spark, sf_dir):
+    """Fused one-pass curation (plans/curate.py::curation_pass — quality +
+    repetition + PII in ONE scan + ONE kernel, Gopher/C4 gates) rolled up
+    per language: (lang, n_docs, n_kept)."""
+    from defactonlp_spark.plans.curate import curation_pass
+
+    d = _docs(spark, sf_dir)
+    cp = curation_pass(d)
+    return (
+        cp.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),
+        )
+    )
+
+
 _STEM_SUFFIX = " queries tables stories glasses plus bus"
 
 
@@ -1770,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_pmi": q_bigram_pmi,
         "doc_keywords": q_doc_keywords,
         "chunk_dedup": q_chunk_dedup,
+        "curation_keep_stats": q_curation_keep_stats,
         "stemmed_term_counts": q_stemmed_term_counts,
         "doc_repetition": q_doc_repetition,
         "pii_redact": q_pii_redact,
@@ -2303,6 +2322,65 @@ SELECT doc_id, count(*)::BIGINT AS n_chunks,
        sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_dropped
 FROM flagged GROUP BY 1
 """,
+        "curation_keep_stats": f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toklist,
+         length(text)::BIGINT AS n_chars,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE AS alpha,
+         list_filter(str_split(text, chr(10)), l -> l <> '') AS lines
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, lang, len(toklist)::BIGINT AS n_tokens,
+         CASE WHEN len(toklist) > 0
+              THEN len(list_filter(toklist, t -> list_contains({{stop_list}}, t)))::DOUBLE / len(toklist)
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END AS alpha_ratio,
+         CASE WHEN len(lines) > 0
+              THEN round((len(lines) - len(list_distinct(lines))) / len(lines)::DOUBLE, 6)
+              ELSE 0.0 END AS dup_line_frac
+  FROM base
+),
+q AS (
+  SELECT doc_id, lang, n_tokens, dup_line_frac,
+         round(CASE WHEN n_tokens < 5 THEN 0.0
+               ELSE least(greatest(alpha_ratio * (1.0 - greatest(stop_ratio - 0.5, 0.0)), 0.0), 1.0)
+               END, 6) AS quality
+  FROM feat
+),
+big AS (
+  SELECT doc_id, toklist[i] || ' ' || toklist[i+1] AS g
+  FROM base, unnest(generate_series(1, len(toklist) - 1)) AS t(i)
+  WHERE len(toklist) >= 2
+),
+bigc AS (
+  SELECT doc_id, max(c)::DOUBLE / sum(c)::DOUBLE AS top_bigram_raw
+  FROM (SELECT doc_id, g, count(*) AS c FROM big GROUP BY 1, 2) GROUP BY 1
+),
+g5 AS (
+  SELECT doc_id, toklist[i] || ' ' || toklist[i+1] || ' ' || toklist[i+2] || ' ' ||
+         toklist[i+3] || ' ' || toklist[i+4] AS g
+  FROM base, unnest(generate_series(1, len(toklist) - 4)) AS t(i)
+  WHERE len(toklist) >= 5
+),
+g5c AS (
+  SELECT doc_id, sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::DOUBLE / sum(c)::DOUBLE AS dup5_raw
+  FROM (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2) GROUP BY 1
+),
+m AS (
+  SELECT q.lang,
+         (q.n_tokens >= 5 AND q.n_tokens <= 100000
+          AND q.quality >= 0.05
+          AND coalesce(round(g5c.dup5_raw, 6), 0.0) <= 0.6
+          AND coalesce(round(bigc.top_bigram_raw, 6), 0.0) <= 0.6
+          AND q.dup_line_frac <= 0.5) AS keep
+  FROM q LEFT JOIN bigc USING (doc_id) LEFT JOIN g5c USING (doc_id)
+)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept
+FROM m GROUP BY 1
+""".format(stop_list=stop_list),
         "stemmed_term_counts": ("""
 WITH src AS (
   SELECT doc_id, text || CASE WHEN doc_id % 4 = 0

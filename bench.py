@@ -61,6 +61,8 @@ DO_MERGE = os.environ.get("BENCH_MERGE", "1") == "1"
 DO_DELETES = os.environ.get("BENCH_DELETES", "1") == "1"
 # the sf0.1 harness-query loop (set 0 for section-focused partial runs):
 DO_HARNESS = os.environ.get("BENCH_HARNESS", "1") == "1"
+# one-pass curation throughput over the synthetic webpages corpus:
+DO_CURATION = os.environ.get("BENCH_CURATION", "1") == "1"
 MERGE_PAGES = int(os.environ.get("BENCH_MERGE_PAGES", "1000000"))
 
 
@@ -254,6 +256,40 @@ def bench_merge_serve(cores: int) -> dict:
         spark.stop()
     out["serving_merged"] = bench_query_serving(cores, d_m)
     return out
+
+
+def bench_curation(cores: int) -> dict:
+    """Throughput of the fused curation pass (plans/curate.py): extract +
+    quality + PII codegen + repetition kernel + gates, ONE scan + ONE
+    Python stage over the synthetic webpages corpus. The action is a
+    count-by-keep aggregate (forces every metric, returns 2 rows)."""
+    from pyspark.sql import functions as F
+
+    from defactonlp_spark.plans.build import prepare_webpages
+    from defactonlp_spark.plans.curate import curation_pass
+
+    spark = _spark(cores)
+    try:
+        _warmup(spark)
+        corpus = prepare_webpages(spark.read.parquet(_webpages_path()))
+        t0, s0 = time.time(), _steal_jiffies()
+        kept = {
+            r["keep"]: r["n"]
+            for r in curation_pass(corpus)
+            .groupBy("keep").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        wall = time.time() - t0
+        n = sum(kept.values())
+        return {
+            "docs": n,
+            "kept": int(kept.get(True, 0)),
+            "dropped": int(kept.get(False, 0)),
+            "wall_sec": round(wall, 2),
+            "docs_per_sec": round(n / wall, 1),
+            "steal_jiffies": _steal_jiffies() - s0,
+        }
+    finally:
+        spark.stop()
 
 
 def bench_deletes(cores: int, idx_dir: str, n_docs: int) -> dict:
@@ -453,6 +489,10 @@ def main():
     # -- two-generation build + merge + serve at 1M docs --------------------
     if DO_MERGE:
         results["merge_serve"] = bench_merge_serve(CPUS)
+
+    # -- one-pass curation throughput (quality + repetition + PII, fused) ----
+    if DO_CURATION:
+        results["curation"] = bench_curation(CPUS)
 
     # -- harness queries at SF_DIR ------------------------------------------
     if not DO_HARNESS:

@@ -63,12 +63,10 @@ def bpe_token_count_col(text_col: str = "text"):
     ).cast("long")
 
 
-def quality_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Per-doc quality features: lengths, ratios, and a composite score.
-
-    score = 0 if too short; else alpha_ratio * (1 - stop_excess) bounded to
-    [0, 1] and rounded — a deterministic stand-in for a learned quality model.
-    """
+def quality_feature_cols(text_col: str = "text") -> dict:
+    """The quality-feature expressions as a name->Column map, so composed
+    plans (plans/curate.py) can inline them into one projection instead of
+    joining a second pass."""
     toks = tokens_col(text_col)
     n_tok = F.size(toks).cast("long")
     n_chars = F.length(text_col).cast("long")
@@ -80,14 +78,31 @@ def quality_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     score = F.when(n_tok < 5, F.lit(0.0)).otherwise(
         F.least(F.greatest(alpha_ratio * (F.lit(1.0) - F.greatest(stop_ratio - 0.5, F.lit(0.0))), F.lit(0.0)), F.lit(1.0))
     )
+    return {
+        "n_tokens": n_tok,
+        "n_chars": n_chars,
+        "mean_tok_len": F.round(mean_tok_len, 6),
+        "stopword_ratio": F.round(stop_ratio, 6),
+        "alpha_ratio": F.round(alpha_ratio, 6),
+        "quality": F.round(score, 6),
+    }
+
+
+def quality_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc quality features: lengths, ratios, and a composite score.
+
+    score = 0 if too short; else alpha_ratio * (1 - stop_excess) bounded to
+    [0, 1] and rounded — a deterministic stand-in for a learned quality model.
+    """
+    cols = quality_feature_cols(text_col)
     return docs.select(
         F.col(id_col),
-        n_tok.alias("n_tokens"),
-        n_chars.alias("n_chars"),
-        F.round(mean_tok_len, 6).alias("mean_tok_len"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(alpha_ratio, 6).alias("alpha_ratio"),
-        F.round(score, 6).alias("quality"),
+        cols["n_tokens"].alias("n_tokens"),
+        cols["n_chars"].alias("n_chars"),
+        cols["mean_tok_len"].alias("mean_tok_len"),
+        cols["stopword_ratio"].alias("stopword_ratio"),
+        cols["alpha_ratio"].alias("alpha_ratio"),
+        cols["quality"].alias("quality"),
     )
 
 
@@ -267,6 +282,34 @@ def fingerprint_sql(docs: DataFrame, n: int = 5, n_hashes: int = 4, id_col: str 
 
 # -- repetition statistics (Gopher/C4-style quality gates) -------------------
 
+def repetition_metrics_row(text, toks):
+    """Scalar core of :func:`repetition_stats` for ONE doc: returns
+    (n_tokens, dup_line_frac, top_bigram_frac, dup_5gram_frac), all None
+    for NULL text. Shared with the fused curation kernel
+    (plans/curate.py) so both paths pin identical semantics."""
+    from collections import Counter
+
+    if toks is None or text is None:
+        return None, None, None, None
+    toks = list(toks)
+    n = len(toks)
+    lines = [l for l in text.split("\n") if l != ""]
+    dline = (
+        round((len(lines) - len(set(lines))) / len(lines), 6) if lines else 0.0
+    )
+    if n >= 2:
+        bc = Counter(zip(toks, toks[1:]))
+        topbi = round(max(bc.values()) / (n - 1), 6)
+    else:
+        topbi = 0.0
+    if n >= 5:
+        gc = Counter(tuple(toks[i : i + 5]) for i in range(n - 4))
+        dup5 = round(sum(c for c in gc.values() if c >= 2) / (n - 4), 6)
+    else:
+        dup5 = 0.0
+    return n, dline, topbi, dup5
+
+
 def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-doc repetition metrics — the Gopher/C4 quality-gate family
     (public refs: Rae et al. 2021 "Scaling Language Models" §A1.1 repetition
@@ -303,33 +346,11 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
         for pdf in batches:
             n_toks, dline, topbi, dup5 = [], [], [], []
             for text, toks in zip(pdf["_text"], pdf["_toks"]):
-                if toks is None or text is None:
-                    n_toks.append(None)
-                    dline.append(None)
-                    topbi.append(None)
-                    dup5.append(None)
-                    continue
-                toks = list(toks)
-                n = len(toks)
+                n, dl_, tb, d5 = repetition_metrics_row(text, toks)
                 n_toks.append(n)
-                lines = [l for l in text.split("\n") if l != ""]
-                dline.append(
-                    round((len(lines) - len(set(lines))) / len(lines), 6)
-                    if lines else 0.0
-                )
-                if n >= 2:
-                    bc = Counter(zip(toks, toks[1:]))
-                    topbi.append(round(max(bc.values()) / (n - 1), 6))
-                else:
-                    topbi.append(0.0)
-                if n >= 5:
-                    gc = Counter(
-                        tuple(toks[i : i + 5]) for i in range(n - 4)
-                    )
-                    dup = sum(c for c in gc.values() if c >= 2)
-                    dup5.append(round(dup / (n - 4), 6))
-                else:
-                    dup5.append(0.0)
+                dline.append(dl_)
+                topbi.append(tb)
+                dup5.append(d5)
             yield pd.DataFrame(
                 {
                     id_field.name: pdf[id_field.name],
