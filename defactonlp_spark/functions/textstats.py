@@ -28,8 +28,21 @@ from pyspark.sql.types import (
     StructType,
 )
 
+import re as _re
+
 from defactonlp_spark.operators.dedup import tokens_col
 from defactonlp_spark.session import floor_parallelism
+
+#: Python twin of operators.dedup.tokens_col (lower + keep [a-z0-9]+ runs).
+#: Kernels tokenize INSIDE Python from the shipped text instead of
+#: Arrow-shipping a list<string> column: serializing ~600 small strings per
+#: row cost 19-170 s for 320k webpages vs 1.6 s for the text itself.
+_SQL_TOKEN_RE = _re.compile(r"[a-z0-9]+")
+
+
+def sql_tokens_py(text):
+    """tokens_col semantics, scalar (ASCII-equal to the JVM expression)."""
+    return None if text is None else _SQL_TOKEN_RE.findall(text.lower())
 
 # tiny per-language stopword marker lists (deterministic heuristic lang-id)
 LANG_MARKERS = {
@@ -148,7 +161,7 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         for pdf in batches:
             hit_cols = {lang: [] for lang in langs}
             preds = []
-            for toks in pdf["_toks"]:
+            for toks in (sql_tokens_py(t) for t in pdf["_text"]):
                 if toks is None:
                     # NULL text: the SQL twin's size(filter(NULL)) is NULL,
                     # and greatest(NULL..)>0 is never true -> pred 'und'
@@ -168,7 +181,9 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
             out["pred_lang"] = preds
             yield pd.DataFrame(out)
 
-    prepared = docs.select(F.col(id_col), tokens_col(text_col).alias("_toks"))
+    prepared = floor_parallelism(
+        docs.select(F.col(id_col), F.col(text_col).alias("_text"))
+    )
     return prepared.mapInPandas(kern, schema)
 
 
@@ -361,8 +376,8 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     def kern(batches):
         for pdf in batches:
             n_toks, dline, topbi, dup5 = [], [], [], []
-            for text, toks in zip(pdf["_text"], pdf["_toks"]):
-                n, dl_, tb, d5 = repetition_metrics_row(text, toks)
+            for text in pdf["_text"]:
+                n, dl_, tb, d5 = repetition_metrics_row(text, sql_tokens_py(text))
                 n_toks.append(n)
                 dline.append(dl_)
                 topbi.append(tb)
@@ -378,7 +393,7 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
             )
 
     prepared = floor_parallelism(
-        docs.select(F.col(id_col), F.col(text_col).alias("_text"), tokens_col(text_col).alias("_toks"))
+        docs.select(F.col(id_col), F.col(text_col).alias("_text"))
     )
     return prepared.mapInPandas(kern, schema)
 
