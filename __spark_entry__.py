@@ -1049,6 +1049,28 @@ def q_dedup_ngram_jaccard_capped(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Duplicate-CLUSTER resolution — the step after every pair generator:
+    near-dup similarity is not transitive, the drop decision must be. Spark
+    side: alternating large-star/small-star connected components (Kiveris
+    2014, O(log^2 n) shuffle rounds regardless of chain length) over the
+    exact jaccard pairs, then the keep-min-id rule over the full corpus.
+    Oracle: DuckDB recursive-CTE transitive closure (min reachable id) —
+    exponential-ish at scale but exact at oracle size."""
+    from defactonlp_spark.operators.dedup import (
+        duplicate_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2, n=3)
+    return duplicate_clusters(docs, pairs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component_id").cast("long").alias("component_id"),
+        "keep",
+    )
+
+
 def q_minhash_signatures(spark, sf_dir):
     from defactonlp_spark.operators.dedup import minhash_signature
 
@@ -1773,6 +1795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
+        "dedup_clusters": q_dedup_clusters,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -2019,6 +2042,35 @@ WHERE rank <= 5
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE round(shared / (sa.sz + sb.sz - shared), 6) >= 0.1
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE sh AS ({sh}),
+            sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
+            shared AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS shared
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT id_a, id_b FROM shared
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE round(shared / (sa.sz + sb.sz - shared), 6) >= 0.2
+            ),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ),
+            reach(id, r) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+            ),
+            comp AS (SELECT id, min(r) AS component_id FROM reach GROUP BY id)
+            SELECT d.doc_id::BIGINT AS doc_id,
+                   coalesce(c.component_id, d.doc_id)::BIGINT AS component_id,
+                   coalesce(c.component_id, d.doc_id) = d.doc_id AS keep
+            FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
         """,
         "minhash_signatures": f"""
             WITH sh AS ({sh})

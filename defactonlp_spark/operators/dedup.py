@@ -432,3 +432,127 @@ def chunk_dedup(
             F.sum((~F.col("keep")).cast("long")).cast("long").alias("n_dropped"),
         )
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Resolve duplicate PAIRS into clusters: ``(id, component_id)`` for
+    every id appearing in ``pairs``, where component_id is the SMALLEST id
+    in the connected component. This is the missing last step after every
+    pair generator in this module (jaccard / LSH / simhash / cosine): near-
+    dup similarity is not transitive, but the drop decision must be — docs
+    A~B and B~C belong to one cluster even when A~C was never emitted.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", ACM SoCC 2014 — public).
+    Each half-round is one groupBy(min) + one join over the edge set, and
+    the edge set contracts to a star forest rooted at component minima in
+    O(log^2 n) rounds REGARDLESS of component diameter. The naive
+    alternative (propagate min label to neighbors until fixpoint) needs
+    diameter rounds — boilerplate near-dup families form long CHAINS, and a
+    1000-link chain would mean 1000 shuffles; stars collapse it in ~10.
+
+    Iterative-DataFrame hygiene, both load-bearing at scale:
+    - every round ``localCheckpoint(eager=True)``s the edge set — without
+      truncation the plan tree doubles per round and Catalyst optimization
+      time goes quadratic;
+    - convergence is detected with one count over a self-exceptAll (edges
+      unchanged), not a collect of the edges.
+
+    Edges are kept canonical as (src > dst); self-loops dropped. Emits ONLY
+    ids present in pairs — join docs with ``duplicate_clusters`` for the
+    full-corpus keep/drop decision.
+    """
+    edges = (
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("src"),
+            F.least(F.col(id_a), F.col(id_b)).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.select(F.col("src").alias("u"), F.col("dst").alias("v")).union(
+            e.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        m = mins.select("u", F.least("u", "mn").alias("m"))
+        return (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # edges already point large->small: for each u, m = min over its
+        # smaller-side neighborhood (all dst < u, so min(dst) < u); connect
+        # every smaller neighbor AND u itself to m.
+        mins = e.groupBy("src").agg(F.min("dst").alias("m"))
+        relinked = (
+            e.join(mins, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        self_edges = mins.select(F.col("src"), F.col("m").alias("dst"))
+        return (
+            relinked.union(self_edges)
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    for _ in range(max_rounds):
+        new = small_star(large_star(edges)).localCheckpoint(eager=True)
+        changed = new.exceptAll(edges).unionAll(edges.exceptAll(new)).count()
+        edges = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+
+    return (
+        edges.select(F.col("src").alias("id"), F.col("dst").alias("component_id"))
+        .union(
+            edges.select(F.col("dst").alias("id"), F.col("dst").alias("component_id"))
+        )
+        .distinct()
+    )
+
+
+def duplicate_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Full-corpus dedup decision from a duplicate-pair relation:
+
+        (doc_id, component_id, keep)
+
+    component_id = smallest doc id of the doc's near-dup cluster (itself for
+    singletons), keep = this doc IS that minimum — the standard 'keep one
+    canonical doc per duplicate cluster' rule, deterministic and partition-
+    independent.
+
+    Plan: connected_components over the pairs (edge relation ~ number of
+    duplicate pairs, tiny next to the corpus), then ONE left broadcast-able
+    join back to docs. The iterative part never touches full documents.
+    """
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b).withColumnRenamed(
+        "id", id_col
+    )
+    return docs.select(id_col).join(comp, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("component_id"), F.col(id_col)).alias("component_id"),
+        (F.coalesce(F.col("component_id"), F.col(id_col)) == F.col(id_col)).alias(
+            "keep"
+        ),
+    )

@@ -1,0 +1,108 @@
+"""connected_components / duplicate_clusters vs a scalar union-find oracle.
+
+The star-contraction algorithm (Kiveris et al. 2014) is easy to get subtly
+wrong (a half-round that drops connectivity converges happily to WRONG
+components), so every shape that historically breaks implementations is
+pinned: long chains (diameter >> log n), cliques, star-already inputs,
+duplicate/reversed/self-loop pairs, and randomized graphs.
+"""
+
+import random
+
+import pandas as pd
+import pytest
+
+from defactonlp_spark.operators.dedup import connected_components, duplicate_clusters
+
+
+def _uf_components(edges):
+    """Scalar union-find oracle: {node: min-of-component}."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    roots = {}
+    for n in list(parent):
+        roots.setdefault(find(n), []).append(n)
+    out = {}
+    for members in roots.values():
+        m = min(members)
+        for n in members:
+            out[n] = m
+    return out
+
+
+def _spark_components(spark, edges):
+    pdf = pd.DataFrame(edges, columns=["id_a", "id_b"]).astype("int64")
+    df = spark.createDataFrame(pdf)
+    rows = connected_components(df).collect()
+    got = {r["id"]: r["component_id"] for r in rows}
+    assert len(rows) == len(got), "duplicate id rows in components output"
+    return got
+
+
+CASES = {
+    "chain": [(i, i + 1) for i in range(60)],  # diameter 60 >> log n
+    "clique": [(a, b) for a in range(8) for b in range(a + 1, 8)],
+    "two_clusters": [(1, 2), (2, 3), (10, 11), (12, 11)],
+    "star_already": [(9, 0), (8, 0), (7, 0)],
+    "dirty_pairs": [(5, 5), (3, 4), (4, 3), (3, 4), (100, 4)],
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_components_match_union_find(spark, name):
+    edges = CASES[name]
+    expect = _uf_components(e for e in edges if e[0] != e[1])
+    assert _spark_components(spark, edges) == expect
+
+
+def test_components_randomized(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 120
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(20, 140))
+        ]
+        edges = [e for e in edges if e[0] != e[1]]
+        assert _spark_components(spark, edges) == _uf_components(edges), (
+            f"trial {trial}: {edges}"
+        )
+
+
+def test_components_empty(spark):
+    df = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(df).count() == 0
+
+
+def test_duplicate_clusters_keep_rule(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(8))}).astype("int64")
+    )
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [0, 1, 5], "id_b": [1, 2, 6]}).astype("int64")
+    )
+    got = {
+        r["doc_id"]: (r["component_id"], r["keep"])
+        for r in duplicate_clusters(docs, pairs).collect()
+    }
+    assert got == {
+        0: (0, True),
+        1: (0, False),
+        2: (0, False),
+        3: (3, True),
+        4: (4, True),
+        5: (5, True),
+        6: (5, False),
+        7: (7, True),
+    }
