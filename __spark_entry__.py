@@ -513,6 +513,29 @@ def q_bm25_topk(spark, sf_dir):
     return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
 
 
+def q_bm25_topk_collapsed(spark, sf_dir):
+    """Field-collapsed retrieval (Elasticsearch `collapse` / host-crowding):
+    best doc per source per claim, then top-k across sources. Both engines
+    rank on (round(score,6) DESC, doc_id) so the collapse choice is
+    engine-portable under float summation noise."""
+    from defactonlp_spark.operators.bm25 import claim_terms, score_collapsed
+    from defactonlp_spark.operators.postings import term_stats
+
+    p = _postings_cached(spark, sf_dir)
+    n_docs, avgdl = _engine_corpus_stats(p)
+    groups = _docs(spark, sf_dir).select("doc_id", F.col("source").alias("group"))
+    res = score_collapsed(
+        p, term_stats(p), claim_terms(_claims_df(spark)), n_docs, avgdl, groups, k=TOPK
+    )
+    return res.select(
+        "claim_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.col("group").alias("source"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def q_bm25_topk_wand(spark, sf_dir):
     """Block-max WAND over delta+varbyte segments (operator B7) — same oracle
     as the exhaustive path: the parity guarantee, checked by the driver."""
@@ -1069,6 +1092,23 @@ def q_dedup_clusters(spark, sf_dir):
         F.col("component_id").cast("long").alias("component_id"),
         "keep",
     )
+
+
+#: training-mix budgets (tokens per source) — shared by the Spark query and
+#: the DuckDB twin so the two sides cannot drift. Even sources budgeted
+#: (two tiers, both chosen to BITE at sf0.01: ~25 docs x ~25 tokens =~ 600
+#: available per source), odd sources unbudgeted -> keep nothing.
+MIX_BUDGETS = {f"src{i}": (300 if i % 4 == 0 else 120) for i in range(0, 20, 2)}
+
+
+def q_training_mix_stats(spark, sf_dir):
+    """Deterministic per-source token-budget sampling (LLM dataset mixing).
+    Spark side runs the two-phase distributed prefix sum (bucketed windows +
+    broadcast bucket offsets); the DuckDB twin is the single-window
+    definition — the oracle checks the two-phase decomposition exactly."""
+    from defactonlp_spark.operators.curation import mix_stats
+
+    return mix_stats(_docs(spark, sf_dir), MIX_BUDGETS)
 
 
 def q_minhash_signatures(spark, sf_dir):
@@ -1775,6 +1815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_tf_totals": q_term_tf_totals,
         "corpus_stats": q_corpus_stats,
         "bm25_topk": q_bm25_topk,
+        "bm25_topk_collapsed": q_bm25_topk_collapsed,
         "bm25_topk_wand": q_bm25_topk_wand,
         "bm25_topk_conjunctive": q_bm25_topk_conjunctive,
         "bm25_topk_boolean": q_bm25_topk_boolean,
@@ -1796,6 +1837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
         "dedup_clusters": q_dedup_clusters,
+        "training_mix_stats": q_training_mix_stats,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -1895,6 +1937,45 @@ def oracle_sql() -> dict[str, str]:
             FROM dl
         """,
         "bm25_topk": _BM25_CORE_SQL,
+        "bm25_topk_collapsed": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+            claims(claim_id, claim) AS {_CLAIMS_SQL},
+            qterms AS (
+              SELECT DISTINCT claim_id, unnest(list_filter(regexp_split_to_array(lower(claim),
+                '[^a-z0-9]+'), t -> t <> '')) AS term FROM claims
+            ),
+            scored AS (
+              SELECT q.claim_id, p.doc_id,
+                     sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                          * p.tf * {K1 + 1.0}
+                          / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)) ) AS score
+              FROM qterms q
+              JOIN postings p ON p.term = q.term
+              JOIN dfreq d ON d.term = q.term
+              JOIN dl l ON l.doc_id = p.doc_id
+              CROSS JOIN stats s
+              GROUP BY 1, 2
+            ),
+            g AS (
+              SELECT s.claim_id, s.doc_id, s.score, d.source
+              FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+            ),
+            best AS (
+              SELECT claim_id, doc_id, score, source
+              FROM (SELECT *, row_number() OVER (PARTITION BY claim_id, source
+                       ORDER BY round(score, 6) DESC, doc_id) AS grn FROM g)
+              WHERE grn = 1
+            )
+            SELECT claim_id::BIGINT AS claim_id, rank::BIGINT AS rank,
+                   doc_id::BIGINT AS doc_id, source, round(score, 4) AS score
+            FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
+                     ORDER BY round(score, 6) DESC, doc_id) AS rank FROM best)
+            WHERE rank <= {TOPK}
+        """,
         "bm25_topk_wand": _BM25_CORE_SQL,
         "bm25_topk_conjunctive": _bm25_sql(_TOKS_SQL, _CLAIMS_SQL, TOPK, conjunctive=True),
         "bm25_topk_boolean": _BOOL_SQL,
@@ -2071,6 +2152,29 @@ WHERE rank <= 5
                    coalesce(c.component_id, d.doc_id)::BIGINT AS component_id,
                    coalesce(c.component_id, d.doc_id) = d.doc_id AS keep
             FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        """,
+        "training_mix_stats": f"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> ''))::BIGINT AS n_tokens,
+                     md5(concat(source, ':', doc_id)) AS k
+              FROM documents
+            ),
+            c AS (
+              SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY k, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_before
+              FROM t
+            ),
+            b(source, budget) AS (VALUES {", ".join(f"('{s}', {v})" for s, v in sorted(MIX_BUDGETS.items()))}),
+            m AS (
+              SELECT c.*, c.cum_before < coalesce(b.budget, 0) AS keep
+              FROM c LEFT JOIN b ON b.source = c.source
+            )
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   sum(n_tokens)::BIGINT AS avail_tokens,
+                   sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS kept_docs,
+                   sum(CASE WHEN keep THEN n_tokens ELSE 0 END)::BIGINT AS kept_tokens
+            FROM m GROUP BY source
         """,
         "minhash_signatures": f"""
             WITH sh AS ({sh})

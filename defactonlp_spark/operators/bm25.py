@@ -256,3 +256,55 @@ def match_docs(
         .filter(F.col("n_matched") == F.col("n_q"))
         .select("claim_id", "doc_id")
     )
+
+
+def score_collapsed(
+    postings: DataFrame,
+    stats: DataFrame,
+    qterms: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    groups: DataFrame,
+    k: int = 5,
+    params: BM25Params = BM25Params(),
+    group_col: str = "group",
+) -> DataFrame:
+    """Field-collapsed BM25 top-k (the Elasticsearch ``collapse`` /
+    host-crowding rule): at most ONE document — the best — per group value
+    (domain, source, site) per claim, then top-k ACROSS groups. Returns
+    (claim_id, rank, doc_id, <group_col>, score).
+
+    ``groups`` is a (doc_id, <group_col>) relation. Plan: the exhaustive
+    scoring scan+agg (see :func:`score_exhaustive`), join doc->group (a dim
+    lookup: broadcast when small, shuffle hash join on doc_id at web scale
+    — both sides are already keyed by doc_id), then two windows: rank-1
+    inside (claim, group), top-k over the survivors. The first window's
+    partition count is |claims| x |groups| — strictly finer than the final
+    top-k window, so collapse never concentrates skew.
+
+    Ranking ties are broken on round(score, 6) then doc_id in BOTH windows:
+    docs with identical term profiles tie mathematically, and raw-float
+    summation-order noise must not decide which one represents its group
+    (same rule as RM3's fb-doc cutoff; the DuckDB twin uses the identical
+    key, which is what makes the collapse choice engine-portable).
+    """
+    q = qterms.join(stats, "term", "inner")
+    scored = (
+        postings.join(F.broadcast(q), "term", "inner")
+        .withColumn("contrib", bm25_score_expr(n_docs, avgdl, params))
+        .groupBy("claim_id", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+        .join(groups, "doc_id", "inner")
+    )
+    rank_key = F.round("score", 6)
+    w_group = Window.partitionBy("claim_id", group_col).orderBy(
+        rank_key.desc(), F.asc("doc_id")
+    )
+    w_top = Window.partitionBy("claim_id").orderBy(rank_key.desc(), F.asc("doc_id"))
+    return (
+        scored.withColumn("grn", F.row_number().over(w_group))
+        .filter(F.col("grn") == 1)
+        .withColumn("rank", F.row_number().over(w_top).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("claim_id", "rank", "doc_id", group_col, "score")
+    )

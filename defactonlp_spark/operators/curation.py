@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from defactonlp_spark.functions.textstats import token_count_col
+
 #: default split percentages (train, val, test) — must sum to 100
 SPLIT_WEIGHTS = (80, 10, 10)
 
@@ -73,4 +75,104 @@ def source_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.lit(1.0) - F.countDistinct(F.md5(F.col(text_col))) / F.count(F.lit(1)), 6
         ).alias("dup_rate"),
         F.round(F.avg(F.length(F.col(text_col))), 6).alias("avg_chars"),
+    )
+
+
+def training_mix(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    tokens_col_name: str | None = None,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Deterministic per-source token-budget sampling — the dataset-mixing
+    step of an LLM training pipeline (Pile/Dolma-style: 'take N tokens of
+    source X, M of source Y'). Adds ``(n_tokens, keep)``; a doc is kept iff
+    the cumulative token count of all docs BEFORE it (in a deterministic
+    pseudo-random order) is under its source's budget, so each source
+    overshoots by at most one document and the selection is a pure function
+    of (id, source) — appending new docs never evicts previously kept ones
+    ranked ahead of them, and re-runs at any cluster size pick the same set.
+
+    Order key = md5(source || ':' || id): an unbiased, reproducible shuffle
+    without RNG plumbing (same rule as ``with_split``).
+
+    Scale: the naive form is ONE window per source — a single reducer per
+    source, dead at 10^9-doc sources. This runs the classic two-phase
+    distributed prefix sum instead (same pattern as the index build's
+    bucket_boundaries): docs hash into ``n_buckets`` ordered buckets by key
+    prefix; per-(source,bucket) cumulative sums run in parallel windows;
+    bucket offsets (n_sources x n_buckets tiny rows) prefix-sum on top and
+    broadcast back. Equivalent to the single window because the bucket id
+    is the key's leading hex — bucket order IS key order.
+
+    Sources absent from ``budgets`` get keep=false (budget 0).
+    """
+    assert 1 <= n_buckets <= 65536
+    hex_chars = 4  # bucket from leading 4 hex chars (65536 >= any n_buckets)
+    key = F.md5(
+        F.concat_ws(":", F.col(source_col), F.col(id_col).cast("string"))
+    )
+    ntok = (
+        F.col(tokens_col_name).cast("long")
+        if tokens_col_name
+        else token_count_col()
+    )
+    base = docs.withColumn("_key", key).withColumn("n_tokens", ntok).withColumn(
+        "_bucket",
+        (F.conv(F.substring("_key", 1, hex_chars), 16, 10).cast("long") * n_buckets
+         / (16 ** hex_chars)).cast("int"),
+    )
+
+    from pyspark.sql import Window
+
+    intra = Window.partitionBy(source_col, "_bucket").orderBy(
+        "_key", id_col
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = base.withColumn("_cum_in", F.sum("n_tokens").over(intra))
+
+    per_bucket = base.groupBy(source_col, "_bucket").agg(
+        F.sum("n_tokens").alias("_btok")
+    )
+    off_w = Window.partitionBy(source_col).orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = per_bucket.withColumn(
+        "_offset", F.sum("_btok").over(off_w) - F.col("_btok")
+    ).select(source_col, "_bucket", "_offset")
+
+    budget_rows = [(s, int(b)) for s, b in sorted(budgets.items())]
+    budget_df = docs.sparkSession.createDataFrame(
+        budget_rows, f"{source_col} string, _budget long"
+    )
+
+    return (
+        base.join(F.broadcast(offsets), [source_col, "_bucket"])
+        .join(F.broadcast(budget_df), source_col, "left")
+        .withColumn(
+            "keep",
+            (F.col("_offset") + F.col("_cum_in") - F.col("n_tokens"))
+            < F.coalesce(F.col("_budget"), F.lit(0)),
+        )
+        .drop("_key", "_bucket", "_cum_in", "_btok", "_offset", "_budget")
+    )
+
+
+def mix_stats(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source audit of a training_mix: docs/tokens kept vs available vs
+    budget. kept_tokens <= budget + max doc length by construction."""
+    mixed = training_mix(docs, budgets, id_col=id_col, source_col=source_col)
+    return mixed.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("avail_tokens"),
+        F.sum(F.col("keep").cast("long")).cast("long").alias("kept_docs"),
+        F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("kept_tokens"),
     )
