@@ -207,7 +207,42 @@ def query_filtered(
     )
 
 
+def query_collapsed(
+    reader: IndexReader,
+    claims: DataFrame,
+    groups: DataFrame,
+    k: int = 5,
+    cfg: EngineConfig | None = None,
+    group_col: str = "group",
+) -> DataFrame:
+    """Field-collapsed top-k over a built index: best doc per group value
+    (domain/source/site) per claim, then top-k across groups — the
+    Elasticsearch `collapse` analog served from the segment table.
+
+    ``groups`` is a (doc_id, <group_col>) relation (a doc-attrs dim table at
+    web scale). Same pruned-decode front half as the other relational paths
+    (bucket files -> term row groups -> tombstone anti-join), so stored-stats
+    semantics and deletes compose. Collapse happens AFTER scoring on the
+    candidate relation only — the group join touches candidate docs, never
+    the corpus.
+
+    Why not WAND-with-overfetch: a group can monopolize any prefix of the
+    ranking, so no static overfetch k' guarantees k collapsed groups; the
+    exact relational path costs one pruned decode (see query_filtered's
+    reasoning for the same trade)."""
+    from defactonlp_spark.operators.bm25 import score_collapsed
+
+    cfg = cfg or EngineConfig()
+    q = claim_terms(claims)
+    postings, stats = _pruned_postings(reader, q)
+    return score_collapsed(
+        postings, stats, q, reader.n_docs, reader.avgdl, groups,
+        k=k, params=cfg.bm25, group_col=group_col,
+    )
+
+
 def query_phrase(
+
     reader: IndexReader,
     phrases: DataFrame,
     k: int = 5,

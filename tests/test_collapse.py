@@ -80,3 +80,48 @@ def test_collapsed_matches_exhaustive_replay(spark):
     # unseen term -> no rows for claim 102
     assert (got.claim_id == 102).sum() == 0
     p.unpersist()
+
+
+def test_query_collapsed_index_path(spark, tmp_path):
+    """Index-path collapse == ad-hoc replay of the same rule over
+    query_exhaustive's full ranking (stored stats, pruned decode)."""
+    from defactonlp_spark.config import EngineConfig
+    from defactonlp_spark.plans.build import IndexBuild, IndexReader, prepare_webpages
+    from defactonlp_spark.plans.query import query_collapsed, query_exhaustive
+    from defactonlp_spark.sources.fixtures import gen_claims, gen_webpages
+    from pyspark.sql import functions as F
+
+    cfg = EngineConfig(n_buckets=4)
+    pages = spark.createDataFrame(gen_webpages(n=250, seed=31))
+    corpus = prepare_webpages(pages).persist()
+    d = str(tmp_path / "idx")
+    IndexBuild(d, cfg, build_id="c").run(spark, corpus, input_snapshot="c")
+    reader = IndexReader(spark, d)
+
+    # group = last hex char of md5(doc_id): ~16 pseudo-domains
+    groups = corpus.select(
+        "doc_id", F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1).alias("group")
+    ).persist()
+    claims = spark.createDataFrame(gen_claims(12)[["claim_id", "claim"]])
+
+    k = 3
+    got = query_collapsed(reader, claims, groups, k=k, cfg=cfg).toPandas()
+
+    full = query_exhaustive(reader, claims, k=10**6, cfg=cfg).toPandas()
+    gmap = {r["doc_id"]: r["group"] for r in groups.collect()}
+    full["group"] = full["doc_id"].map(gmap)
+    full["rk"] = full["score"].round(6)
+    full = full.sort_values(["claim_id", "rk", "doc_id"], ascending=[True, False, True])
+    expect = (
+        full.drop_duplicates(["claim_id", "group"])
+        .groupby("claim_id", group_keys=False)
+        .head(k)
+    )
+    expect["rank"] = expect.groupby("claim_id").cumcount() + 1
+
+    cols = ["claim_id", "rank", "doc_id", "group"]
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = expect[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert got.groupby(["claim_id", "group"]).size().max() == 1
+    corpus.unpersist(); groups.unpersist()
