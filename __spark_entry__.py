@@ -1147,6 +1147,96 @@ def q_cosine_topk(spark, sf_dir):
     )
 
 
+MMR_QIDS, MMR_K, MMR_LAM, MMR_FETCH = [0, 1, 2, 3, 4], 5, 0.6, 15
+
+
+def q_mmr_topk(spark, sf_dir):
+    """MMR diversified top-k. The greedy feedback loop IS oracle-checked:
+    the DuckDB twin unrolls the k selection steps into k CTEs over the same
+    6-dp-rounded cos/sim inputs, so both engines run identical IEEE
+    arithmetic per step (see operators/similarity.py::mmr_topk)."""
+    from defactonlp_spark.operators.similarity import mmr_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return mmr_topk(
+        emb, MMR_QIDS, k=MMR_K, lam=MMR_LAM, fetch_k=MMR_FETCH
+    ).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "mmr",
+    )
+
+
+def _mmr_sql(qids, k, lam, fetch_k) -> str:
+    """Unrolled-greedy MMR twin: sel1 = pure relevance; step i joins the
+    candidates against the union of prior selections for the max-sim
+    penalty, excludes already-picked ids, and argmaxes (mmr DESC, vec_id)."""
+    one_minus = 1.0 - lam
+    cos_of = (
+        "round(list_dot_product({a}.embedding::DOUBLE[], {b}.embedding::DOUBLE[])"
+        " / (sqrt(list_dot_product({a}.embedding::DOUBLE[], {a}.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product({b}.embedding::DOUBLE[], {b}.embedding::DOUBLE[]))), 6)"
+    )
+    steps = []
+    for i in range(2, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT query_id, vec_id FROM sel{j}" for j in range(1, i)
+        )
+        steps.append(f""",
+            prev{i} AS ({prev}),
+            scored{i} AS (
+              SELECT c.query_id, c.vec_id, c.cos, max(p.sim) AS msim
+              FROM cand c
+              JOIN prev{i} s ON s.query_id = c.query_id
+              JOIN cpair p ON p.query_id = c.query_id
+                AND ((p.ca = c.vec_id AND p.cb = s.vec_id) OR (p.cb = c.vec_id AND p.ca = s.vec_id))
+              WHERE NOT EXISTS (SELECT 1 FROM prev{i} x
+                                WHERE x.query_id = c.query_id AND x.vec_id = c.vec_id)
+              GROUP BY 1, 2, 3
+            ),
+            sel{i} AS (
+              SELECT query_id, {i} AS rank, vec_id, {lam}*cos - {one_minus}*msim AS mmr
+              FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY {lam}*cos - {one_minus}*msim DESC, vec_id) AS rn
+                    FROM scored{i})
+              WHERE rn = 1
+            )""")
+    union = " UNION ALL ".join(f"SELECT * FROM sel{j}" for j in range(1, k + 1))
+    return f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+                       WHERE vec_id IN ({",".join(map(str, qids))})),
+            scored0 AS (
+              SELECT q.query_id, e.vec_id,
+                     round(list_dot_product(q.qvec::DOUBLE[], e.embedding::DOUBLE[])
+                           / (sqrt(list_dot_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[]))
+                              * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS cos
+              FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+            ),
+            cand AS (
+              SELECT query_id, vec_id, cos
+              FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, vec_id) AS rn FROM scored0)
+              WHERE rn <= {fetch_k}
+            ),
+            cpair AS (
+              SELECT a.query_id, a.vec_id AS ca, b.vec_id AS cb, {cos_of.format(a="ea", b="eb")} AS sim
+              FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.vec_id < b.vec_id
+              JOIN embeddings ea ON ea.vec_id = a.vec_id
+              JOIN embeddings eb ON eb.vec_id = b.vec_id
+            ),
+            sel1 AS (
+              SELECT query_id, 1 AS rank, vec_id, cos AS mmr
+              FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, vec_id) AS rn FROM cand)
+              WHERE rn = 1
+            ){"".join(steps)}
+            SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
+                   vec_id::BIGINT AS vec_id, round(mmr, 6) AS mmr
+            FROM ({union})
+        """
+
+
 def q_embedding_dup_pairs(spark, sf_dir):
     from defactonlp_spark.operators.similarity import cosine_dup_pairs
 
@@ -1842,6 +1932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
+        "mmr_topk": q_mmr_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -2197,6 +2288,7 @@ WHERE rank <= 5
             WITH {simhash_body}
             SELECT * FROM sim
         """,
+        "mmr_topk": _mmr_sql(MMR_QIDS, MMR_K, MMR_LAM, MMR_FETCH),
         "cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
             scored AS (

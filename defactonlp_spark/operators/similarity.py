@@ -482,3 +482,98 @@ def ivf_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", F.col(id_col).alias("vec_id"), "cos")
     )
+
+
+def mmr_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    lam: float = 0.7,
+    fetch_k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k (Carbonell & Goldstein,
+    SIGIR 1998): greedily pick k of the fetch_k nearest neighbors, each step
+    maximizing  lam*cos(q,d) - (1-lam)*max_{s in selected} cos(d,s)  — the
+    standard redundancy-penalized re-rank (RAG context selection, dedup-
+    aware retrieval). Output: (query_id, rank, vec_id, mmr).
+
+    Engine-portability design (what makes the DuckDB twin EXACT despite the
+    greedy feedback loop): both relevance (cos) and candidate-pair
+    similarity (sim) enter the greedy already ROUNDED to 6 dp — computed by
+    the same JVM column expressions as cosine_topk — so every mmr value is
+    one IEEE multiply-subtract over identical doubles in either engine, and
+    selection (ORDER BY mmr DESC, vec_id) can only diverge where the
+    UNDERLYING cosines disagree at the 6th decimal, the same contract every
+    other cosine entry already lives with. First pick is pure relevance
+    (mmr = cos), the MMR convention.
+
+    Scale: candidate fetch is the existing brute-force/LSH top-k (bounded
+    fetch_k per query); the pairwise-sim relation is fetch_k^2 rows per
+    query (JVM expression, no kernel); the greedy runs per-query in one
+    cogrouped applyInPandas over O(fetch_k^2) rows — never corpus-sized.
+    """
+    cand = cosine_topk(embeddings, query_ids, k=fetch_k, id_col=id_col, vec_col=vec_col)
+    cvec = cand.select("query_id", "vec_id", "cos").join(
+        embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")),
+        "vec_id",
+    )
+    a, b = cvec.alias("a"), cvec.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.vec_id").alias("ca"),
+            F.col("b.vec_id").alias("cb"),
+            F.round(cosine_expr(F.col("a._v"), F.col("b._v")), 6).alias("sim"),
+        )
+    )
+
+    schema = "query_id long, rank int, vec_id long, mmr double"
+
+    def kern(cand_pdf: pd.DataFrame, pair_pdf: pd.DataFrame) -> pd.DataFrame:
+        if cand_pdf.empty:
+            return pd.DataFrame(columns=["query_id", "rank", "vec_id", "mmr"])
+        qid = int(cand_pdf["query_id"].iloc[0])
+        # candidates ordered by the cand relation's own (cos desc, id) rank
+        cand_pdf = cand_pdf.sort_values(["cos", "vec_id"], ascending=[False, True])
+        ids = cand_pdf["vec_id"].to_numpy(np.int64)
+        cos = cand_pdf["cos"].to_numpy(np.float64)
+        sim = {}
+        for ca, cb, s in zip(pair_pdf["ca"], pair_pdf["cb"], pair_pdf["sim"]):
+            sim[(int(ca), int(cb))] = float(s)
+            sim[(int(cb), int(ca))] = float(s)
+        selected: list[int] = []
+        out = []
+        remaining = list(range(len(ids)))
+        for step in range(1, min(k, len(ids)) + 1):
+            best_i, best_key = None, None
+            for i in remaining:
+                if step == 1:
+                    m = float(cos[i])
+                else:
+                    msim = max(sim[(int(ids[i]), s)] for s in selected)
+                    m = lam * float(cos[i]) - (1.0 - lam) * msim
+                key = (m, -int(ids[i]))  # mmr desc, id asc
+                if best_key is None or key > best_key:
+                    best_i, best_key = i, key
+            selected.append(int(ids[best_i]))
+            remaining.remove(best_i)
+            out.append((qid, step, int(ids[best_i]), best_key[0]))
+        return pd.DataFrame(out, columns=["query_id", "rank", "vec_id", "mmr"])
+
+    raw = (
+        cand.select("query_id", "vec_id", "cos")
+        .groupBy("query_id")
+        .cogroup(pairs.groupBy("query_id"))
+        .applyInPandas(kern, schema)
+    )
+    # final rounding in the JVM (F.round = HALF_UP on the decimal repr,
+    # matching DuckDB's round) — Python's round() is banker's and diverges
+    # on exact .5 boundaries that 7-decimal products of 6-dp inputs DO hit
+    return raw.withColumn("mmr", F.round("mmr", 6))
