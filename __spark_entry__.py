@@ -1111,6 +1111,19 @@ def q_training_mix_stats(spark, sf_dir):
     return mix_stats(_docs(spark, sf_dir), MIX_BUDGETS)
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing any 3-gram with the
+    'eval set' (deterministically: every 97th doc id). Broadcast semi-join
+    of eval shingles onto one corpus shingle explode."""
+    from defactonlp_spark.operators.dedup import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.filter((F.col("doc_id") % 97) == 0)
+    return decontaminate(docs, ev, n=3).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "n_hits", "contaminated"
+    )
+
+
 def q_minhash_signatures(spark, sf_dir):
     from defactonlp_spark.operators.dedup import minhash_signature
 
@@ -1928,6 +1941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
         "dedup_clusters": q_dedup_clusters,
         "training_mix_stats": q_training_mix_stats,
+        "decontaminate": q_decontaminate,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -2243,6 +2257,18 @@ WHERE rank <= 5
                    coalesce(c.component_id, d.doc_id)::BIGINT AS component_id,
                    coalesce(c.component_id, d.doc_id) = d.doc_id AS keep
             FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        """,
+        "decontaminate": f"""
+            WITH sh AS ({sh}),
+            ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+            hits AS (
+              SELECT s.doc_id, count(*)::BIGINT AS n_hits
+              FROM sh s JOIN ev ON s.sh = ev.sh GROUP BY 1
+            )
+            SELECT d.doc_id::BIGINT AS doc_id,
+                   coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+                   coalesce(h.n_hits, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
         """,
         "training_mix_stats": f"""
             WITH t AS (

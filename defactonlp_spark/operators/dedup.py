@@ -556,3 +556,48 @@ def duplicate_clusters(
             "keep"
         ),
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C / Dolma step): flag
+    every training document sharing at least one word n-gram with an
+    evaluation set. Output: (doc_id, n_hits, contaminated) — n_hits =
+    number of DISTINCT doc shingles that appear anywhere in the eval set
+    (shingles are per-doc distinct, same definition as the jaccard family).
+
+    Plan: the eval set's distinct n-grams are tiny next to the corpus
+    (benchmarks are kB-MB, corpora are TB) -> broadcast left-semi join onto
+    the corpus shingle explode, then one per-doc hash agg and a left join
+    back for the zero rows. The corpus is touched ONCE, nothing
+    corpus-sized shuffles except the (doc_id, n_hits) agg. If the eval side
+    ever outgrows broadcast, drop the F.broadcast hint and the same plan
+    runs as a shuffle semi-join on the shingle key.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(shingles_col(n, text_col)).alias("sh")
+    )
+    ev = (
+        eval_docs.select(F.explode(shingles_col(n, eval_text_col)).alias("sh"))
+        .distinct()
+    )
+    hits = (
+        sh.join(F.broadcast(ev), "sh", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(hits.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

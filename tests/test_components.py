@@ -106,3 +106,35 @@ def test_duplicate_clusters_keep_rule(spark):
         6: (5, False),
         7: (7, True),
     }
+
+
+def test_decontaminate_scalar_replay(spark):
+    """decontaminate vs a scalar set-overlap replay (distinct n-gram
+    shingles, same definition as the jaccard family)."""
+    from defactonlp_spark.operators.dedup import decontaminate
+
+    train = [
+        (0, "alpha beta gamma delta epsilon"),
+        (1, "one two three four"),
+        (2, "alpha beta gamma one two three"),   # hits both eval docs
+        (3, "zeta eta theta"),
+        (4, ""),                                  # too short: no shingles
+        (5, "beta gamma delta beta gamma delta"), # repeated shingle counts once
+    ]
+    evals = [(100, "xx alpha beta gamma yy"), (101, "one two three")]
+    docs = spark.createDataFrame(train, "doc_id long, text string")
+    ev = spark.createDataFrame(evals, "doc_id long, text string")
+
+    def sh3(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    ev_sh = set().union(*(sh3(t) for _, t in evals))
+    expect = {
+        i: len(sh3(t) & ev_sh) for i, t in train
+    }
+    got = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in decontaminate(docs, ev, n=3).collect()
+    }
+    assert got == {i: (h, h > 0) for i, h in expect.items()}
