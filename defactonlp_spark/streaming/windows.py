@@ -95,3 +95,53 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+DEDUP_SCHEMA = "text_md5 string, doc_url string, warc_ts string"
+DEDUP_STATE_SCHEMA = "seen boolean"
+
+
+def _dedup_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (text_md5,) = key
+    if state.exists:
+        # hash already emitted in an earlier micro-batch: drop everything
+        return
+    first = None
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["warc_ts", "url"])
+        head = (str(pdf["url"].iloc[0]), str(pdf["warc_ts"].iloc[0]))
+        if first is None or (head[1], head[0]) < (first[1], first[0]):
+            first = head
+    state.update((True,))
+    yield pd.DataFrame(
+        {"text_md5": [text_md5], "doc_url": [first[0]], "warc_ts": [first[1]]}
+    )
+
+
+def streaming_dedup(pages_stream: DataFrame, text_col: str = "text") -> DataFrame:
+    """Cross-micro-batch EXACT dedup over a live crawl feed: emit each
+    distinct document text exactly ONCE (its first occurrence by
+    (warc_ts, url)), suppress every later arrival forever — the streaming
+    twin of operators/dedup.py::exact_dedup, via applyInPandasWithState.
+
+    State per distinct md5(text) is one boolean — the minimal streaming
+    dedup ledger; the state store shards it by the md5 key (uniform, no
+    skew). Built-in ``dropDuplicates`` on a stream needs a watermark and
+    forgets keys when it passes; this keeps keys indefinitely (the ledger
+    IS the product: at web scale you bound it with a periodic compaction
+    into the batch dedup table, same lifecycle note as stateful_url_seen).
+    Output mode: APPEND — a hash emits exactly once ever, so every row is
+    final, which is what lets this feed file sinks (parquet/Iceberg)
+    directly.
+    """
+    keyed = pages_stream.select(
+        F.md5(F.col(text_col)).alias("text_md5"), "url", "warc_ts"
+    )
+    return keyed.groupBy("text_md5").applyInPandasWithState(
+        _dedup_fn,
+        outputStructType=DEDUP_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -105,3 +105,82 @@ def test_stateful_url_seen(spark, feed):
     assert by_host["a.test"][0] == 3
     assert by_host["a.test"][1].startswith("2024-01-01 00:04")
     assert by_host["b.test"][0] == 1
+
+
+def test_streaming_dedup_first_occurrence_wins(spark, tmp_path):
+    """Each distinct text emits exactly once across micro-batches — the
+    first (warc_ts, url) occurrence — and a resumed drain over the same
+    checkpoint emits nothing new for seen hashes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from defactonlp_spark.streaming.windows import streaming_dedup
+
+    feed = str(tmp_path / "dfeed")
+    os.makedirs(feed)
+
+    def write(name, rows):
+        tbl = pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], pa.string()),
+                "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "text": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+        path = os.path.join(feed, f"{name}.parquet")
+        pq.write_table(tbl, path)
+        _MTIME[0] += 60
+        os.utime(path, (_MTIME[0], _MTIME[0]))
+
+    # b0: A twice (u2 earlier ts wins), B once; b1: A again (dup), C new
+    write("b0", [
+        ("https://x/u1", _ts(10), "text A"),
+        ("https://x/u2", _ts(5), "text A"),
+        ("https://x/u3", _ts(7), "text B"),
+    ])
+    write("b1", [
+        ("https://x/u4", _ts(1), "text A"),   # earlier ts but LATER batch: stays dropped
+        ("https://x/u5", _ts(9), "text C"),
+    ])
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain(_qname):
+        # parquet sink: unlike the memory sink it RECOVERS from the
+        # checkpoint, which is the whole point of the second drain below
+        stream = (
+            spark.readStream.schema("url string, warc_ts timestamp, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(feed)
+        )
+        q = (
+            streaming_dedup(stream)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).collect()
+
+    rows = drain("sd1")
+    got = {r["doc_url"]: r["warc_ts"] for r in rows}
+    assert len(rows) == 3 and set(got) == {
+        "https://x/u2",
+        "https://x/u3",
+        "https://x/u5",
+    }, rows
+
+    # append one more batch: only the genuinely-new text may emit
+    write("b2", [
+        ("https://x/u6", _ts(2), "text B"),   # seen in a prior DRAIN: state persists
+        ("https://x/u7", _ts(3), "text D"),
+    ])
+    rows2 = drain("sd2")
+    # the sink is cumulative: the new drain may add ONLY the new text's row
+    assert {r["doc_url"] for r in rows2} - {r["doc_url"] for r in rows} == {
+        "https://x/u7"
+    }, rows2
+    assert len(rows2) == 4  # u6 ("text B", seen in drain 1) never re-emits
