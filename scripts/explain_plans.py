@@ -204,6 +204,46 @@ def main():
     ok &= check("chunk dedup", plan_of(chunk_dedup(docs)),
                 must=["md5(cast(sentence", "Window", "partial_count"])
 
+    # 13. decontaminate: eval shingles BROADCAST onto the corpus explode
+    # (one corpus pass), never a shuffle join on the shingle key
+    from defactonlp_spark.operators.dedup import decontaminate
+
+    ok &= check(
+        "decontaminate (broadcast semi-join)",
+        plan_of(decontaminate(docs, docs.filter((F.col("doc_id") % 97) == 0))),
+        must=["BroadcastHashJoin", "LeftSemi"],
+        must_not=["SortMergeJoin"],
+    )
+
+    # 14. training_mix: the two-phase prefix sum — bucketed intra windows +
+    # broadcast offsets join; the single-reducer global window per source
+    # would show as a Window whose partitioning has NO bucket column
+    from defactonlp_spark.operators.curation import training_mix
+
+    tm_plan = plan_of(training_mix(docs, {"src0": 100}))
+    ok &= check(
+        "training_mix (bucketed prefix sum)",
+        tm_plan,
+        must=["Window", "_bucket", "BroadcastHashJoin"],
+    )
+
+    # 15. collapsed retrieval: query terms broadcast onto the postings scan,
+    # then the two windows (group-best + cross-group top-k)
+    from defactonlp_spark.operators.bm25 import claim_terms, score_collapsed
+    from defactonlp_spark.functions.tokenize import tokenize_postings
+
+    pz = tokenize_postings(docs)
+    st = P.term_stats(pz)
+    qt = claim_terms(
+        spark.createDataFrame([(1, "alpha beta")], "claim_id long, claim string")
+    )
+    groups = docs.select("doc_id", F.col("source").alias("group"))
+    ok &= check(
+        "collapsed top-k",
+        plan_of(score_collapsed(pz, st, qt, 100, 10.0, groups, k=5)),
+        must=["BroadcastHashJoin", "Window"],
+    )
+
     print("\nPLANS " + ("OK" if ok else "NOT OK"))
     spark.stop()
     sys.exit(0 if ok else 1)
