@@ -1996,8 +1996,14 @@ def oracle_sql() -> dict[str, str]:
         "(SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
         "t -> t <> '') AS toklist FROM documents) WHERE len(toklist) >= 3"
     )
+    from defactonlp_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    # one md5 per shingle -> 32-bit h -> 16 Carter-Wegman permutations;
+    # same constants as the engine (int64-safe: A <= 2^30, h < 2^32)
+    mh_h = "(('0x' || substr(md5(sh), 1, 8))::BIGINT)"
     mh_cols = ", ".join(
-        f"min(substr(md5(concat('{i}:', sh)), 1, 8)) AS mh_{i}" for i in range(16)
+        f"min(({MINHASH_A[i]}*{mh_h} + {MINHASH_B[i]}) % {MINHASH_P}) AS mh_{i}"
+        for i in range(16)
     )
     stop_list = "['the', 'a', 'and', 'of', 'to', 'in', 'is', 'it', 'for', 'on']"
     markers = {
@@ -2273,7 +2279,7 @@ WHERE rank <= 5
         "training_mix_stats": f"""
             WITH t AS (
               SELECT doc_id, source,
-                     len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> ''))::BIGINT AS n_tokens,
+                     len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS n_tokens,
                      md5(concat(source, ':', doc_id)) AS k
               FROM documents
             ),
@@ -2301,10 +2307,10 @@ WHERE rank <= 5
             WITH sh AS ({sh}),
             sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
             bands AS (
-              SELECT doc_id, 0 AS band, concat(mh_0, mh_1, mh_2, mh_3) AS band_key FROM sig
-              UNION ALL SELECT doc_id, 1, concat(mh_4, mh_5, mh_6, mh_7) FROM sig
-              UNION ALL SELECT doc_id, 2, concat(mh_8, mh_9, mh_10, mh_11) FROM sig
-              UNION ALL SELECT doc_id, 3, concat(mh_12, mh_13, mh_14, mh_15) FROM sig
+              SELECT doc_id, 0 AS band, concat_ws('_', mh_0, mh_1, mh_2, mh_3) AS band_key FROM sig
+              UNION ALL SELECT doc_id, 1, concat_ws('_', mh_4, mh_5, mh_6, mh_7) FROM sig
+              UNION ALL SELECT doc_id, 2, concat_ws('_', mh_8, mh_9, mh_10, mh_11) FROM sig
+              UNION ALL SELECT doc_id, 3, concat_ws('_', mh_12, mh_13, mh_14, mh_15) FROM sig
             )
             SELECT DISTINCT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b
             FROM bands a JOIN bands b

@@ -64,6 +64,8 @@ DO_HARNESS = os.environ.get("BENCH_HARNESS", "1") == "1"
 # one-pass curation throughput over the synthetic webpages corpus:
 DO_CURATION = os.environ.get("BENCH_CURATION", "1") == "1"
 MERGE_PAGES = int(os.environ.get("BENCH_MERGE_PAGES", "1000000"))
+# end-to-end near-dup dedup pipeline throughput over the webpages corpus:
+DO_DEDUP = os.environ.get("BENCH_DEDUP", "1") == "1"
 
 
 def _webpages_path() -> str:
@@ -292,6 +294,92 @@ def bench_curation(cores: int) -> dict:
         spark.stop()
 
 
+def bench_dedup_pipeline(cores: int) -> dict:
+    """End-to-end near-dup dedup at the synthetic webpages corpus: MinHash
+    signatures -> banded LSH pair join -> large-star/small-star connected
+    components -> corpus-wide keep-min rule (duplicate_clusters), PLUS the
+    single-pass decontaminate and training_mix ops — the complete
+    pair-generation-to-drop-decision path the harness checks at sf0.01,
+    timed at 320k docs. Every stage is the bounded-fan-out scale shape
+    (banded buckets, star contraction, broadcast eval set, bucketed prefix
+    sum) — no all-pairs joins anywhere."""
+    from pyspark.sql import functions as F
+
+    from defactonlp_spark.operators.curation import mix_stats
+    from defactonlp_spark.operators.dedup import (
+        decontaminate,
+        duplicate_clusters,
+        minhash_lsh_pairs,
+        minhash_signature,
+    )
+    from defactonlp_spark.plans.build import prepare_webpages
+
+    spark = _spark(cores)
+    try:
+        _warmup(spark)
+        # persist + materialize OUTSIDE the timed regions: in the real
+        # pipeline the curated corpus is a table on disk — re-running the
+        # html-extract per operator would charge corpus prep to every op
+        corpus = (
+            prepare_webpages(spark.read.parquet(_webpages_path()))
+            .select("doc_id", "text")
+            .persist()
+        )
+        corpus.count()
+        out: dict = {}
+
+        t0, s0 = time.time(), _steal_jiffies()
+        sig = minhash_signature(corpus).persist()
+        pairs = minhash_lsh_pairs(signatures=sig)
+        kept = {
+            r["keep"]: r["n"]
+            for r in duplicate_clusters(corpus, pairs)
+            .groupBy("keep").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        wall = time.time() - t0
+        n = sum(kept.values())
+        sig.unpersist()
+        out["near_dup"] = {
+            "docs": n,
+            "dropped": int(kept.get(False, 0)),
+            "wall_sec": round(wall, 2),
+            "docs_per_sec": round(n / wall, 1),
+            "steal_jiffies": _steal_jiffies() - s0,
+        }
+
+        t0 = time.time()
+        ev = corpus.filter((F.col("doc_id") % 997) == 0)
+        # n=8: the realistic decontamination gram size (GPT-3 used 13) —
+        # n=3 on a Zipf corpus flags ~everything (stop-trigram matches)
+        n_cont = decontaminate(corpus, ev, n=8).filter("contaminated").count()
+        out["decontaminate"] = {
+            "docs": n, "contaminated": int(n_cont),
+            "wall_sec": round(time.time() - t0, 2),
+            "docs_per_sec": round(n / (time.time() - t0), 1),
+        }
+
+        t0 = time.time()
+        budgets = {f"example{i}.test": 200_000 for i in range(0, 97, 2)}
+        mixed = mix_stats(
+            corpus.withColumn(
+                "source",
+                F.concat(F.lit("example"), (F.col("doc_id") % 97).cast("string"),
+                         F.lit(".test")),
+            ),
+            budgets,
+        )
+        kept_docs = mixed.agg(F.sum("kept_docs")).collect()[0][0]
+        out["training_mix"] = {
+            "docs": n, "kept_docs": int(kept_docs),
+            "wall_sec": round(time.time() - t0, 2),
+            "docs_per_sec": round(n / (time.time() - t0), 1),
+        }
+        corpus.unpersist()
+        return out
+    finally:
+        spark.stop()
+
+
 def bench_deletes(cores: int, idx_dir: str, n_docs: int) -> dict:
     """Live-docs lifecycle cost at the 320k index: tombstone ~10% of docs,
     time merge_builds compaction (decode -> anti-join -> re-encode; the
@@ -493,6 +581,10 @@ def main():
     # -- one-pass curation throughput (quality + repetition + PII, fused) ----
     if DO_CURATION:
         results["curation"] = bench_curation(CPUS)
+
+    # -- near-dup dedup pipeline + decontaminate + training mix at 320k -----
+    if DO_DEDUP:
+        results["dedup_pipeline"] = bench_dedup_pipeline(CPUS)
 
     # -- harness queries at SF_DIR ------------------------------------------
     if not DO_HARNESS:

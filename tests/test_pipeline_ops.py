@@ -373,3 +373,23 @@ def test_textstats_kernels_match_sql_exprs(spark, dup_corpus):
     for fast, slow in ((fingerprint, fingerprint_sql), (lang_id, lang_id_sql)):
         a, b = fast(docs), slow(docs)
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_minhash_kernel_matches_sql_expr(spark, dup_corpus):
+    """The minhash Arrow kernel must be byte-identical to its pure-Catalyst
+    twin (which mirrors the DuckDB oracle): same tokens, same shingles, same
+    md5-derived base hash, same permutation arithmetic — including docs too
+    short to shingle (NO row) and null text."""
+    from defactonlp_spark.operators.dedup import (
+        minhash_signature,
+        minhash_signature_sql,
+    )
+
+    edge = spark.createDataFrame(
+        [(900, ""), (901, "one two"), (902, "one two three"), (903, None),
+         (904, "A a!a  b c D")],
+        "doc_id long, text string",
+    )
+    docs = dup_corpus.unionByName(edge)
+    a, b = minhash_signature(docs), minhash_signature_sql(docs)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
