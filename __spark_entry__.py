@@ -1124,6 +1124,21 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_training_pipeline_stats(spark, sf_dir):
+    """THE end-to-end training-set preparation funnel
+    (plans/curate.py::prepare_training_set): Gopher/C4 gates -> minhash-LSH
+    near-dup clusters (keep-min) -> benchmark decontamination -> per-source
+    token-budget mix, each stage over the previous stage's survivors. The
+    twin composes the four stages' own oracle fragments with the same
+    survivor filtering — the COMPOSITION is driver-checked, not just the
+    stages."""
+    from defactonlp_spark.plans.curate import training_set_stats
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.filter((F.col("doc_id") % 97) == 0).select("doc_id", "text")
+    return training_set_stats(docs, MIX_BUDGETS, eval_docs=ev)
+
+
 def q_minhash_signatures(spark, sf_dir):
     from defactonlp_spark.operators.dedup import minhash_signature
 
@@ -1942,6 +1957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "training_mix_stats": q_training_mix_stats,
         "decontaminate": q_decontaminate,
+        "training_pipeline_stats": q_training_pipeline_stats,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -2006,6 +2022,65 @@ def oracle_sql() -> dict[str, str]:
         for i in range(16)
     )
     stop_list = "['the', 'a', 'and', 'of', 'to', 'in', 'is', 'it', 'for', 'on']"
+
+    # per-doc curation gate as reusable CTEs ending in cur(doc_id, lang, keep)
+    # — consumed standalone by curation_keep_stats and as stage 1 of the
+    # end-to-end training_pipeline_stats twin
+    curation_ctes = """base AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toklist,
+         length(text)::BIGINT AS n_chars,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE AS alpha,
+         list_filter(str_split(text, chr(10)), l -> l <> '') AS lines
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, lang, len(toklist)::BIGINT AS n_tokens,
+         CASE WHEN len(toklist) > 0
+              THEN len(list_filter(toklist, t -> list_contains({stop_list}, t)))::DOUBLE / len(toklist)
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END AS alpha_ratio,
+         CASE WHEN len(lines) > 0
+              THEN round((len(lines) - len(list_distinct(lines))) / len(lines)::DOUBLE, 6)
+              ELSE 0.0 END AS dup_line_frac
+  FROM base
+),
+q AS (
+  SELECT doc_id, lang, n_tokens, dup_line_frac,
+         round(CASE WHEN n_tokens < 5 THEN 0.0
+               ELSE least(greatest(alpha_ratio * (1.0 - greatest(stop_ratio - 0.5, 0.0)), 0.0), 1.0)
+               END, 6) AS quality
+  FROM feat
+),
+big AS (
+  SELECT doc_id, toklist[i] || ' ' || toklist[i+1] AS g
+  FROM base, unnest(generate_series(1, len(toklist) - 1)) AS t(i)
+  WHERE len(toklist) >= 2
+),
+bigc AS (
+  SELECT doc_id, max(c)::DOUBLE / sum(c)::DOUBLE AS top_bigram_raw
+  FROM (SELECT doc_id, g, count(*) AS c FROM big GROUP BY 1, 2) GROUP BY 1
+),
+g5 AS (
+  SELECT doc_id, toklist[i] || ' ' || toklist[i+1] || ' ' || toklist[i+2] || ' ' ||
+         toklist[i+3] || ' ' || toklist[i+4] AS g
+  FROM base, unnest(generate_series(1, len(toklist) - 4)) AS t(i)
+  WHERE len(toklist) >= 5
+),
+g5c AS (
+  SELECT doc_id, sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::DOUBLE / sum(c)::DOUBLE AS dup5_raw
+  FROM (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2) GROUP BY 1
+),
+cur AS (
+  SELECT q.doc_id, q.lang,
+         (q.n_tokens >= 5 AND q.n_tokens <= 100000
+          AND q.quality >= 0.05
+          AND coalesce(round(g5c.dup5_raw, 6), 0.0) <= 0.6
+          AND coalesce(round(bigc.top_bigram_raw, 6), 0.0) <= 0.6
+          AND q.dup_line_frac <= 0.5) AS keep
+  FROM q LEFT JOIN bigc USING (doc_id) LEFT JOIN g5c USING (doc_id)
+)""".format(stop_list=stop_list)
+
     markers = {
         "en": "['the','and','of','to','is']",
         "fr": "['le','la','et','les','des']",
@@ -2275,6 +2350,102 @@ WHERE rank <= 5
                    coalesce(h.n_hits, 0)::BIGINT AS n_hits,
                    coalesce(h.n_hits, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+        """,
+        "training_pipeline_stats": f"""
+            WITH RECURSIVE {curation_ctes},
+            s1 AS (
+              SELECT d.doc_id, d.source, d.text
+              FROM documents d JOIN cur USING (doc_id) WHERE cur.keep
+            ),
+            tok1 AS (
+              SELECT doc_id, source,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toklist
+              FROM s1
+            ),
+            sh1 AS (
+              SELECT doc_id, unnest(list_distinct([array_to_string(toklist[i:i+2], ' ')
+                     FOR i IN range(1, len(toklist) - 1)])) AS sh
+              FROM tok1 WHERE len(toklist) >= 3
+            ),
+            sig AS (SELECT doc_id, {mh_cols} FROM sh1 GROUP BY doc_id),
+            bands AS (
+              SELECT doc_id, 0 AS band, concat_ws('_', mh_0, mh_1, mh_2, mh_3) AS band_key FROM sig
+              UNION ALL SELECT doc_id, 1, concat_ws('_', mh_4, mh_5, mh_6, mh_7) FROM sig
+              UNION ALL SELECT doc_id, 2, concat_ws('_', mh_8, mh_9, mh_10, mh_11) FROM sig
+              UNION ALL SELECT doc_id, 3, concat_ws('_', mh_12, mh_13, mh_14, mh_15) FROM sig
+            ),
+            prs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+            ),
+            edges AS (SELECT id_a AS a, id_b AS b FROM prs UNION SELECT id_b, id_a FROM prs),
+            reach(id, r) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+            ),
+            comp AS (SELECT id, min(r) AS component_id FROM reach GROUP BY id),
+            s2 AS (
+              SELECT s1.doc_id, s1.source, s1.text
+              FROM s1 LEFT JOIN comp c ON c.id = s1.doc_id
+              WHERE coalesce(c.component_id, s1.doc_id) = s1.doc_id
+            ),
+            evsh AS (
+              SELECT DISTINCT sh FROM ({sh}) WHERE doc_id % 97 = 0
+            ),
+            sh2 AS (
+              SELECT doc_id, unnest(list_distinct([array_to_string(toklist[i:i+2], ' ')
+                     FOR i IN range(1, len(toklist) - 1)])) AS sh
+              FROM (SELECT doc_id,
+                      list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toklist
+                    FROM s2)
+              WHERE len(toklist) >= 3
+            ),
+            hits AS (SELECT DISTINCT s.doc_id FROM sh2 s JOIN evsh e ON s.sh = e.sh),
+            s3 AS (
+              SELECT s2.doc_id, s2.source, s2.text
+              FROM s2 LEFT JOIN hits h ON h.doc_id = s2.doc_id
+              WHERE h.doc_id IS NULL
+            ),
+            t3 AS (
+              SELECT doc_id, source,
+                     len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS n_tokens,
+                     md5(concat(source, ':', doc_id)) AS k
+              FROM s3
+            ),
+            c3 AS (
+              SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY k, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_before
+              FROM t3
+            ),
+            bb(source, budget) AS (VALUES {", ".join(f"('{s}', {v})" for s, v in sorted(MIX_BUDGETS.items()))}),
+            mx AS (
+              SELECT c3.doc_id, c3.source, c3.n_tokens,
+                     c3.cum_before < coalesce(bb.budget, 0) AS keep
+              FROM c3 LEFT JOIN bb ON bb.source = c3.source
+            ),
+            agg0 AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1),
+            agg1 AS (SELECT source, count(*)::BIGINT AS kept_curation FROM s1 GROUP BY 1),
+            agg2 AS (SELECT source, count(*)::BIGINT AS kept_dedup FROM s2 GROUP BY 1),
+            agg3 AS (SELECT source, count(*)::BIGINT AS kept_decontam FROM s3 GROUP BY 1),
+            agg4 AS (
+              SELECT source,
+                     sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS kept_mix,
+                     sum(CASE WHEN keep THEN n_tokens ELSE 0 END)::BIGINT AS kept_tokens
+              FROM mx GROUP BY 1
+            )
+            SELECT a0.source, a0.n_docs,
+                   coalesce(a1.kept_curation, 0)::BIGINT AS kept_curation,
+                   coalesce(a2.kept_dedup, 0)::BIGINT AS kept_dedup,
+                   coalesce(a3.kept_decontam, 0)::BIGINT AS kept_decontam,
+                   coalesce(a4.kept_mix, 0)::BIGINT AS kept_mix,
+                   coalesce(a4.kept_tokens, 0)::BIGINT AS kept_tokens
+            FROM agg0 a0
+            LEFT JOIN agg1 a1 USING (source)
+            LEFT JOIN agg2 a2 USING (source)
+            LEFT JOIN agg3 a3 USING (source)
+            LEFT JOIN agg4 a4 USING (source)
         """,
         "training_mix_stats": f"""
             WITH t AS (
@@ -2603,64 +2774,11 @@ SELECT doc_id, count(*)::BIGINT AS n_chunks,
 FROM flagged GROUP BY 1
 """,
         "curation_keep_stats": f"""
-WITH base AS (
-  SELECT doc_id, lang,
-         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toklist,
-         length(text)::BIGINT AS n_chars,
-         length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE AS alpha,
-         list_filter(str_split(text, chr(10)), l -> l <> '') AS lines
-  FROM documents
-),
-feat AS (
-  SELECT doc_id, lang, len(toklist)::BIGINT AS n_tokens,
-         CASE WHEN len(toklist) > 0
-              THEN len(list_filter(toklist, t -> list_contains({{stop_list}}, t)))::DOUBLE / len(toklist)
-              ELSE 0.0 END AS stop_ratio,
-         CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END AS alpha_ratio,
-         CASE WHEN len(lines) > 0
-              THEN round((len(lines) - len(list_distinct(lines))) / len(lines)::DOUBLE, 6)
-              ELSE 0.0 END AS dup_line_frac
-  FROM base
-),
-q AS (
-  SELECT doc_id, lang, n_tokens, dup_line_frac,
-         round(CASE WHEN n_tokens < 5 THEN 0.0
-               ELSE least(greatest(alpha_ratio * (1.0 - greatest(stop_ratio - 0.5, 0.0)), 0.0), 1.0)
-               END, 6) AS quality
-  FROM feat
-),
-big AS (
-  SELECT doc_id, toklist[i] || ' ' || toklist[i+1] AS g
-  FROM base, unnest(generate_series(1, len(toklist) - 1)) AS t(i)
-  WHERE len(toklist) >= 2
-),
-bigc AS (
-  SELECT doc_id, max(c)::DOUBLE / sum(c)::DOUBLE AS top_bigram_raw
-  FROM (SELECT doc_id, g, count(*) AS c FROM big GROUP BY 1, 2) GROUP BY 1
-),
-g5 AS (
-  SELECT doc_id, toklist[i] || ' ' || toklist[i+1] || ' ' || toklist[i+2] || ' ' ||
-         toklist[i+3] || ' ' || toklist[i+4] AS g
-  FROM base, unnest(generate_series(1, len(toklist) - 4)) AS t(i)
-  WHERE len(toklist) >= 5
-),
-g5c AS (
-  SELECT doc_id, sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::DOUBLE / sum(c)::DOUBLE AS dup5_raw
-  FROM (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2) GROUP BY 1
-),
-m AS (
-  SELECT q.lang,
-         (q.n_tokens >= 5 AND q.n_tokens <= 100000
-          AND q.quality >= 0.05
-          AND coalesce(round(g5c.dup5_raw, 6), 0.0) <= 0.6
-          AND coalesce(round(bigc.top_bigram_raw, 6), 0.0) <= 0.6
-          AND q.dup_line_frac <= 0.5) AS keep
-  FROM q LEFT JOIN bigc USING (doc_id) LEFT JOIN g5c USING (doc_id)
-)
+WITH {curation_ctes}
 SELECT lang, count(*)::BIGINT AS n_docs,
        sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept
-FROM m GROUP BY 1
-""".format(stop_list=stop_list),
+FROM cur GROUP BY 1
+""",
         "stemmed_term_counts": ("""
 WITH src AS (
   SELECT doc_id, text || CASE WHEN doc_id % 4 = 0

@@ -111,3 +111,143 @@ def curation_pass(
         total_pii = sum((F.col(f"n_{name}") for name, _, _ in PII_PATTERNS), F.lit(0))
         keep = keep & (total_pii <= g.max_pii)
     return metrics.withColumn("keep", F.coalesce(keep, F.lit(False)))
+
+
+def prepare_training_set(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    gates: CurationGates = CurationGates(),
+    eval_docs: DataFrame | None = None,
+    dedup_n: int = 3,
+    decontam_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """The complete LLM training-set preparation pipeline as ONE composed
+    plan — the end-to-end path a pretraining data team runs:
+
+        1. quality gates   (curation_pass: Gopher/C4 quality+repetition+PII)
+        2. near-dup dedup  (minhash LSH pairs -> connected components ->
+                            keep-min-id rule)
+        3. decontamination (drop docs sharing any n-gram with eval_docs)
+        4. dataset mixing  (training_mix: per-source token budgets)
+
+    Returns one row per input doc with CUMULATIVE survival flags
+    (keep_curation >= keep_dedup >= keep_decontam >= keep_mix == keep):
+
+        (doc_id, source, n_tokens, keep_curation, keep_dedup,
+         keep_decontam, keep_mix, keep)
+
+    Each stage runs only over the previous stage's survivors — exactly the
+    production cost shape (dedup never hashes garbage the gates already
+    killed; the mix never budgets contaminated docs). Every stage is the
+    repo's oracle-checked operator; the composition itself is DuckDB-
+    twinned end-to-end in the driver harness (`training_pipeline_stats`).
+
+    Scale notes: stage flags join back on the id — hash joins on a
+    high-entropy key; the minhash/LSH/star-contraction core touches only
+    survivor ids and signatures; broadcast is used only for the eval
+    n-gram set (guarded) and the per-(source,bucket) mix offsets.
+    """
+    from defactonlp_spark.operators.curation import training_mix
+    from defactonlp_spark.operators.dedup import (
+        _track_persist,
+        decontaminate,
+        duplicate_clusters,
+        minhash_lsh_pairs,
+        minhash_signature,
+    )
+
+    base = docs.select(id_col, source_col, text_col).join(
+        curation_pass(docs, gates, id_col=id_col, text_col=text_col).select(
+            id_col, F.col("keep").alias("keep_curation")
+        ),
+        id_col,
+    )
+
+    # registered with dedup.release_cached() — the documented long-session
+    # release hook for operator-persisted intermediates
+    s1 = _track_persist(base.filter(F.col("keep_curation")))
+    sig = _track_persist(
+        minhash_signature(s1, n=dedup_n, id_col=id_col, text_col=text_col)
+    )
+    dup = duplicate_clusters(s1, minhash_lsh_pairs(signatures=sig), id_col=id_col)
+    flags = base.join(
+        dup.select(id_col, F.col("keep").alias("_dup_keep")), id_col, "left"
+    ).withColumn(
+        "keep_dedup",
+        F.col("keep_curation") & F.coalesce(F.col("_dup_keep"), F.lit(False)),
+    )
+
+    if eval_docs is not None:
+        s2 = flags.filter(F.col("keep_dedup")).select(id_col, text_col)
+        dec = decontaminate(
+            s2, eval_docs, n=decontam_n, id_col=id_col, text_col=text_col
+        )
+        flags = flags.join(
+            dec.select(id_col, (~F.col("contaminated")).alias("_clean")),
+            id_col,
+            "left",
+        ).withColumn(
+            "keep_decontam",
+            F.col("keep_dedup") & F.coalesce(F.col("_clean"), F.lit(False)),
+        )
+    else:
+        flags = flags.withColumn("keep_decontam", F.col("keep_dedup"))
+
+    s3 = flags.filter(F.col("keep_decontam")).select(id_col, source_col, text_col)
+    mix = training_mix(s3, budgets, id_col=id_col, source_col=source_col)
+    out = (
+        flags.join(
+            mix.select(
+                id_col,
+                F.col("n_tokens").alias("_mix_tokens"),
+                F.col("keep").alias("_mix_keep"),
+            ),
+            id_col,
+            "left",
+        )
+        .withColumn(
+            "keep_mix",
+            F.col("keep_decontam") & F.coalesce(F.col("_mix_keep"), F.lit(False)),
+        )
+        .withColumn(
+            "n_tokens",
+            F.coalesce(
+                F.col("_mix_tokens"),
+                F.regexp_count(F.col(text_col), F.lit("[A-Za-z0-9]+")).cast("long"),
+            ),
+        )
+        .select(
+            id_col,
+            source_col,
+            "n_tokens",
+            "keep_curation",
+            "keep_dedup",
+            "keep_decontam",
+            "keep_mix",
+            F.col("keep_mix").alias("keep"),
+        )
+    )
+    return out
+
+
+def training_set_stats(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    **kwargs,
+) -> DataFrame:
+    """Per-source funnel of :func:`prepare_training_set`: cumulative
+    survivor counts through every stage plus final kept tokens."""
+    res = prepare_training_set(docs, budgets, **kwargs)
+    return res.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("keep_curation").cast("long")).cast("long").alias("kept_curation"),
+        F.sum(F.col("keep_dedup").cast("long")).cast("long").alias("kept_dedup"),
+        F.sum(F.col("keep_decontam").cast("long")).cast("long").alias("kept_decontam"),
+        F.sum(F.col("keep_mix").cast("long")).cast("long").alias("kept_mix"),
+        F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("kept_tokens"),
+    )

@@ -127,3 +127,100 @@ def test_training_mix_unbudgeted_source_dropped(spark):
     )
     got = {r["doc_id"]: r["keep"] for r in training_mix(docs, {"a": 10}).collect()}
     assert got == {1: True, 2: False}
+
+
+def test_prepare_training_set_composition(spark):
+    """The composed pipeline's flags must equal manually chaining the four
+    stage operators through the public API (each stage runs only over the
+    previous stage's survivors), flags must be cumulative-monotone, and the
+    funnel rollup must agree with the per-doc output."""
+    from defactonlp_spark.operators.curation import training_mix
+    from defactonlp_spark.operators.dedup import (
+        decontaminate,
+        duplicate_clusters,
+        minhash_lsh_pairs,
+        minhash_signature,
+        release_cached,
+    )
+    from defactonlp_spark.plans.curate import (
+        curation_pass,
+        prepare_training_set,
+        training_set_stats,
+    )
+    import pandas as pd
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(200)]
+    rows = []
+    for i in range(160):
+        src = f"s{i % 3}"
+        if i % 17 == 0:
+            text = "dup dup dup"  # fails gates (too short / repetitive)
+        elif i % 11 == 0:
+            text = " ".join(["spam"] * 40)  # fails top-bigram/dup5 gates
+        else:
+            text = " ".join(rng.choice(vocab, size=30))
+        rows.append((i, src, text))
+    # planted near-dup family (identical long docs -> all LSH bands collide)
+    fam = " ".join(rng.choice(vocab, size=40))
+    for j, i in enumerate((200, 201, 202)):
+        rows.append((i, "s0", fam))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    ev = spark.createDataFrame([(900, rows[5][2])], "doc_id long, text string")
+    budgets = {"s0": 400, "s1": 10**9, "s2": 0}
+
+    got = prepare_training_set(docs, budgets, eval_docs=ev).toPandas()
+    g = got.set_index("doc_id").sort_index()
+
+    # cumulative monotone flags
+    assert ((g.keep_curation.astype(int) >= g.keep_dedup.astype(int)).all()
+            and (g.keep_dedup.astype(int) >= g.keep_decontam.astype(int)).all()
+            and (g.keep_decontam.astype(int) >= g.keep_mix.astype(int)).all())
+    assert (g.keep == g.keep_mix).all()
+
+    # manual chain through the public API
+    cur = {r["doc_id"]: r["keep"] for r in curation_pass(docs).collect()}
+    assert {i: k for i, k in zip(g.index, g.keep_curation)} == cur
+    s1 = docs.filter(F.col("doc_id").isin([i for i, k in cur.items() if k]))
+    dup = {
+        r["doc_id"]: r["keep"]
+        for r in duplicate_clusters(
+            s1, minhash_lsh_pairs(signatures=minhash_signature(s1).persist())
+        ).collect()
+    }
+    for i in g.index:
+        assert bool(g.keep_dedup[i]) == (cur[i] and dup.get(i, False)), i
+    s2 = s1.filter(F.col("doc_id").isin([i for i, k in dup.items() if k and cur[i]]))
+    dec = {
+        r["doc_id"]: not r["contaminated"]
+        for r in decontaminate(s2, ev, n=3).collect()
+    }
+    for i in g.index:
+        assert bool(g.keep_decontam[i]) == (
+            bool(g.keep_dedup[i]) and dec.get(i, False)
+        ), i
+    s3 = s2.filter(F.col("doc_id").isin([i for i, c in dec.items() if c]))
+    mix = {r["doc_id"]: r["keep"] for r in training_mix(s3, budgets).collect()}
+    for i in g.index:
+        assert bool(g.keep_mix[i]) == (
+            bool(g.keep_decontam[i]) and mix.get(i, False)
+        ), i
+
+    # planted facts: the near-dup family keeps exactly its min id through
+    # dedup; s2-source docs never survive the mix (budget 0); the eval twin
+    # of doc 5 is dropped by decontamination
+    assert bool(g.keep_dedup[200]) and not (g.keep_dedup[201] or g.keep_dedup[202])
+    assert not g[g.source == "s2"].keep_mix.any()
+    assert bool(g.keep_dedup[5]) and not bool(g.keep_decontam[5])
+
+    # funnel rollup agrees with per-doc flags
+    stats = {
+        r["source"]: r for r in training_set_stats(docs, budgets, eval_docs=ev).collect()
+    }
+    for src, grp in got.groupby("source"):
+        st = stats[src]
+        assert st["n_docs"] == len(grp)
+        assert st["kept_curation"] == int(grp.keep_curation.sum())
+        assert st["kept_mix"] == int(grp.keep_mix.sum())
+    release_cached()
