@@ -115,8 +115,12 @@ def training_mix(
         F.concat_ws(":", F.col(source_col), F.col(id_col).cast("string"))
     )
     # default token count via regexp_count (match-counting, no array
-    # materialization): equals size(tokens_col) — each [A-Za-z0-9]+ run in
-    # the raw text is exactly one token of lower(text) split on [^a-z0-9]+.
+    # materialization): on ASCII text it equals size(tokens_col) — each
+    # [A-Za-z0-9]+ run in the raw text is one token of lower(text) split on
+    # [^a-z0-9]+. (Non-ASCII text CAN differ: lower() may map non-ASCII
+    # codepoints into [a-z] — e.g. 'İ' -> 'i'+combining dot. Either count
+    # is a valid budget unit; what matters is that the DuckDB twin uses the
+    # SAME raw-text regex, so the two engines agree on every input.)
     # Measured at 320k webpages: the split+size form paid ~2x (the base
     # relation feeds two consumers, so the count expression runs twice).
     ntok = (
