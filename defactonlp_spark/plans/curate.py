@@ -14,6 +14,7 @@ caps, quality floor, optional PII cap.)
 
 from __future__ import annotations
 
+import re as _re
 from dataclasses import dataclass
 
 import pandas as pd
@@ -23,7 +24,7 @@ from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 from defactonlp_spark.functions.pii import PII_PATTERNS
 from defactonlp_spark.functions.textstats import (
-    quality_feature_cols,
+    EN_STOPWORDS,
     repetition_metrics_row,
     sql_tokens_py,
 )
@@ -48,36 +49,49 @@ class CurationGates:
 _REP_FIELDS = ["rep_n_tokens", "dup_line_frac", "top_bigram_frac", "dup_5gram_frac"]
 
 
+#: Python twins of the quality/PII counting expressions, compiled with
+#: re.ASCII so \d / \b / \w match Java-regex DEFAULTS (Python's \d is
+#: otherwise Unicode-wide). Counts are integers — engine-exact — and the
+#: ratio/round/gate arithmetic stays in Catalyst, so curation_pass outputs
+#: are byte-identical to the standalone JVM operators (test_curate parity).
+_NONALPHA_RE = _re.compile(r"[^A-Za-z]+")
+_DIGIT_RE = _re.compile(r"[0-9]+")
+_STOP_RE = _re.compile(
+    "(?<![a-z0-9])(?:" + "|".join(EN_STOPWORDS) + ")(?![a-z0-9])"
+)
+_PII_RES = [(name, _re.compile(pat, _re.ASCII), repl) for name, pat, repl in PII_PATTERNS]
+
+
 def curation_pass(
     docs: DataFrame,
     gates: CurationGates = CurationGates(),
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """-> (doc_id, n_tokens, n_chars, quality, dup_line_frac,
-    top_bigram_frac, dup_5gram_frac, n_email, n_ipv4, n_phone, keep)."""
-    qcols = quality_feature_cols(text_col)
-    pii_counts = []
-    cur = F.col(text_col)
-    for name, pat, repl in PII_PATTERNS:
-        pii_counts.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}"))
-        cur = F.regexp_replace(cur, pat, repl)
+    """-> (doc_id, n_tokens, n_chars, quality, n_email, n_ipv4, n_phone,
+    dup_line_frac, top_bigram_frac, dup_5gram_frac, keep).
 
+    ONE Python kernel computes every per-doc COUNT (tokens, alpha chars,
+    digits, stopword hits, the chained PII counts) alongside the repetition
+    metrics; the JVM keeps only the ratio/round/gate expressions over those
+    counts (copied from quality_feature_cols — integer inputs make them
+    byte-identical to the standalone operators). The previous form computed
+    the counts as ~8 full-text JVM regex passes in the projection FEEDING
+    the kernel — measured ~100 s of the 320k corpus pass vs ~2 s for the
+    kernel itself; the text crosses the Arrow boundary exactly once either
+    way, so counting inside the kernel is free parallelism (the same
+    boundary lesson as operators/dedup.py::minhash_signature).
+    """
     id_field = docs.schema[id_col]
-    passthrough = (
-        [F.col(id_col)]
-        + [qcols[c].alias(c) for c in ("n_tokens", "n_chars", "quality")]
-        + pii_counts
-    )
-    # ship only the TEXT into the kernel and tokenize Python-side
-    # (functions/textstats.py::sql_tokens_py): Arrow-shipping the token
-    # array cost ~20-170 s at 320k docs vs 1.6 s for the text column
     prepared = floor_parallelism(
-        docs.select(*passthrough, F.col(text_col).alias("_text"))
+        docs.select(F.col(id_col), F.col(text_col).alias("_text"))
     )
-    pass_names = [f.name for f in prepared.schema.fields if f.name != "_text"]
+    count_fields = [
+        "n_tokens", "n_chars", "alpha", "digits", "stop_hits",
+    ] + [f"n_{name}" for name, _, _ in PII_PATTERNS]
     schema = StructType(
-        [f for f in prepared.schema.fields if f.name in pass_names]
+        [id_field]
+        + [StructField(c, LongType()) for c in count_fields]
         + [StructField("dup_line_frac", DoubleType()),
            StructField("top_bigram_frac", DoubleType()),
            StructField("dup_5gram_frac", DoubleType())]
@@ -85,19 +99,71 @@ def curation_pass(
 
     def kern(batches):
         for pdf in batches:
+            counts: dict = {c: [] for c in count_fields}
             dline, topbi, dup5 = [], [], []
             for text in pdf["_text"]:
-                _, dl_, tb, d5 = repetition_metrics_row(text, sql_tokens_py(text))
+                if text is None:
+                    for c in count_fields:
+                        counts[c].append(None)
+                    dline.append(None)
+                    topbi.append(None)
+                    dup5.append(None)
+                    continue
+                toks = sql_tokens_py(text)
+                counts["n_tokens"].append(len(toks))
+                n_ch = len(text)
+                counts["n_chars"].append(n_ch)
+                counts["alpha"].append(len(_NONALPHA_RE.sub("", text)))
+                counts["digits"].append(n_ch - len(_DIGIT_RE.sub("", text)))
+                counts["stop_hits"].append(len(_STOP_RE.findall(text.lower())))
+                cur = text
+                for name, cre, repl in _PII_RES:
+                    counts[f"n_{name}"].append(len(cre.findall(cur)))
+                    cur = cre.sub(repl, cur)
+                _, dl_, tb, d5 = repetition_metrics_row(text, toks)
                 dline.append(dl_)
                 topbi.append(tb)
                 dup5.append(d5)
-            out = pdf[pass_names].copy()
+            out = pd.DataFrame({id_col: pdf[id_col]})
+            for c in count_fields:
+                out[c] = pd.array(counts[c], dtype="Int64")
             out["dup_line_frac"] = pd.array(dline, dtype="Float64")
             out["top_bigram_frac"] = pd.array(topbi, dtype="Float64")
             out["dup_5gram_frac"] = pd.array(dup5, dtype="Float64")
             yield out
 
-    metrics = prepared.mapInPandas(kern, schema)
+    raw = prepared.mapInPandas(kern, schema)
+    # ratios + quality exactly as functions/textstats.py::quality_feature_cols,
+    # fed by the kernel's integer counts instead of recomputing from text
+    ntok = F.col("n_tokens")
+    stop_ratio = F.when(ntok > 0, F.col("stop_hits").cast("double") / ntok).otherwise(
+        F.lit(0.0)
+    )
+    alpha_ratio = F.when(
+        F.col("n_chars") > 0, F.col("alpha").cast("double") / F.col("n_chars")
+    ).otherwise(F.lit(0.0))
+    quality = F.round(
+        F.when(ntok < 5, F.lit(0.0)).otherwise(
+            F.least(
+                F.greatest(
+                    alpha_ratio * (F.lit(1.0) - F.greatest(stop_ratio - 0.5, F.lit(0.0))),
+                    F.lit(0.0),
+                ),
+                F.lit(1.0),
+            )
+        ),
+        6,
+    )
+    metrics = raw.select(
+        F.col(id_col),
+        "n_tokens",
+        "n_chars",
+        quality.alias("quality"),
+        *[F.col(f"n_{name}") for name, _, _ in PII_PATTERNS],
+        "dup_line_frac",
+        "top_bigram_frac",
+        "dup_5gram_frac",
+    )
     g = gates
     keep = (
         (F.col("n_tokens") >= g.min_tokens)
