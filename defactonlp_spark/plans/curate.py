@@ -1,15 +1,16 @@
 """One-pass corpus curation — the LLM-pretraining filter pipeline shape.
 
 Composes the repo's per-doc curation operators into ONE pass over the
-corpus: every whole-stage-codegen feature (quality ratios, PII counts) is
-computed in the projection that FEEDS the Arrow kernel, the kernel adds the
-repetition metrics (functions/textstats.py::repetition_metrics_row — the
-same scalar core as repetition_stats) and passes the codegen columns
-through, and the keep/drop gates are a codegen CASE over the kernel
-output. No joins, no shuffle, no second corpus read: at 100 TB this is one
-scan + one Python stage, the minimum any kernel-bearing curation pass can
-cost. (Gates follow the Gopher/C4 recipe: token-count band, repetition
-caps, quality floor, optional PII cap.)
+corpus: a single Python kernel computes every per-doc COUNT (tokens, alpha
+chars, digits, stopword hits, chained PII counts) plus the repetition
+metrics (functions/textstats.py::repetition_metrics_row — the same scalar
+core as repetition_stats); Catalyst keeps only the ratio/round/gate
+arithmetic over those integer-exact counts, so outputs are byte-identical
+to the standalone JVM operators (test_curate). No joins, no shuffle, no
+second corpus read: at 100 TB this is one scan + one Python stage, the
+minimum any kernel-bearing curation pass can cost. (Gates follow the
+Gopher/C4 recipe: token-count band, repetition caps, quality floor,
+optional PII cap.)
 """
 
 from __future__ import annotations
