@@ -281,3 +281,36 @@ def test_wand_kernel_matches_bruteforce_under_deletes(case_seed, block_size, k):
     assert [d for d, _ in got] == [d for d, _ in expect]
     np.testing.assert_allclose([s for _, s in got], [s for _, s in expect],
                                rtol=0, atol=1e-12)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 32) - 1),
+                min_size=1, max_size=50))
+@settings(max_examples=200, deadline=None)
+def test_minhash_permutations_int64_exact(hs):
+    """The Carter-Wegman permutation arithmetic must be int64-exact: numpy
+    int64 (the kernel) == unbounded Python ints (the spec) for every base
+    hash — i.e. A*h + B never overflows (A <= 2^30, h < 2^32, B < 2^61)."""
+    from defactonlp_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    A = np.array(MINHASH_A, dtype=np.int64).reshape(-1, 1)
+    B = np.array(MINHASH_B, dtype=np.int64).reshape(-1, 1)
+    harr = np.asarray(hs, dtype=np.int64)
+    kernel = ((A * harr + B) % MINHASH_P).min(axis=1)
+    for i in range(len(MINHASH_A)):
+        spec = min((MINHASH_A[i] * h + MINHASH_B[i]) % MINHASH_P for h in hs)
+        assert int(kernel[i]) == spec
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_curation_count_regexes_match_char_definitions(txt):
+    """The curation kernel's count regexes (plans/curate.py, compiled with
+    re.ASCII) must equal the per-char definitions on ARBITRARY unicode text
+    — ASCII-alpha count, ASCII-digit count — i.e. exactly what the JVM's
+    length-difference expressions compute."""
+    from defactonlp_spark.plans.curate import _DIGIT_RE, _NONALPHA_RE
+
+    alpha = len(_NONALPHA_RE.sub("", txt))
+    digits = len(txt) - len(_DIGIT_RE.sub("", txt))
+    assert alpha == sum(1 for c in txt if ("a" <= c <= "z") or ("A" <= c <= "Z"))
+    assert digits == sum(1 for c in txt if "0" <= c <= "9")
