@@ -247,18 +247,27 @@ def prepare_training_set(
         F.col("keep_curation") & F.coalesce(F.col("_dup_keep"), F.lit(False)),
     )
 
+    # flags fans out twice below (decontam input + join left side, then mix
+    # input + final join left side). Catalyst issues no ReusedExchange across
+    # those aliased branches, so without a persist the curation_pass text
+    # kernel re-runs once per branch (4x at the leaves) — measured ~2.5x the
+    # whole pipeline wall at 320k docs. Registered with release_cached().
+    flags = _track_persist(flags)
+
     if eval_docs is not None:
         s2 = flags.filter(F.col("keep_dedup")).select(id_col, text_col)
         dec = decontaminate(
             s2, eval_docs, n=decontam_n, id_col=id_col, text_col=text_col
         )
-        flags = flags.join(
-            dec.select(id_col, (~F.col("contaminated")).alias("_clean")),
-            id_col,
-            "left",
-        ).withColumn(
-            "keep_decontam",
-            F.col("keep_dedup") & F.coalesce(F.col("_clean"), F.lit(False)),
+        flags = _track_persist(
+            flags.join(
+                dec.select(id_col, (~F.col("contaminated")).alias("_clean")),
+                id_col,
+                "left",
+            ).withColumn(
+                "keep_decontam",
+                F.col("keep_dedup") & F.coalesce(F.col("_clean"), F.lit(False)),
+            )
         )
     else:
         flags = flags.withColumn("keep_decontam", F.col("keep_dedup"))
