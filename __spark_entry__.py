@@ -574,6 +574,77 @@ def q_bm25_topk_conjunctive(spark, sf_dir):
     return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
 
 
+LM_MU = 2000.0
+PRUNE_KEEP_N = 3
+
+
+def q_lm_dirichlet_topk(spark, sf_dir):
+    """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty 2001;
+    Lucene LMDirichletSimilarity analog) — same scan/broadcast/agg envelope
+    as BM25, different scoring model (operators/lm.py)."""
+    from defactonlp_spark.operators.bm25 import claim_terms
+    from defactonlp_spark.operators.lm import ctf_stats, score_lm_dirichlet
+    from defactonlp_spark.operators.postings import corpus_stats
+
+    p = _postings_cached(spark, sf_dir)
+    total = int(corpus_stats(p).collect()[0]["total_tokens"])
+    res = score_lm_dirichlet(
+        p, ctf_stats(p), claim_terms(_claims_df(spark)), total, mu=LM_MU, k=TOPK
+    )
+    return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
+
+
+def q_doc_perplexity(spark, sf_dir):
+    """Per-doc unigram-LM cross-entropy + perplexity over the corpus's own
+    model — the CCNet-style quality-filter signal, exactly computable
+    (operators/lm.py::doc_perplexity)."""
+    from defactonlp_spark.operators.lm import ctf_stats, doc_perplexity
+    from defactonlp_spark.operators.postings import corpus_stats
+
+    p = _postings_cached(spark, sf_dir)
+    total = int(corpus_stats(p).collect()[0]["total_tokens"])
+    return doc_perplexity(p, ctf_stats(p), total)
+
+
+def q_bm25_topk_pruned(spark, sf_dir):
+    """Static index pruning (Carmel 2001 top-N): serve BM25 over the pruned
+    postings with FULL build stats — the small first tier of a tiered
+    serving deployment (operators/postings.py::prune_postings)."""
+    from defactonlp_spark.operators.bm25 import claim_terms, score_exhaustive
+    from defactonlp_spark.operators.postings import prune_postings, term_stats
+
+    p = _postings_cached(spark, sf_dir)
+    n_docs, avgdl = _engine_corpus_stats(p)
+    stats = term_stats(p)
+    pruned = prune_postings(p, stats, n_docs, avgdl, keep_n=PRUNE_KEEP_N)
+    res = score_exhaustive(
+        pruned, stats, claim_terms(_claims_df(spark)), n_docs, avgdl, k=TOPK
+    )
+    return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
+
+
+def q_bm25_topk_boosted(spark, sf_dir):
+    """Static doc-prior boosting: BM25 * (0.5 + quality score) — the
+    query-independent ranking signal of web search (PageRank/quality prior),
+    joined doc-keyed, never broadcast (operators/bm25.py::score_boosted)."""
+    from defactonlp_spark.functions.textstats import quality_features
+    from defactonlp_spark.operators.bm25 import claim_terms, score_boosted
+    from defactonlp_spark.operators.postings import term_stats
+
+    p = _postings_cached(spark, sf_dir)
+    n_docs, avgdl = _engine_corpus_stats(p)
+    boosts = quality_features(_docs(spark, sf_dir)).select(
+        "doc_id", F.round(F.lit(0.5) + F.col("quality"), 6).alias("boost")
+    )
+    res = score_boosted(
+        p, term_stats(p), claim_terms(_claims_df(spark)), n_docs, avgdl, boosts, k=TOPK
+    )
+    return res.select(
+        "claim_id", "doc_id", F.round("bm25", 4).alias("bm25"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 RM3_FB_DOCS, RM3_FB_TERMS, RM3_ALPHA = 5, 8, 0.5
 # synonym dictionary fixture: (term, variant) — variants are corpus terms
 SYNONYMS = [
@@ -1936,6 +2007,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_collapsed": q_bm25_topk_collapsed,
         "bm25_topk_wand": q_bm25_topk_wand,
         "bm25_topk_conjunctive": q_bm25_topk_conjunctive,
+        "lm_dirichlet_topk": q_lm_dirichlet_topk,
+        "doc_perplexity": q_doc_perplexity,
+        "bm25_topk_pruned": q_bm25_topk_pruned,
+        "bm25_topk_boosted": q_bm25_topk_boosted,
         "bm25_topk_boolean": q_bm25_topk_boolean,
         "bm25_topk_rm3": q_bm25_topk_rm3,
         "bm25_topk_synonyms": q_bm25_topk_synonyms,
@@ -2164,6 +2239,156 @@ cur AS (
         """,
         "bm25_topk_wand": _BM25_CORE_SQL,
         "bm25_topk_conjunctive": _bm25_sql(_TOKS_SQL, _CLAIMS_SQL, TOPK, conjunctive=True),
+        "lm_dirichlet_topk": f"""
+WITH toks AS ({_TOKS_SQL}),
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+tot AS (SELECT sum(dl) AS t FROM dl),
+ctf AS (SELECT term, sum(tf)::DOUBLE AS ctf FROM postings GROUP BY 1),
+claims(claim_id, claim) AS {_CLAIMS_SQL},
+qterms AS (
+  SELECT DISTINCT claim_id, unnest(list_filter(regexp_split_to_array(lower(claim),
+    '[^a-z0-9]+'), t -> t <> '')) AS term FROM claims
+),
+q AS (SELECT qt.claim_id, qt.term, c.ctf FROM qterms qt JOIN ctf c ON c.term = qt.term),
+nq AS (SELECT claim_id, count(*)::DOUBLE AS n_q_in FROM q GROUP BY 1),
+scored AS (
+  SELECT q.claim_id, p.doc_id,
+         sum(ln(1 + p.tf / ({LM_MU} * q.ctf / t.t))) AS tsum,
+         min(l.dl) AS dl
+  FROM q JOIN postings p ON p.term = q.term
+  JOIN dl l ON l.doc_id = p.doc_id
+  CROSS JOIN tot t
+  GROUP BY 1, 2
+),
+final AS (
+  SELECT s.claim_id, s.doc_id,
+         s.tsum + n.n_q_in * ln({LM_MU} / (s.dl + {LM_MU})) AS score
+  FROM scored s JOIN nq n ON n.claim_id = s.claim_id
+)
+SELECT claim_id::BIGINT AS claim_id, doc_id::BIGINT AS doc_id, round(score, 4) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
+        ORDER BY round(score, 6) DESC, doc_id) AS rn FROM final)
+WHERE rn <= {TOPK}
+""",
+        "doc_perplexity": f"""
+WITH toks AS ({_TOKS_SQL}),
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+tot AS (SELECT sum(dl) AS t FROM dl),
+ctf AS (SELECT term, sum(tf)::DOUBLE AS ctf FROM postings GROUP BY 1),
+per AS (
+  SELECT p.doc_id, min(l.dl)::BIGINT AS n_tokens,
+         round(-sum(p.tf * ln(c.ctf / t.t)) / min(l.dl), 6) AS cross_entropy
+  FROM postings p
+  JOIN ctf c ON c.term = p.term
+  JOIN dl l ON l.doc_id = p.doc_id
+  CROSS JOIN tot t
+  GROUP BY 1
+)
+SELECT doc_id::BIGINT AS doc_id, n_tokens, cross_entropy,
+       round(exp(cross_entropy), 4) AS ppl
+FROM per
+""",
+        "bm25_topk_pruned": f"""
+WITH toks AS ({_TOKS_SQL}),
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+impacts AS (
+  SELECT p.term, p.doc_id, p.tf,
+         round( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                * p.tf * {K1 + 1.0}
+                / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)), 6) AS impact
+  FROM postings p
+  JOIN dfreq d ON d.term = p.term
+  JOIN dl l ON l.doc_id = p.doc_id
+  CROSS JOIN stats s
+),
+pruned AS (
+  SELECT term, doc_id, tf
+  FROM (SELECT *, row_number() OVER (PARTITION BY term
+          ORDER BY impact DESC, doc_id) AS prn FROM impacts)
+  WHERE prn <= {PRUNE_KEEP_N}
+),
+claims(claim_id, claim) AS {_CLAIMS_SQL},
+qterms AS (
+  SELECT DISTINCT claim_id, unnest(list_filter(regexp_split_to_array(lower(claim),
+    '[^a-z0-9]+'), t -> t <> '')) AS term FROM claims
+),
+scored AS (
+  SELECT q.claim_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * p.tf * {K1 + 1.0}
+              / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)) ) AS score
+  FROM qterms q
+  JOIN pruned p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl l ON l.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT claim_id::BIGINT AS claim_id, doc_id::BIGINT AS doc_id, round(score, 4) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
+        ORDER BY score DESC, doc_id) AS rn FROM scored)
+WHERE rn <= {TOPK}
+""",
+        "bm25_topk_boosted": f"""
+WITH toks AS ({_TOKS_SQL}),
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+qbase AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toklist,
+         length(text)::BIGINT AS n_chars,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE AS alpha
+  FROM documents
+),
+qfeat AS (
+  SELECT doc_id, len(toklist)::BIGINT AS n_tokens,
+         CASE WHEN len(toklist) > 0
+              THEN len(list_filter(toklist, t -> list_contains({{stop_list}}, t)))::DOUBLE / len(toklist)
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END AS alpha_ratio
+  FROM qbase
+),
+boosts AS (
+  SELECT doc_id,
+         round(0.5 + round(CASE WHEN n_tokens < 5 THEN 0.0
+               ELSE least(greatest(alpha_ratio * (1.0 - greatest(stop_ratio - 0.5, 0.0)), 0.0), 1.0)
+               END, 6), 6) AS boost
+  FROM qfeat
+),
+claims(claim_id, claim) AS {_CLAIMS_SQL},
+qterms AS (
+  SELECT DISTINCT claim_id, unnest(list_filter(regexp_split_to_array(lower(claim),
+    '[^a-z0-9]+'), t -> t <> '')) AS term FROM claims
+),
+scored AS (
+  SELECT q.claim_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * p.tf * {K1 + 1.0}
+              / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)) ) AS bm25
+  FROM qterms q
+  JOIN postings p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl l ON l.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+final AS (
+  SELECT s.claim_id, s.doc_id, s.bm25, s.bm25 * b.boost AS score
+  FROM scored s JOIN boosts b ON b.doc_id = s.doc_id
+)
+SELECT claim_id::BIGINT AS claim_id, doc_id::BIGINT AS doc_id,
+       round(bm25, 4) AS bm25, round(score, 4) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
+        ORDER BY round(score, 6) DESC, doc_id) AS rn FROM final)
+WHERE rn <= {TOPK}
+""".format(stop_list=stop_list),
         "bm25_topk_boolean": _BOOL_SQL,
         "bm25_topk_synonyms": f"""
 WITH toks AS ({_TOKS_SQL}),

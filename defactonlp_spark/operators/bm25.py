@@ -308,3 +308,48 @@ def score_collapsed(
         .filter(F.col("rank") <= k)
         .select("claim_id", "rank", "doc_id", group_col, "score")
     )
+
+
+def score_boosted(
+    postings: DataFrame,
+    stats: DataFrame,
+    qterms: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    boosts: DataFrame,
+    k: int = 5,
+    params: BM25Params = BM25Params(),
+    boost_col: str = "boost",
+) -> DataFrame:
+    """Static document-prior boosting (Lucene index-time doc boost; web
+    search's query-independent signal — PageRank / quality priors folded
+    into the text score): final = bm25 * boost, top-k per claim.
+
+    ``boosts``: (doc_id, boost) — a deterministic per-doc prior. The harness
+    uses the quality-model score (0.5 + quality, already 6-dp rounded); a
+    web deployment joins its link-graph/quality table the same way.
+
+    Plan: the exhaustive-BM25 scan + hash aggregate, then ONE doc-keyed join
+    of the (claims x matched docs)-sized scored relation against the boost
+    table — boosts are |corpus|-sized so they are NOT broadcast; the join
+    shuffles the small scored side onto the boost table's hash partitioning.
+    Ranking pins ties on (round(final, 6), doc_id) so the boost multiply —
+    one IEEE op over 6-dp-rounded inputs in both engines — stays portable.
+    """
+    q = qterms.join(stats, "term", "inner")
+    scored = (
+        postings.join(F.broadcast(q), "term", "inner")
+        .withColumn("contrib", bm25_score_expr(n_docs, avgdl, params))
+        .groupBy("claim_id", "doc_id")
+        .agg(F.sum("contrib").alias("bm25"))
+        .join(boosts.select("doc_id", boost_col), "doc_id", "inner")
+        .withColumn("score", F.col("bm25") * F.col(boost_col))
+    )
+    w = Window.partitionBy("claim_id").orderBy(
+        F.round("score", 6).desc(), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("claim_id", "rank", "doc_id", "bm25", "score")
+    )

@@ -1,0 +1,134 @@
+"""Unigram language-model operators: Dirichlet-smoothed query-likelihood
+retrieval and corpus-LM document perplexity.
+
+Public refs: Zhai & Lafferty 2001 (Dirichlet-prior smoothing; the formula
+Lucene ships as ``LMDirichletSimilarity``); CCNet (Wenzek et al. 2020) uses
+LM perplexity as its web-text quality filter — here the LM is the corpus's
+own unigram model (exactly computable from the build's postings relation;
+a real deployment swaps in a held-out KenLM, the relational shape is
+identical).
+
+Pinned semantics (the DuckDB twins and the pytest scalar oracles implement
+the same spec):
+
+Dirichlet query likelihood, for a claim q (DISTINCT terms) and doc d:
+  p_c(t)  = ctf_t / T          (collection term frequency over total tokens)
+  score   = sum over matched in-collection terms of ln(1 + tf/(mu*p_c(t)))
+            + n_q_in * ln(mu / (dl + mu))
+  n_q_in  = count of the claim's distinct terms that exist in the collection
+            (out-of-vocabulary terms are dropped — p_c = 0 has no defined
+            likelihood; the standard convention).
+  Candidates are docs matching >= 1 in-collection query term. This is the
+  rank-preserving decomposition of log p(q|d): the matched-term sum plus a
+  per-doc length normalizer that applies to ALL n_q_in terms (unmatched
+  terms contribute exactly the normalizer).
+  Ranking: round(score, 6) desc, doc_id asc — docs with identical (tf
+  profile, dl) tie EXACTLY in math, and raw-float windows would order them
+  by engine summation noise (same pinning as RM3/MLT).
+
+Perplexity, for doc d:
+  H(d)   = -(1/dl) * sum over d's terms of tf * ln(ctf_t / T)
+  ppl(d) = exp(round(H, 6))
+  Every token of d is in the collection by construction (ctf >= tf >= 1),
+  so H is total. ppl is computed from the ROUNDED cross-entropy in both
+  engines so the exp sees bit-identical input.
+
+Scale shape: both operators are one postings scan + one broadcast (query
+terms) or term-keyed (ctf) join + one hash aggregate — the same envelope as
+exhaustive BM25. ctf_stats is a term-keyed aggregate the build already
+shuffles for; at 10^12 docs it rides the existing term range partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ctf_stats(postings: DataFrame) -> DataFrame:
+    """(term, ctf): collection term frequency — total occurrences across the
+    corpus (sum of tf), as distinct from df (document frequency)."""
+    return postings.groupBy("term").agg(F.sum("tf").cast("long").alias("ctf"))
+
+
+def score_lm_dirichlet(
+    postings: DataFrame,
+    cstats: DataFrame,
+    qterms: DataFrame,
+    total_tokens: int,
+    mu: float = 2000.0,
+    k: int = 5,
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood top-k.
+
+    ``postings``: (term, doc_id, tf, dl); ``cstats``: (term, ctf) from
+    :func:`ctf_stats`; ``qterms``: (claim_id, term) distinct; ``total_tokens``
+    from the build manifest / ``corpus_stats`` (NOT recomputed per query —
+    same consistency contract as BM25's N/avgdl).
+
+    Plan: broadcast the query terms (+ their ctf) onto the postings scan —
+    Catalyst prunes the scan to queried terms — then one hash aggregate on
+    (claim_id, doc_id) carrying the matched-term sum, dl, and the match
+    count; the dl normalizer is applied per GROUP (not per posting), and
+    n_q_in arrives by a second tiny broadcast. One wide scan, one narrow
+    shuffle — identical envelope to ``score_exhaustive``.
+    """
+    T = float(total_tokens)
+    q = qterms.join(cstats, "term", "inner")  # in-collection terms only
+    nq = q.groupBy("claim_id").agg(F.count(F.lit(1)).cast("double").alias("n_q_in"))
+    tf = F.col("tf").cast("double")
+    p_c = F.col("ctf").cast("double") / F.lit(T)
+    contrib = F.log1p(tf / (F.lit(float(mu)) * p_c))
+    scored = (
+        postings.join(F.broadcast(q), "term", "inner")
+        .withColumn("contrib", contrib)
+        .groupBy("claim_id", "doc_id")
+        .agg(
+            F.sum("contrib").alias("tsum"),
+            F.first("dl").cast("double").alias("dl"),
+        )
+        .join(F.broadcast(nq), "claim_id", "inner")
+        .withColumn(
+            "score",
+            F.col("tsum")
+            + F.col("n_q_in") * F.log(F.lit(float(mu)) / (F.col("dl") + F.lit(float(mu)))),
+        )
+    )
+    w = Window.partitionBy("claim_id").orderBy(F.round("score", 6).desc(), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("claim_id", "rank", "doc_id", "score")
+    )
+
+
+def doc_perplexity(postings: DataFrame, cstats: DataFrame, total_tokens: int) -> DataFrame:
+    """Per-doc unigram-LM cross-entropy + perplexity over the corpus model:
+    (doc_id, n_tokens, cross_entropy, ppl). High-ppl docs are the unusual /
+    low-quality tail a CCNet-style filter drops (low-ppl = boilerplate-like).
+
+    Plan: postings join ctf on term (both term-keyed — at scale this join
+    co-locates on the build's term partitioning), one hash aggregate per
+    doc. No broadcast of anything corpus-sized.
+    """
+    T = float(total_tokens)
+    tok_h = F.col("tf").cast("double") * F.log(F.col("ctf").cast("double") / F.lit(T))
+    per_doc = (
+        postings.join(cstats, "term", "inner")
+        .withColumn("tok_h", tok_h)
+        .groupBy("doc_id")
+        .agg(
+            F.first("dl").cast("long").alias("n_tokens"),
+            F.sum("tok_h").alias("hsum"),
+        )
+        .withColumn(
+            "cross_entropy",
+            F.round(-F.col("hsum") / F.col("n_tokens").cast("double"), 6),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "cross_entropy",
+        F.round(F.exp("cross_entropy"), 4).alias("ppl"),
+    )

@@ -217,3 +217,45 @@ def with_salt(postings: DataFrame, plan: DataFrame) -> DataFrame:
         )
         .drop("n_salts")
     )
+
+
+def prune_postings(
+    postings: DataFrame,
+    stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    keep_n: int,
+    params=None,
+) -> DataFrame:
+    """Static index pruning (Carmel et al., SIGIR 2001 — the top-N variant):
+    keep, per term, only the ``keep_n`` postings with the highest BM25
+    impact; everything else is dropped from the SERVING index. Queries then
+    run over the pruned index with the FULL build stats (df/N/avgdl are the
+    unpruned values — pruning changes which postings exist, never the
+    scoring model), trading bounded recall for a serving index that can be
+    an order of magnitude smaller — the standard first tier of a tiered
+    100 TB serving deployment (pruned tier answers most queries; the full
+    tier backstops).
+
+    Impact is the posting's full-stats BM25 contribution rounded to 6 dp;
+    ties break on doc_id asc, so the kept set is engine-portable (the DuckDB
+    twin applies the identical window).
+
+    Plan: one window per term over the postings relation — the same
+    term-keyed shuffle shape the build's range partitioning already pays;
+    at scale this runs inside the existing per-bucket sort, making pruning
+    effectively free at encode time.
+    """
+    from defactonlp_spark.config import BM25Params
+    from defactonlp_spark.operators.bm25 import bm25_score_expr
+
+    p = params or BM25Params()
+    impact = F.round(bm25_score_expr(n_docs, avgdl, p), 6)
+    w = Window.partitionBy("term").orderBy(F.desc("impact"), F.asc("doc_id"))
+    return (
+        postings.join(stats, "term", "inner")
+        .withColumn("impact", impact)
+        .withColumn("_prn", F.row_number().over(w))
+        .filter(F.col("_prn") <= keep_n)
+        .select("term", "doc_id", "tf", "dl")
+    )

@@ -1,0 +1,253 @@
+"""Unigram-LM operators (Dirichlet QL, corpus perplexity), static index
+pruning, and doc-prior boosting — each against a pure-Python scalar replay
+of the pinned spec (tests/oracle_bm25.py style: the replay isolates the
+distributed machinery, not the arithmetic)."""
+
+import math
+from collections import Counter
+
+import pytest
+
+from defactonlp_spark.config import BM25Params
+from defactonlp_spark.functions.tokenize import tokenize_one
+from defactonlp_spark.operators.bm25 import claim_terms, score_boosted, score_exhaustive
+from defactonlp_spark.operators.lm import ctf_stats, doc_perplexity, score_lm_dirichlet
+from defactonlp_spark.operators.postings import (
+    build_postings,
+    corpus_stats,
+    prune_postings,
+    term_stats,
+)
+from tests.oracle_bm25 import build_oracle_index
+
+MU = 1500.0
+
+TEXTS = {
+    # ties: docs 20/21 share an identical token profile (argmax must break
+    # on doc_id); vocab mixes head terms ("data") with singletons.
+    0: "spark shuffles data across the cluster for wide operations",
+    1: "posting lists compress deltas with variable byte encoding",
+    2: "the query engine scores documents with bm25 ranking",
+    3: "data skew makes one partition slow the whole stage down",
+    4: "broadcast joins avoid shuffling the small dimension table",
+    5: "language models assign probability to token sequences",
+    6: "dirichlet smoothing mixes document and collection statistics",
+    7: "perplexity measures how surprised the model is by text",
+    8: "quality filters drop boilerplate and low information pages",
+    9: "the crawler fetches pages and extracts text from html",
+    10: "data data data repeated tokens stress term frequency paths",
+    11: "an unrelated document about gardening roses and soil",
+    12: "another unrelated document about cooking pasta and sauce",
+    20: "identical twin document about data and ranking",
+    21: "identical twin document about data and ranking",
+}
+
+CLAIMS = {
+    0: "data ranking with bm25",
+    1: "dirichlet smoothing perplexity model",
+    2: "shuffle partition skew",
+    3: "zzzunknownterm data",  # OOV term mixed with an in-collection one
+}
+
+
+def _corpus_model(texts):
+    postings, dl, n, avgdl = build_oracle_index(texts)
+    ctf = {t: sum(pl.values()) for t, pl in postings.items()}
+    T = float(sum(dl.values()))
+    return postings, dl, ctf, T
+
+
+def lm_dirichlet_oracle(texts, claims, mu=MU, k=5):
+    postings, dl, ctf, T = _corpus_model(texts)
+    out = {}
+    for cid, claim in claims.items():
+        in_coll = sorted(t for t in set(tokenize_one(claim)) if t in ctf)
+        nq = float(len(in_coll))
+        tsum: dict[int, float] = {}
+        for t in in_coll:
+            pc = ctf[t] / T
+            for d, tf in postings[t].items():
+                tsum[d] = tsum.get(d, 0.0) + math.log1p(tf / (mu * pc))
+        scored = [
+            (d, s + nq * math.log(mu / (dl[d] + mu))) for d, s in tsum.items()
+        ]
+        out[cid] = sorted(scored, key=lambda kv: (-round(kv[1], 6), kv[0]))[:k]
+    return out
+
+
+def perplexity_oracle(texts):
+    postings, dl, ctf, T = _corpus_model(texts)
+    out = {}
+    for d, text in texts.items():
+        toks = tokenize_one(text)
+        h = -sum(c * math.log(ctf[t] / T) for t, c in Counter(toks).items()) / len(toks)
+        out[d] = (len(toks), round(h, 6))
+    return out
+
+
+def bm25_contrib_scalar(tf, dl, df, n, avgdl, p=BM25Params()):
+    idf = math.log1p((n - df + 0.5) / (df + 0.5))
+    return idf * tf * (p.k1 + 1.0) / (tf + p.k1 * (1.0 - p.b + p.b * dl / avgdl))
+
+
+def prune_oracle(texts, keep_n):
+    """term -> kept doc set under the pinned (round(impact,6) desc, doc_id)."""
+    postings, dl, n, avgdl = build_oracle_index(texts)
+    kept = {}
+    for t, plist in postings.items():
+        ranked = sorted(
+            plist.items(),
+            key=lambda kv: (
+                -round(bm25_contrib_scalar(kv[1], dl[kv[0]], len(plist), n, avgdl), 6),
+                kv[0],
+            ),
+        )
+        kept[t] = {d for d, _ in ranked[:keep_n]}
+    return kept
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in TEXTS.items()], "doc_id long, text string"
+    )
+    p = build_postings(docs).persist()
+    st = corpus_stats(p).collect()[0]
+    yield p, int(st["n_docs"]), float(st["avgdl"]), int(st["total_tokens"])
+    p.unpersist()
+
+
+@pytest.fixture(scope="module")
+def claims_df(spark):
+    return spark.createDataFrame(
+        [(i, c) for i, c in CLAIMS.items()], "claim_id long, claim string"
+    )
+
+
+def test_lm_dirichlet_matches_scalar_oracle(spark, corpus, claims_df):
+    p, n_docs, avgdl, total = corpus
+    res = score_lm_dirichlet(
+        p, ctf_stats(p), claim_terms(claims_df), total, mu=MU, k=5
+    ).collect()
+    got = {}
+    for r in sorted(res, key=lambda r: (r["claim_id"], r["rank"])):
+        got.setdefault(r["claim_id"], []).append((r["doc_id"], r["score"]))
+    want = lm_dirichlet_oracle(TEXTS, CLAIMS, mu=MU, k=5)
+    want = {cid: v for cid, v in want.items() if v}
+    assert {c: [d for d, _ in v] for c, v in got.items()} == {
+        c: [d for d, _ in v] for c, v in want.items()
+    }
+    for cid, pairs in want.items():
+        for (gd, gs), (wd, ws) in zip(got[cid], pairs):
+            assert gs == pytest.approx(ws, rel=1e-9)
+
+
+def test_lm_dirichlet_twin_docs_tie_on_doc_id(spark, corpus, claims_df):
+    p, n_docs, avgdl, total = corpus
+    res = score_lm_dirichlet(
+        p, ctf_stats(p), claim_terms(claims_df), total, mu=MU, k=15
+    ).toPandas()
+    one = res[res.claim_id == 0].sort_values("rank")
+    ranks = {int(r.doc_id): int(r.rank) for r in one.itertuples()}
+    assert ranks[21] == ranks[20] + 1  # exact tie -> doc_id order, adjacent
+
+
+def test_doc_perplexity_matches_scalar_oracle(spark, corpus):
+    p, n_docs, avgdl, total = corpus
+    res = {
+        r["doc_id"]: r for r in doc_perplexity(p, ctf_stats(p), total).collect()
+    }
+    want = perplexity_oracle(TEXTS)
+    assert set(res) == set(want)
+    for d, (ntok, h6) in want.items():
+        assert res[d]["n_tokens"] == ntok
+        assert res[d]["cross_entropy"] == pytest.approx(h6, abs=1.1e-6)
+        assert res[d]["ppl"] == pytest.approx(round(math.exp(h6), 4), abs=2e-4)
+
+
+def test_prune_noop_when_keep_n_covers_df(spark, corpus):
+    p, n_docs, avgdl, total = corpus
+    pruned = prune_postings(p, term_stats(p), n_docs, avgdl, keep_n=10**6)
+    assert pruned.exceptAll(p).count() == 0 and p.exceptAll(pruned).count() == 0
+
+
+def test_prune_matches_scalar_keep_rule(spark, corpus):
+    p, n_docs, avgdl, total = corpus
+    pruned = prune_postings(p, term_stats(p), n_docs, avgdl, keep_n=2).collect()
+    got: dict[str, set] = {}
+    for r in pruned:
+        got.setdefault(r["term"], set()).add(r["doc_id"])
+    assert got == {t: s for t, s in prune_oracle(TEXTS, 2).items() if s}
+
+
+def test_serving_over_pruned_index_uses_full_stats(spark, corpus, claims_df):
+    """Query over the pruned index with UNpruned stats == scalar replay of
+    full-stats BM25 restricted to the kept postings."""
+    p, n_docs, avgdl, total = corpus
+    keep_n = 3
+    pruned = prune_postings(p, term_stats(p), n_docs, avgdl, keep_n=keep_n)
+    res = score_exhaustive(
+        pruned, term_stats(p), claim_terms(claims_df), n_docs, avgdl, k=5
+    ).collect()
+    got = {}
+    for r in sorted(res, key=lambda r: (r["claim_id"], r["rank"])):
+        got.setdefault(r["claim_id"], []).append(r["doc_id"])
+
+    postings, dl, n, avg = build_oracle_index(TEXTS)
+    kept = prune_oracle(TEXTS, keep_n)
+    want = {}
+    for cid, claim in CLAIMS.items():
+        scores: dict[int, float] = {}
+        for t in sorted(set(tokenize_one(claim))):
+            if t not in postings:
+                continue
+            df = len(postings[t])  # FULL df, pre-pruning
+            for d, tf in postings[t].items():
+                if d not in kept[t]:
+                    continue
+                scores[d] = scores.get(d, 0.0) + bm25_contrib_scalar(
+                    tf, dl[d], df, n, avg
+                )
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        if top:
+            want[cid] = [d for d, _ in top]
+    assert got == want
+
+
+def test_score_boosted_matches_scalar_replay(spark, corpus, claims_df):
+    p, n_docs, avgdl, total = corpus
+    # deterministic prior: longer docs get a higher boost (6-dp exact)
+    boosts = (
+        p.groupBy("doc_id")
+        .agg({"dl": "first"})
+        .withColumnRenamed("first(dl)", "dl")
+        .selectExpr("doc_id", "round(0.5 + dl / 100.0, 6) AS boost")
+    )
+    res = score_boosted(
+        p, term_stats(p), claim_terms(claims_df), n_docs, avgdl, boosts, k=5
+    ).collect()
+    got = {}
+    for r in sorted(res, key=lambda r: (r["claim_id"], r["rank"])):
+        got.setdefault(r["claim_id"], []).append((r["doc_id"], r["score"]))
+
+    postings, dl, n, avg = build_oracle_index(TEXTS)
+    want = {}
+    for cid, claim in CLAIMS.items():
+        scores: dict[int, float] = {}
+        for t in sorted(set(tokenize_one(claim))):
+            if t not in postings:
+                continue
+            for d, tf in postings[t].items():
+                scores[d] = scores.get(d, 0.0) + bm25_contrib_scalar(
+                    tf, dl[d], len(postings[t]), n, avg
+                )
+        boosted = [(d, s * round(0.5 + dl[d] / 100.0, 6)) for d, s in scores.items()]
+        top = sorted(boosted, key=lambda kv: (-round(kv[1], 6), kv[0]))[:5]
+        if top:
+            want[cid] = top
+    assert {c: [d for d, _ in v] for c, v in got.items()} == {
+        c: [d for d, _ in v] for c, v in want.items()
+    }
+    for cid in want:
+        for (gd, gs), (wd, ws) in zip(got[cid], want[cid]):
+            assert gs == pytest.approx(ws, rel=1e-9)
