@@ -645,6 +645,39 @@ def q_bm25_topk_boosted(spark, sf_dir):
     )
 
 
+def q_lm_dirichlet_indexed(spark, sf_dir):
+    """LM Dirichlet over COMPRESSED SEGMENTS (plans/query.py::
+    query_lm_dirichlet's decode path: term-pruned segment scan -> varbyte
+    decode -> LM scoring with dictionary ctf) — shares lm_dirichlet_topk's
+    oracle SQL, so the driver gate checks decode-path parity the same way
+    bm25_topk_wand shares B6's twin."""
+    from defactonlp_spark.config import EngineConfig
+    from defactonlp_spark.operators.bm25 import claim_terms
+    from defactonlp_spark.operators.lm import score_lm_dirichlet
+    from defactonlp_spark.operators.postings import (
+        corpus_stats,
+        salt_plan,
+        term_stats,
+        with_salt,
+    )
+    from defactonlp_spark.operators.segments import encode_segments
+    from defactonlp_spark.plans.query import decode_segments
+
+    cfg = EngineConfig(n_buckets=8)
+    p = _postings_cached(spark, sf_dir)
+    cs = corpus_stats(p).collect()[0]
+    n_docs, avgdl, total = int(cs["n_docs"]), float(cs["avgdl"]), int(cs["total_tokens"])
+    stats = term_stats(p)
+    seg = encode_segments(with_salt(p, salt_plan(stats, n_docs, cfg)), stats, n_docs, avgdl, cfg, 8)
+    q = claim_terms(_claims_df(spark))
+    terms = [r["term"] for r in q.select("term").distinct().collect()]
+    decoded = decode_segments(seg.filter(F.col("term").isin(terms)))
+    res = score_lm_dirichlet(
+        decoded, stats.select("term", "ctf"), q, total, mu=LM_MU, k=TOPK
+    )
+    return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
+
+
 RM3_FB_DOCS, RM3_FB_TERMS, RM3_ALPHA = 5, 8, 0.5
 # synonym dictionary fixture: (term, variant) — variants are corpus terms
 SYNONYMS = [
@@ -2008,6 +2041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_wand": q_bm25_topk_wand,
         "bm25_topk_conjunctive": q_bm25_topk_conjunctive,
         "lm_dirichlet_topk": q_lm_dirichlet_topk,
+        "lm_dirichlet_indexed": q_lm_dirichlet_indexed,
         "doc_perplexity": q_doc_perplexity,
         "bm25_topk_pruned": q_bm25_topk_pruned,
         "bm25_topk_boosted": q_bm25_topk_boosted,
@@ -2077,6 +2111,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": q_event_sessions,
         "value_percentiles": q_value_percentiles,
     }
+
+
+_LM_DIRICHLET_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+tot AS (SELECT sum(dl) AS t FROM dl),
+ctf AS (SELECT term, sum(tf)::DOUBLE AS ctf FROM postings GROUP BY 1),
+claims(claim_id, claim) AS {_CLAIMS_SQL},
+qterms AS (
+  SELECT DISTINCT claim_id, unnest(list_filter(regexp_split_to_array(lower(claim),
+    '[^a-z0-9]+'), t -> t <> '')) AS term FROM claims
+),
+q AS (SELECT qt.claim_id, qt.term, c.ctf FROM qterms qt JOIN ctf c ON c.term = qt.term),
+nq AS (SELECT claim_id, count(*)::DOUBLE AS n_q_in FROM q GROUP BY 1),
+scored AS (
+  SELECT q.claim_id, p.doc_id,
+         sum(ln(1 + p.tf / ({LM_MU} * q.ctf / t.t))) AS tsum,
+         min(l.dl) AS dl
+  FROM q JOIN postings p ON p.term = q.term
+  JOIN dl l ON l.doc_id = p.doc_id
+  CROSS JOIN tot t
+  GROUP BY 1, 2
+),
+final AS (
+  SELECT s.claim_id, s.doc_id,
+         s.tsum + n.n_q_in * ln({LM_MU} / (s.dl + {LM_MU})) AS score
+  FROM scored s JOIN nq n ON n.claim_id = s.claim_id
+)
+SELECT claim_id::BIGINT AS claim_id, doc_id::BIGINT AS doc_id, round(score, 4) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
+        ORDER BY round(score, 6) DESC, doc_id) AS rn FROM final)
+WHERE rn <= {TOPK}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2239,38 +2307,8 @@ cur AS (
         """,
         "bm25_topk_wand": _BM25_CORE_SQL,
         "bm25_topk_conjunctive": _bm25_sql(_TOKS_SQL, _CLAIMS_SQL, TOPK, conjunctive=True),
-        "lm_dirichlet_topk": f"""
-WITH toks AS ({_TOKS_SQL}),
-postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
-dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
-tot AS (SELECT sum(dl) AS t FROM dl),
-ctf AS (SELECT term, sum(tf)::DOUBLE AS ctf FROM postings GROUP BY 1),
-claims(claim_id, claim) AS {_CLAIMS_SQL},
-qterms AS (
-  SELECT DISTINCT claim_id, unnest(list_filter(regexp_split_to_array(lower(claim),
-    '[^a-z0-9]+'), t -> t <> '')) AS term FROM claims
-),
-q AS (SELECT qt.claim_id, qt.term, c.ctf FROM qterms qt JOIN ctf c ON c.term = qt.term),
-nq AS (SELECT claim_id, count(*)::DOUBLE AS n_q_in FROM q GROUP BY 1),
-scored AS (
-  SELECT q.claim_id, p.doc_id,
-         sum(ln(1 + p.tf / ({LM_MU} * q.ctf / t.t))) AS tsum,
-         min(l.dl) AS dl
-  FROM q JOIN postings p ON p.term = q.term
-  JOIN dl l ON l.doc_id = p.doc_id
-  CROSS JOIN tot t
-  GROUP BY 1, 2
-),
-final AS (
-  SELECT s.claim_id, s.doc_id,
-         s.tsum + n.n_q_in * ln({LM_MU} / (s.dl + {LM_MU})) AS score
-  FROM scored s JOIN nq n ON n.claim_id = s.claim_id
-)
-SELECT claim_id::BIGINT AS claim_id, doc_id::BIGINT AS doc_id, round(score, 4) AS score
-FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
-        ORDER BY round(score, 6) DESC, doc_id) AS rn FROM final)
-WHERE rn <= {TOPK}
-""",
+        "lm_dirichlet_topk": _LM_DIRICHLET_SQL,
+        "lm_dirichlet_indexed": _LM_DIRICHLET_SQL,
         "doc_perplexity": f"""
 WITH toks AS ({_TOKS_SQL}),
 postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),

@@ -108,9 +108,15 @@ def build_postings_html(pages: DataFrame, id_col: str = "doc_id", html_col: str 
 
 
 def term_stats(postings: DataFrame) -> DataFrame:
-    """(term, df). Exact distinct-doc counts: postings are already unique per
-    (term, doc), so df == count(*) per term — no countDistinct shuffle."""
-    return postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    """(term, df, ctf). Exact distinct-doc counts: postings are already
+    unique per (term, doc), so df == count(*) per term — no countDistinct
+    shuffle. ctf (collection term frequency, sum of tf) rides the same
+    aggregate for free; the stored dictionary thereby serves both BM25
+    (df) and LM query-likelihood (ctf) without a second postings pass."""
+    return postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").cast("long").alias("ctf"),
+    )
 
 
 def corpus_stats(postings: DataFrame) -> DataFrame:

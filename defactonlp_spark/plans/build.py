@@ -664,6 +664,9 @@ class IndexReader:
         self.props = snap.properties
         self.n_docs = int(self.props["n_docs"])
         self.avgdl = float(self.props["avgdl"])
+        #: total corpus tokens as built — the LM scorer's collection-model
+        #: denominator (same "stored stats" convention as n_docs/avgdl)
+        self.total_tokens = int(self.props.get("total_tokens", 0))
 
     def segments(self) -> DataFrame:
         return self.table.read(self.spark)

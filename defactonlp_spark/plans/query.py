@@ -166,6 +166,43 @@ def query_exhaustive(reader: IndexReader, claims: DataFrame, k: int = 5, cfg: En
     )
 
 
+def query_lm_dirichlet(
+    reader: IndexReader,
+    claims: DataFrame,
+    mu: float = 2000.0,
+    k: int = 5,
+) -> DataFrame:
+    """Dirichlet query-likelihood retrieval over the built index — the same
+    pruned segment decode as :func:`query_exhaustive`, scored with the LM
+    model instead of BM25 (operators/lm.py::score_lm_dirichlet).
+
+    Stored-stats convention (matches BM25-under-deletes): ctf comes from the
+    build's term dictionary and total_tokens from the manifest — as-built
+    collection statistics; tombstoned docs are masked from SCORING by
+    ``_pruned_postings``' anti-join but the collection model is unchanged
+    until compaction. Indexes built before the dictionary carried ctf fall
+    back to aggregating it from the postings materialization pruned to the
+    query terms (identical values — ctf is definitionally sum(tf))."""
+    q = claim_terms(claims)
+    postings, _ = _pruned_postings(reader, q)
+    dict_df = reader.term_stats()
+    if "ctf" in dict_df.columns:
+        cstats = dict_df.select("term", "ctf")
+    else:  # pre-ctf index: one term-pruned pass over stored postings
+        terms = [r["term"] for r in q.select("term").distinct().collect()]
+        cstats = (
+            reader.postings()
+            .filter(F.col("term").isin(terms))
+            .groupBy("term")
+            .agg(F.sum("tf").cast("long").alias("ctf"))
+        )
+    if not reader.total_tokens:
+        raise ValueError(f"manifest in {reader.out_dir} lacks total_tokens")
+    from defactonlp_spark.operators.lm import score_lm_dirichlet
+
+    return score_lm_dirichlet(postings, cstats, q, reader.total_tokens, mu=mu, k=k)
+
+
 def query_filtered(
     reader: IndexReader,
     claims: DataFrame,

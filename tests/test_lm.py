@@ -251,3 +251,62 @@ def test_score_boosted_matches_scalar_replay(spark, corpus, claims_df):
     for cid in want:
         for (gd, gs), (wd, ws) in zip(got[cid], want[cid]):
             assert gs == pytest.approx(ws, rel=1e-9)
+
+
+# ---- index-serving path ---------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def built_idx(spark, tmp_path_factory):
+    from defactonlp_spark.config import EngineConfig
+    from defactonlp_spark.plans.build import IndexBuild, IndexReader, prepare_webpages
+    from defactonlp_spark.sources.fixtures import gen_webpages
+
+    out = str(tmp_path_factory.mktemp("lmidx"))
+    pages = spark.createDataFrame(gen_webpages(n=400, seed=7))
+    corpus = prepare_webpages(pages).persist()
+    cfg = EngineConfig(n_buckets=4)
+    IndexBuild(out, cfg, build_id="lm").run(spark, corpus, input_snapshot="f:400")
+    reader = IndexReader(spark, out)
+    yield reader, corpus, cfg
+    corpus.unpersist()
+
+
+def test_query_lm_dirichlet_matches_adhoc(spark, built_idx):
+    """Index path (stored dictionary ctf + manifest total_tokens + pruned
+    segment decode) == ad-hoc operator over the same corpus."""
+    from defactonlp_spark.plans.query import query_lm_dirichlet
+    from defactonlp_spark.sources.fixtures import gen_claims
+
+    reader, corpus, cfg = built_idx
+    claims = spark.createDataFrame(gen_claims(30)[["claim_id", "claim"]])
+    got = query_lm_dirichlet(reader, claims, mu=MU, k=5).toPandas()
+
+    p = build_postings(corpus)
+    want = score_lm_dirichlet(
+        p, ctf_stats(p), claim_terms(claims), reader.total_tokens, mu=MU, k=5
+    ).toPandas()
+    g = got.sort_values(["claim_id", "rank"]).reset_index(drop=True)
+    w = want.sort_values(["claim_id", "rank"]).reset_index(drop=True)
+    assert list(g.claim_id) == list(w.claim_id)
+    assert list(g.doc_id) == list(w.doc_id)
+    assert (g.score - w.score).abs().max() < 1e-9
+
+
+def test_query_lm_dirichlet_stored_stats_under_deletes(spark, built_idx):
+    """Tombstoned docs vanish from results; survivors keep their AS-BUILT
+    scores (collection model unchanged until compaction)."""
+    from defactonlp_spark.plans.build import delete_docs
+    from defactonlp_spark.plans.query import query_lm_dirichlet
+    from defactonlp_spark.sources.fixtures import gen_claims
+
+    reader, corpus, cfg = built_idx
+    claims = spark.createDataFrame(gen_claims(10)[["claim_id", "claim"]])
+    before = query_lm_dirichlet(reader, claims, mu=MU, k=3).toPandas()
+    victims = sorted(before.doc_id.unique())[:2]
+    delete_docs(spark, reader.out_dir, victims, note="test")
+    reader2 = type(reader)(spark, reader.out_dir)
+    after = query_lm_dirichlet(reader2, claims, mu=MU, k=3).toPandas()
+    assert not set(victims) & set(after.doc_id)
+    merged = before.merge(after, on=["claim_id", "doc_id"], suffixes=("_b", "_a"))
+    assert len(merged) and (merged.score_b - merged.score_a).abs().max() < 1e-12
