@@ -208,11 +208,27 @@ def main():
     # (one corpus pass), never a shuffle join on the shingle key
     from defactonlp_spark.operators.dedup import decontaminate
 
+    # fast path (eval set fits the driver probe): ONE Python kernel over the
+    # corpus text, broadcast SET probe inside it — the plan must be a pure
+    # map stage: no join, no exchange of anything corpus-shingle-sized
     ok &= check(
-        "decontaminate (broadcast semi-join)",
+        "decontaminate (kernel path: map-only, no shingle join)",
         plan_of(decontaminate(docs, docs.filter((F.col("doc_id") % 97) == 0))),
-        must=["BroadcastHashJoin", "LeftSemi"],
-        must_not=["SortMergeJoin"],
+        must=["MapInPandas"],
+        must_not=["SortMergeJoin", "BroadcastHashJoin"],
+    )
+    # forced fallback (eval set too big to broadcast-collect): distributed
+    # LEFT SEMI on the shingle key
+    ok &= check(
+        "decontaminate (fallback: distributed semi-join)",
+        plan_of(
+            decontaminate(
+                docs,
+                docs.filter((F.col("doc_id") % 97) == 0),
+                max_broadcast_shingles=0,
+            )
+        ),
+        must=["LeftSemi"],
     )
 
     # 14. training_mix: the two-phase prefix sum — bucketed intra windows +
@@ -242,6 +258,42 @@ def main():
         "collapsed top-k",
         plan_of(score_collapsed(pz, st, qt, 100, 10.0, groups, k=5)),
         must=["BroadcastHashJoin", "Window"],
+    )
+
+    # 16. LM Dirichlet: query terms broadcast onto the postings scan (one
+    # wide scan, hash agg); the dl normalizer must NOT force a second
+    # corpus-sized exchange (nq join is broadcast)
+    from defactonlp_spark.operators.lm import ctf_stats, score_lm_dirichlet
+
+    ok &= check(
+        "lm dirichlet (broadcast q + broadcast nq)",
+        plan_of(score_lm_dirichlet(pz, ctf_stats(pz), qt, 1000, k=5)),
+        must=["BroadcastHashJoin", "HashAggregate", "Window"],
+        must_not=["SortMergeJoin"],
+    )
+
+    # 17. static pruning: one window on term (rides the build's term-keyed
+    # shuffle shape); stats join broadcastable
+    from defactonlp_spark.operators.postings import prune_postings
+
+    ok &= check(
+        "prune_postings (term window, no extra corpus join)",
+        plan_of(prune_postings(pz, st, 100, 10.0, keep_n=3)),
+        must=["Window", "BroadcastHashJoin"],
+        must_not=["SortMergeJoin"],
+    )
+
+    # 18. boosted: the corpus-sized boost table must NOT be broadcast — the
+    # scored relation joins it doc-keyed (SortMergeJoin/shuffled hash is the
+    # correct shape here)
+    from defactonlp_spark.operators.bm25 import score_boosted
+
+    boosts = docs.select("doc_id", F.lit(1.0).alias("boost"))
+    bplan = plan_of(score_boosted(pz, st, qt, 100, 10.0, boosts, k=5))
+    ok &= check(
+        "boosted (doc-keyed prior join present)",
+        bplan,
+        must=["Window", "HashAggregate"],
     )
 
     print("\nPLANS " + ("OK" if ok else "NOT OK"))
