@@ -645,6 +645,23 @@ def q_bm25_topk_boosted(spark, sf_dir):
     )
 
 
+def q_sq8_cosine_topk(spark, sf_dir):
+    """Quantized-cosine top-k over SQ8 int8 codes (Faiss scalar-quantizer
+    analog; operators/similarity.py::sq8_encode/sq8_cosine_topk). Scales
+    cancel in cosine, so the score is a ratio of exact int64 sums — an
+    approximate (4x-smaller) vector tier with an EXACT DuckDB oracle."""
+    from defactonlp_spark.operators.similarity import sq8_cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return sq8_cosine_topk(emb, [0, 1, 2, 3, 4], k=10).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "cos",
+    )
+
+
+
 def q_lm_dirichlet_indexed(spark, sf_dir):
     """LM Dirichlet over COMPRESSED SEGMENTS (plans/query.py::
     query_lm_dirichlet's decode path: term-pruned segment scan -> varbyte
@@ -2042,6 +2059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_conjunctive": q_bm25_topk_conjunctive,
         "lm_dirichlet_topk": q_lm_dirichlet_topk,
         "lm_dirichlet_indexed": q_lm_dirichlet_indexed,
+        "sq8_cosine_topk": q_sq8_cosine_topk,
         "doc_perplexity": q_doc_perplexity,
         "bm25_topk_pruned": q_bm25_topk_pruned,
         "bm25_topk_boosted": q_bm25_topk_boosted,
@@ -2755,6 +2773,28 @@ WHERE rank <= 5
             SELECT * FROM sim
         """,
         "mmr_topk": _mmr_sql(MMR_QIDS, MMR_K, MMR_LAM, MMR_FETCH),
+        "sq8_cosine_topk": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL
+            ),
+            s AS (SELECT vec_id, v, list_max([abs(x) FOR x IN v]) AS mx FROM e),
+            c AS (SELECT vec_id, [floor(x * 127.0 / mx + 0.5) FOR x IN v] AS code
+                  FROM s WHERE mx > 0),
+            n AS (SELECT vec_id, code, list_dot_product(code, code) AS nrm FROM c),
+            q AS (SELECT vec_id AS query_id, code AS qcode, nrm AS qnrm FROM n
+                  WHERE vec_id IN (0,1,2,3,4)),
+            scored AS (
+              SELECT q.query_id, n.vec_id,
+                     round(list_dot_product(n.code, q.qcode)
+                           / (sqrt(n.nrm) * sqrt(q.qnrm)), 6) AS cos
+              FROM n CROSS JOIN q WHERE n.vec_id <> q.query_id
+            )
+            SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
+                   vec_id::BIGINT AS vec_id, cos
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, vec_id) AS rank FROM scored)
+            WHERE rank <= 10
+        """,
         "cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
             scored AS (

@@ -577,3 +577,147 @@ def mmr_topk(
     # matching DuckDB's round) — Python's round() is banker's and diverges
     # on exact .5 boundaries that 7-decimal products of 6-dp inputs DO hit
     return raw.withColumn("mmr", F.round("mmr", 6))
+
+
+# --------------------------------------------------------------------------
+# SQ8 scalar quantization (Faiss IndexScalarQuantizer QT_8bit analog)
+# --------------------------------------------------------------------------
+
+
+def sq8_encode(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization: (id, scale, codes).
+
+    Pinned spec (the DuckDB twin computes the identical integers):
+      scale  = max(|x_i|)  over the float64-cast vector
+      code_i = floor(x_i * 127.0 / scale + 0.5)   (round-half-up, exact in
+               IEEE double for both engines; codes in [-127, 127])
+      decode = code_i * scale / 127.0
+    Zero vectors (scale == 0) encode to NULL codes — cosine against them is
+    undefined and downstream scoring drops them (same null-degrade contract
+    as the LSH/IVF kernels).
+
+    Why this beats shipping float32 at 100 TB: 4x smaller vector storage and
+    shuffle traffic, and — because cosine is scale-invariant — the quantized
+    cosine is a ratio of EXACT int64 sums (dot and norms over codes), so
+    scoring is integer arithmetic until one final divide: no float-summation
+    noise anywhere, which is what makes the approximate path exactly
+    oracle-checkable. The scale column exists for L2/dot rescoring, not for
+    cosine.
+
+    One Arrow-batched kernel, map-only: nothing corpus-sized shuffles.
+    """
+    id_field = embeddings.schema[id_col]
+    schema = (
+        f"{id_field.name} {id_field.dataType.simpleString()}, "
+        "scale double, codes array<int>"
+    )
+
+    def kern(batches):
+        for pdf in batches:
+            n = len(pdf)
+            scales = [None] * n
+            codes = [None] * n
+            mask, mat = _stack_non_null(pdf[vec_col])
+            if mat.size:
+                mx = np.max(np.abs(mat), axis=1)  # (m,)
+                cm = np.floor((mat * 127.0) / np.where(mx == 0.0, 1.0, mx)[:, None] + 0.5).astype(np.int32)
+                rows = np.nonzero(mask)[0]
+                for j, r in enumerate(rows):
+                    if mx[j] == 0.0:
+                        scales[r] = 0.0
+                    else:
+                        scales[r] = float(mx[j])
+                        codes[r] = cm[j].tolist()
+            yield pd.DataFrame(
+                {id_field.name: pdf[id_col], "scale": scales, "codes": codes}
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(kern, schema)
+
+
+def sq8_cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    encoded: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k neighbors by QUANTIZED cosine over SQ8 codes — the memory-tier
+    sibling of :func:`cosine_topk` (which stays the exact baseline).
+
+    cos_q = sum(ca_i * cb_i) / (sqrt(sum(ca_i^2)) * sqrt(sum(cb_i^2))),
+    rounded 6 dp — the scales cancel, the three sums are exact int64, and
+    both engines evaluate the same two sqrts and one divide on identical
+    integers, so the twin hash-matches bit-for-bit (an approximate ANN
+    method with an EXACT oracle).
+
+    Plan: encode (map-only) -> broadcast the query codes as a dense int
+    matrix -> one batched numpy kernel computes code-matrix products
+    (int64 BLAS-shaped matmul); window top-k. Same envelope as cosine_topk
+    with 4x less data in flight.
+    """
+    enc = encoded if encoded is not None else sq8_encode(embeddings, id_col, vec_col)
+    enc = enc.filter(F.col("codes").isNotNull())
+    # encode ONLY the query rows for the driver-side collect: the id filter
+    # reaches the parquet scan (it cannot be pushed through the corpus
+    # encode kernel), so this is a pruned scan + |q|-row kernel, and the
+    # corpus-wide encode runs exactly once (in the scoring pass below)
+    q_src = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        if encoded is None
+        else enc.filter(F.col(id_col).isin(query_ids))
+    )
+    if encoded is None:
+        q_src = sq8_encode(q_src, id_col, vec_col).filter(F.col("codes").isNotNull())
+    q_rows = q_src.select(id_col, "codes").collect()
+    if not q_rows:
+        spark = embeddings.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, rank int, vec_id long, cos double"
+        )
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r["codes"] for r in q_rows], dtype=np.int64)  # (Q, dim)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1).astype(np.float64))
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norm))
+
+    out_schema = "query_id long, vec_id long, cos double"
+
+    def kern(batches):
+        qi, qm, qn = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(np.int64)
+            cm = np.array([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            dots = cm @ qm.T  # (B, Q) exact int64
+            norms = np.sqrt((cm * cm).sum(axis=1).astype(np.float64))
+            cos = dots.astype(np.float64) / (norms[:, None] * qn[None, :])
+            b, qn_ = cos.shape
+            # RAW cos out; the 6-dp rounding happens JVM-side (F.round =
+            # HALF_UP like DuckDB; np.round is banker's and integer-exact
+            # code sums CAN produce exact .5e-6 boundaries, e.g. equal-norm
+            # twins) — same rule as mmr_topk's final rounding above
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(qi[None, :], b, axis=0).ravel(),
+                    "vec_id": np.repeat(ids, qn_),
+                    "cos": cos.ravel(),
+                }
+            )
+            yield out[out.query_id != out.vec_id]
+
+    scored = enc.select(id_col, "codes").mapInPandas(kern, out_schema).withColumn(
+        "cos", F.round("cos", 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos")
+    )
