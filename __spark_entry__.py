@@ -662,6 +662,33 @@ def q_sq8_cosine_topk(spark, sf_dir):
 
 
 
+FUZZY_CLAIMS = [
+    (0, "qery vektor tble"),   # all three terms one edit from the dictionary
+    (1, "scann filtr"),
+    (2, "jion hassh"),         # jion is 2 edits from join -> stays unexpanded
+    (3, "data merge"),         # exact terms: dist-0 leaders, weight 1.0
+]
+FUZZY_DIST, FUZZY_EXP = 1, 3
+
+
+def q_bm25_topk_fuzzy(spark, sf_dir):
+    """Fuzzy retrieval (Lucene FuzzyQuery analog): query terms expand to
+    dictionary terms within Levenshtein distance 1 (banded broadcast
+    theta-join on the Heaps-bounded dictionary), weight 1/(1+dist),
+    max-wins combine, weighted BM25 (operators/expansion.py::expand_fuzzy)."""
+    from defactonlp_spark.operators.bm25 import claim_terms
+    from defactonlp_spark.operators.expansion import expand_fuzzy, score_weighted
+    from defactonlp_spark.operators.postings import term_stats
+
+    p = _postings_cached(spark, sf_dir)
+    n_docs, avgdl = _engine_corpus_stats(p)
+    stats = term_stats(p)
+    claims = spark.createDataFrame(FUZZY_CLAIMS, "claim_id long, claim string")
+    w = expand_fuzzy(stats, claim_terms(claims), FUZZY_DIST, FUZZY_EXP)
+    res = score_weighted(p, stats, w, n_docs, avgdl, k=TOPK, rank_dp=6)
+    return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
+
+
 def q_lm_dirichlet_indexed(spark, sf_dir):
     """LM Dirichlet over COMPRESSED SEGMENTS (plans/query.py::
     query_lm_dirichlet's decode path: term-pruned segment scan -> varbyte
@@ -2060,6 +2087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_dirichlet_topk": q_lm_dirichlet_topk,
         "lm_dirichlet_indexed": q_lm_dirichlet_indexed,
         "sq8_cosine_topk": q_sq8_cosine_topk,
+        "bm25_topk_fuzzy": q_bm25_topk_fuzzy,
         "doc_perplexity": q_doc_perplexity,
         "bm25_topk_pruned": q_bm25_topk_pruned,
         "bm25_topk_boosted": q_bm25_topk_boosted,
@@ -2163,6 +2191,9 @@ FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
         ORDER BY round(score, 6) DESC, doc_id) AS rn FROM final)
 WHERE rn <= {TOPK}
 """
+
+
+_FUZZY_CLAIMS_SQL = "(VALUES (0, 'qery vektor tble'), (1, 'scann filtr'), (2, 'jion hassh'), (3, 'data merge'))"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2773,6 +2804,46 @@ WHERE rank <= 5
             SELECT * FROM sim
         """,
         "mmr_topk": _mmr_sql(MMR_QIDS, MMR_K, MMR_LAM, MMR_FETCH),
+        "bm25_topk_fuzzy": f"""
+WITH toks AS ({_TOKS_SQL}),
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+claims(claim_id, claim) AS {_FUZZY_CLAIMS_SQL},
+qraw AS (
+  SELECT DISTINCT claim_id, unnest(list_filter(regexp_split_to_array(lower(claim),
+    '[^a-z0-9]+'), t -> t <> '')) AS qt FROM claims
+),
+cand AS (
+  SELECT q.claim_id, q.qt, d.term, d.df, levenshtein(q.qt, d.term) AS dist
+  FROM qraw q JOIN dfreq d ON abs(length(d.term) - length(q.qt)) <= {FUZZY_DIST}
+  WHERE levenshtein(q.qt, d.term) <= {FUZZY_DIST}
+),
+kept AS (
+  SELECT claim_id, term, round(1.0 / (1.0 + dist), 6) AS weight
+  FROM (SELECT *, row_number() OVER (PARTITION BY claim_id, qt
+          ORDER BY dist, df DESC, term) AS rk FROM cand)
+  WHERE rk <= {FUZZY_EXP}
+),
+wterms AS (SELECT claim_id, term, max(weight) AS weight FROM kept GROUP BY 1, 2),
+scored AS (
+  SELECT w.claim_id, p.doc_id,
+         sum( w.weight * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * p.tf * {K1 + 1.0}
+              / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)) ) AS score
+  FROM wterms w
+  JOIN postings p ON p.term = w.term
+  JOIN dfreq d ON d.term = w.term
+  JOIN dl l ON l.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT claim_id::BIGINT AS claim_id, doc_id::BIGINT AS doc_id, round(score, 4) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
+        ORDER BY round(score, 6) DESC, doc_id) AS rn FROM scored)
+WHERE rn <= {TOPK}
+""",
         "sq8_cosine_topk": """
             WITH e AS (
               SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL

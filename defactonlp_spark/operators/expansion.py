@@ -192,3 +192,52 @@ def expand_synonyms(
         .groupBy("claim_id", "term")
         .agg(F.max("weight").alias("weight"))
     )
+
+
+def expand_fuzzy(
+    stats: DataFrame,
+    qterms: DataFrame,
+    max_dist: int = 1,
+    max_expansions: int = 3,
+) -> DataFrame:
+    """Fuzzy-query expansion (the Lucene FuzzyQuery analog): every query
+    term expands to the dictionary terms within Levenshtein distance
+    ``max_dist``, keeping the ``max_expansions`` best variants per query
+    term ranked (dist asc, df desc, term asc) — so an exact dictionary hit
+    (dist 0) always survives and leads. Variant weight is
+    round(1/(1+dist), 6): 1.0 exact, 0.5 one edit, 0.333333 two. A term
+    reachable from several of a claim's query terms keeps its best weight
+    (max wins, the expand_synonyms convention).
+
+    -> (claim_id, term, weight) for :func:`score_weighted` (use rank_dp:
+    discounted weights produce exact mathematical ties).
+
+    Relational shape (same as suggest_corrections): query terms broadcast
+    onto the Heaps-bounded dictionary with the |length diff| <= max_dist
+    band predicate evaluated before the levenshtein expression; never a
+    corpus-sized join. OOV typos cost the same scan as valid terms — the
+    dictionary is the only relation touched.
+    """
+    cand = (
+        stats.select(F.col("term").alias("variant"), "df")
+        .join(
+            F.broadcast(qterms),
+            F.abs(F.length("variant") - F.length("term")) <= max_dist,
+            "inner",
+        )
+        .withColumn("dist", F.levenshtein("term", "variant"))
+        .filter(F.col("dist") <= max_dist)
+    )
+    w = Window.partitionBy("claim_id", "term").orderBy(
+        F.asc("dist"), F.desc("df"), F.asc("variant")
+    )
+    kept = (
+        cand.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_expansions)
+        .select(
+            "claim_id",
+            F.col("variant").alias("term"),
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.col("dist")), 6).alias("weight"),
+        )
+    )
+    return kept.groupBy("claim_id", "term").agg(F.max("weight").alias("weight"))
