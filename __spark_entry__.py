@@ -689,6 +689,50 @@ def q_bm25_topk_fuzzy(spark, sf_dir):
     return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
 
 
+PACK_SEQ_LEN = 512
+
+
+def q_packed_sequences(spark, sf_dir):
+    """LLM training-sequence packing (concat-then-chunk layout): per doc the
+    (seq_id, seq_offset) where it starts, via the two-phase distributed
+    prefix sum in md5(id) order (operators/curation.py::pack_sequences).
+    The DuckDB twin is the single-window definition — the oracle checks
+    the distributed decomposition exactly, like training_mix_stats."""
+    from defactonlp_spark.operators.curation import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), seq_len=PACK_SEQ_LEN).select(
+        "doc_id", "n_tokens", "seq_id", "seq_offset"
+    )
+
+
+PASSAGE_W, PASSAGE_SCOPE_K = 16, 3
+
+
+def q_best_passage(spark, sf_dir):
+    """Best-passage selection (Lucene Highlighter shape): for each claim's
+    BM25 top-3 docs, the 16-token window covering the most distinct query
+    terms (ties: more hits, then earliest start) — the proximity anchor
+    trick reused for scoring (operators/phrase.py::best_passage)."""
+    from defactonlp_spark.functions.tokenize import tokenize_tokens
+    from defactonlp_spark.operators.bm25 import claim_terms, score_exhaustive
+    from defactonlp_spark.operators.phrase import best_passage
+    from defactonlp_spark.operators.postings import term_stats
+
+    p = _postings_cached(spark, sf_dir)
+    n_docs, avgdl = _engine_corpus_stats(p)
+    qt = claim_terms(_claims_df(spark))
+    scope = score_exhaustive(
+        p, term_stats(p), qt, n_docs, avgdl, k=PASSAGE_SCOPE_K
+    ).select("claim_id", "doc_id")
+    res = best_passage(tokenize_tokens(_docs(spark, sf_dir)), qt, scope, window=PASSAGE_W)
+    return res.select(
+        "claim_id", "doc_id",
+        F.col("start_pos").cast("long").alias("start_pos"),
+        F.col("n_terms").cast("long").alias("n_terms"),
+        "n_hits",
+    )
+
+
 def q_lm_dirichlet_indexed(spark, sf_dir):
     """LM Dirichlet over COMPRESSED SEGMENTS (plans/query.py::
     query_lm_dirichlet's decode path: term-pruned segment scan -> varbyte
@@ -2088,6 +2132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_dirichlet_indexed": q_lm_dirichlet_indexed,
         "sq8_cosine_topk": q_sq8_cosine_topk,
         "bm25_topk_fuzzy": q_bm25_topk_fuzzy,
+        "packed_sequences": q_packed_sequences,
+        "best_passage": q_best_passage,
         "doc_perplexity": q_doc_perplexity,
         "bm25_topk_pruned": q_bm25_topk_pruned,
         "bm25_topk_boosted": q_bm25_topk_boosted,
@@ -2844,6 +2890,81 @@ FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
         ORDER BY round(score, 6) DESC, doc_id) AS rn FROM scored)
 WHERE rn <= {TOPK}
 """,
+        "best_passage": f"""
+WITH tl AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS t FROM documents
+),
+tokpos AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS term
+  FROM tl, unnest(range(1, len(t) + 1)) AS u(i)
+),
+toks AS (SELECT doc_id, term FROM tokpos),
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+claims(claim_id, claim) AS {_CLAIMS_SQL},
+qterms AS (
+  SELECT DISTINCT claim_id, unnest(list_filter(regexp_split_to_array(lower(claim),
+    '[^a-z0-9]+'), t -> t <> '')) AS term FROM claims
+),
+scored AS (
+  SELECT q.claim_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * p.tf * {K1 + 1.0}
+              / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)) ) AS score
+  FROM qterms q
+  JOIN postings p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl l ON l.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+scope AS (
+  SELECT claim_id, doc_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
+          ORDER BY score DESC, doc_id) AS rn FROM scored)
+  WHERE rn <= {PASSAGE_SCOPE_K}
+),
+occ AS (
+  SELECT q.claim_id, tk.doc_id, tk.pos, tk.term
+  FROM qterms q
+  JOIN tokpos tk USING (term)
+  JOIN scope s ON s.claim_id = q.claim_id AND s.doc_id = tk.doc_id
+),
+wins AS (
+  SELECT a.claim_id, a.doc_id, a.pos AS start_pos,
+         count(DISTINCT b.term)::BIGINT AS n_terms, count(*)::BIGINT AS n_hits
+  FROM occ a JOIN occ b
+    ON b.claim_id = a.claim_id AND b.doc_id = a.doc_id
+   AND b.pos BETWEEN a.pos AND a.pos + {PASSAGE_W - 1}
+  GROUP BY 1, 2, 3
+)
+SELECT claim_id::BIGINT AS claim_id, doc_id::BIGINT AS doc_id,
+       start_pos::BIGINT AS start_pos, n_terms, n_hits
+FROM (SELECT *, row_number() OVER (PARTITION BY claim_id, doc_id
+        ORDER BY n_terms DESC, n_hits DESC, start_pos) AS rk FROM wins)
+WHERE rk = 1
+""",
+        "packed_sequences": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS n_tokens,
+                     md5(doc_id::VARCHAR) AS k
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     sum(n_tokens) OVER (ORDER BY k, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS excl
+              FROM t
+            )
+            SELECT doc_id::BIGINT AS doc_id, n_tokens,
+                   (excl // {PACK_SEQ_LEN})::BIGINT AS seq_id,
+                   (excl % {PACK_SEQ_LEN})::BIGINT AS seq_offset
+            FROM c
+        """,
         "sq8_cosine_topk": """
             WITH e AS (
               SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL

@@ -185,3 +185,73 @@ def mix_stats(
         .cast("long")
         .alias("kept_tokens"),
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    tokens_col_name: str | None = None,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """LLM training-sequence packing (concat-then-chunk pretraining layout):
+    lay every document's tokens end-to-end in a deterministic pseudo-random
+    order and cut fixed ``seq_len`` windows — each doc gets the sequence id
+    and intra-sequence offset where it STARTS (docs may straddle sequence
+    boundaries; that is the standard GPT-style packing, not an error).
+
+    Output: (doc_id, n_tokens, seq_id, seq_offset) with
+      offset_excl = sum of n_tokens of all docs BEFORE this one in
+                    md5(id) order (ties impossible: md5 keys + id tiebreak)
+      seq_id      = floor(offset_excl / seq_len)
+      seq_offset  = offset_excl % seq_len
+
+    The order key md5(id) doubles as the training shuffle (the same
+    RNG-free, engine-portable rule as ``with_split``/``training_mix``), so
+    re-runs at any cluster size produce the identical packing — the
+    reproducibility a curriculum/ablation pipeline needs.
+
+    Scale: one window ORDER BY key is a single reducer; this uses the same
+    two-phase distributed prefix sum as ``training_mix`` (ordered buckets
+    from the key's leading hex — bucket order IS key order — parallel
+    intra-bucket windows + a tiny broadcast offset join). The DuckDB twin
+    is the single-window definition, so the oracle checks the decomposition
+    exactly.
+    """
+    assert 1 <= n_buckets <= 65536 and seq_len >= 1
+    hex_chars = 4
+    key = F.md5(F.col(id_col).cast("string"))
+    ntok = (
+        F.col(tokens_col_name).cast("long")
+        if tokens_col_name
+        else F.regexp_count(F.col("text"), F.lit("[A-Za-z0-9]+")).cast("long")
+    )
+    base = docs.withColumn("_key", key).withColumn("n_tokens", ntok).withColumn(
+        "_bucket",
+        (F.conv(F.substring("_key", 1, hex_chars), 16, 10).cast("long") * n_buckets
+         / (16 ** hex_chars)).cast("int"),
+    )
+
+    from pyspark.sql import Window
+
+    intra = Window.partitionBy("_bucket").orderBy("_key", id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    base = base.withColumn("_cum_in", F.sum("n_tokens").over(intra))
+
+    per_bucket = base.groupBy("_bucket").agg(F.sum("n_tokens").alias("_btok"))
+    off_w = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    offsets = per_bucket.withColumn(
+        "_offset", F.sum("_btok").over(off_w) - F.col("_btok")
+    ).select("_bucket", "_offset")
+    # the offsets relation is n_buckets rows — the one global window runs
+    # over 256 rows, and the join back is broadcast
+    packed = base.join(F.broadcast(offsets), "_bucket").withColumn(
+        "_excl", F.col("_offset") + F.col("_cum_in") - F.col("n_tokens")
+    )
+    return packed.select(
+        id_col,
+        "n_tokens",
+        F.floor(F.col("_excl") / seq_len).cast("long").alias("seq_id"),
+        (F.col("_excl") % seq_len).cast("long").alias("seq_offset"),
+    )

@@ -242,3 +242,59 @@ def score_phrase(
         .filter(F.col("rank") <= k)
         .select("claim_id", "rank", "doc_id", "score")
     )
+
+
+def best_passage(
+    tokens: DataFrame,
+    qterms: DataFrame,
+    scope: DataFrame,
+    window: int = 20,
+) -> DataFrame:
+    """Best-passage selection (the Lucene Highlighter / passage-retrieval
+    shape): for each (claim_id, doc_id) in ``scope`` — typically the BM25
+    top-k — the ``window``-token span covering the MOST DISTINCT query
+    terms; ties prefer more total hits, then the earliest start.
+
+    Output: (claim_id, doc_id, start_pos, n_terms, n_hits), rank-1 row per
+    scoped pair that has at least one hit.
+
+    The proximity anchor trick re-used for scoring instead of filtering:
+    the optimal window can be anchored at some query-term occurrence, so
+    candidate starts = hit positions, and the range self-join fan-out is
+    bounded by |hits| * window — never quadratic in document length. The
+    scope semi-join keeps the token scan to the claims' candidate docs
+    (query-sized x k rows, broadcast).
+    """
+    occ = (
+        tokens.join(F.broadcast(qterms), "term", "inner")
+        .join(F.broadcast(scope.select("claim_id", "doc_id")), ["claim_id", "doc_id"], "left_semi")
+        .select("claim_id", "doc_id", "pos", "term")
+    )
+    a = occ.select("claim_id", "doc_id", F.col("pos").alias("start_pos"))
+    b = occ.select(
+        F.col("claim_id").alias("b_claim"), F.col("doc_id").alias("b_doc"),
+        F.col("pos").alias("bpos"), F.col("term").alias("b_term"),
+    )
+    wins = (
+        a.join(
+            b,
+            (F.col("claim_id") == F.col("b_claim"))
+            & (F.col("doc_id") == F.col("b_doc"))
+            & (F.col("bpos") >= F.col("start_pos"))
+            & (F.col("bpos") <= F.col("start_pos") + window - 1),
+            "inner",
+        )
+        .groupBy("claim_id", "doc_id", "start_pos")
+        .agg(
+            F.countDistinct("b_term").alias("n_terms"),
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+        )
+    )
+    w = Window.partitionBy("claim_id", "doc_id").orderBy(
+        F.desc("n_terms"), F.desc("n_hits"), F.asc("start_pos")
+    )
+    return (
+        wins.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("claim_id", "doc_id", "start_pos", "n_terms", "n_hits")
+    )

@@ -224,3 +224,35 @@ def test_prepare_training_set_composition(spark):
         assert st["kept_curation"] == int(grp.keep_curation.sum())
         assert st["kept_mix"] == int(grp.keep_mix.sum())
     release_cached()
+
+
+def test_pack_sequences_matches_scalar_replay(spark):
+    import hashlib
+
+    from defactonlp_spark.operators.curation import pack_sequences
+
+    rows = [(i, "tok " * (3 + (i * 7) % 40)) for i in range(211)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["seq_id"], r["seq_offset"])
+        for r in pack_sequences(docs, seq_len=64, n_buckets=16).collect()
+    }
+    order = sorted(rows, key=lambda r: hashlib.md5(str(r[0]).encode()).hexdigest())
+    excl = 0
+    for doc_id, text in order:
+        ntok = len(text.split())
+        assert got[doc_id] == (ntok, excl // 64, excl % 64), doc_id
+        excl += ntok
+    # every sequence except possibly the last is exactly filled: total
+    # boundary check via the final exclusive sum
+    assert excl == sum(n for n, _, _ in got.values())
+
+
+def test_pack_sequences_partition_layout_independent(spark):
+    from defactonlp_spark.operators.curation import pack_sequences
+
+    rows = [(i, "w " * (1 + i % 13)) for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = pack_sequences(docs, seq_len=32, n_buckets=8).collect()
+    b = pack_sequences(docs.repartition(7), seq_len=32, n_buckets=64).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

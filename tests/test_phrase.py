@@ -326,3 +326,46 @@ def test_proximity_random_corpus_vs_bruteforce(spark):
         }
         assert got == expect, W
     assert len(got) > 0
+
+
+def test_best_passage_matches_scalar_replay(spark):
+    from defactonlp_spark.operators.phrase import best_passage
+    from defactonlp_spark.sources.fixtures import gen_webpages
+
+    pdf = gen_webpages(n=60, seed=77, dup_frac=0.0)
+    pdf["doc_id"] = range(len(pdf))
+    docs = spark.createDataFrame(pdf[["doc_id", "text"]])
+    texts = {int(r.doc_id): r.text for r in pdf.itertuples()}
+    toks3 = tokenize_one(texts[3])
+    claims = [(0, f"{toks3[0]} {toks3[5]} {toks3[11]}"), (1, f"{toks3[2]} zzznope")]
+    cdf = spark.createDataFrame(claims, "claim_id long, claim string")
+    from defactonlp_spark.operators.bm25 import claim_terms
+
+    qt = claim_terms(cdf)
+    scope_rows = [(0, d) for d in (1, 3, 7)] + [(1, d) for d in (3, 9)]
+    scope = spark.createDataFrame(scope_rows, "claim_id long, doc_id long")
+    W = 8
+    got = {
+        (r["claim_id"], r["doc_id"]): (r["start_pos"], r["n_terms"], r["n_hits"])
+        for r in best_passage(tokenize_tokens(docs), qt, scope, window=W).collect()
+    }
+
+    want = {}
+    for cid, claim in claims:
+        terms = set(tokenize_one(claim))
+        for c2, d in scope_rows:
+            if c2 != cid:
+                continue
+            toks = tokenize_one(texts[d])
+            hits = [(i, t) for i, t in enumerate(toks) if t in terms]
+            best = None
+            for s, _ in hits:
+                inw = [(i, t) for i, t in hits if s <= i <= s + W - 1]
+                cand = (len({t for _, t in inw}), len(inw), -s)
+                if best is None or cand > best[0]:
+                    best = (cand, s)
+            if best:
+                (nt, nh, _), s = best
+                want[(cid, d)] = (s, nt, nh)
+    assert got == want
+    assert all(k in got for k in want)
