@@ -733,6 +733,32 @@ def q_best_passage(spark, sf_dir):
     )
 
 
+def q_dedup_method_eval(spark, sf_dir):
+    """Dedup-method QA (operators/dedup.py::pair_eval): precision/recall/F1
+    of the banded MinHash-LSH candidates and the SimHash Hamming<=2 pairs
+    against exact n-gram Jaccard >= 0.2 as truth — the sample-tier
+    evaluation a production dedup pipeline runs before trusting an
+    approximate method at full scale."""
+    from defactonlp_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signature,
+        ngram_jaccard_pairs,
+        pair_eval,
+        simhash,
+        simhash_dup_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    truth = ngram_jaccard_pairs(docs, threshold=0.2, n=3).persist()
+    lsh = minhash_lsh_pairs(signatures=minhash_signature(docs).persist())
+    sh = simhash_dup_pairs(signatures=simhash(docs).persist(), max_hamming=2)
+    out = (
+        pair_eval(lsh, truth).withColumn("method", F.lit("minhash_lsh"))
+        .unionByName(pair_eval(sh, truth).withColumn("method", F.lit("simhash_h2")))
+    )
+    return out.select("method", "n_pred", "n_truth", "tp", "precision", "recall", "f1")
+
+
 def q_lm_dirichlet_indexed(spark, sf_dir):
     """LM Dirichlet over COMPRESSED SEGMENTS (plans/query.py::
     query_lm_dirichlet's decode path: term-pruned segment scan -> varbyte
@@ -2134,6 +2160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_fuzzy": q_bm25_topk_fuzzy,
         "packed_sequences": q_packed_sequences,
         "best_passage": q_best_passage,
+        "dedup_method_eval": q_dedup_method_eval,
         "doc_perplexity": q_doc_perplexity,
         "bm25_topk_pruned": q_bm25_topk_pruned,
         "bm25_topk_boosted": q_bm25_topk_boosted,
@@ -2349,7 +2376,7 @@ cur AS (
         for i in range(4)
     )
 
-    return {
+    d = {
         "term_tf_totals": f"""
             WITH toks AS ({toks})
             SELECT term, count(*)::BIGINT AS total_tf, count(DISTINCT doc_id)::BIGINT AS df
@@ -3492,3 +3519,31 @@ FROM n LEFT JOIN bigc USING (doc_id) LEFT JOIN g5c USING (doc_id)
             FROM events GROUP BY event_type
         """,
     }
+    # dedup-method QA: compose the published LSH / SimHash / exact-Jaccard
+    # twins so the evaluation itself (not just its inputs) is oracle-checked
+    jac = d["dedup_ngram_jaccard"]
+    lshq = d["minhash_lsh_pairs"]
+    shq = d["simhash_pairs"]
+    d["dedup_method_eval"] = f"""
+WITH truth AS (SELECT id_a, id_b FROM ({jac}) tt),
+lshp AS (SELECT id_a, id_b FROM ({lshq}) lp),
+shp AS (SELECT id_a, id_b FROM ({shq}) sp),
+ev AS (
+  SELECT 'minhash_lsh' AS method,
+         (SELECT count(*) FROM lshp)::BIGINT AS n_pred,
+         (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+         (SELECT count(*) FROM lshp JOIN truth USING (id_a, id_b))::BIGINT AS tp
+  UNION ALL
+  SELECT 'simhash_h2',
+         (SELECT count(*) FROM shp)::BIGINT,
+         (SELECT count(*) FROM truth)::BIGINT,
+         (SELECT count(*) FROM shp JOIN truth USING (id_a, id_b))::BIGINT
+)
+SELECT method, n_pred, n_truth, tp,
+       round(CASE WHEN n_pred > 0 THEN tp / n_pred::DOUBLE ELSE 0.0 END, 6) AS precision,
+       round(CASE WHEN n_truth > 0 THEN tp / n_truth::DOUBLE ELSE 0.0 END, 6) AS recall,
+       round(CASE WHEN tp > 0 THEN 2.0 * (tp / n_pred::DOUBLE) * (tp / n_truth::DOUBLE)
+                 / (tp / n_pred::DOUBLE + tp / n_truth::DOUBLE) ELSE 0.0 END, 6) AS f1
+FROM ev
+"""
+    return d

@@ -750,3 +750,41 @@ def decontaminate(
     return prepared.mapInPandas(
         kern, f"{id_col} long, n_hits long, contaminated boolean"
     )
+
+
+def pair_eval(pred: DataFrame, truth: DataFrame) -> DataFrame:
+    """Dedup-method evaluation: precision/recall/F1 of a predicted pair
+    relation against a truth pair relation (the QA step of a dedup
+    pipeline — e.g. the banded LSH or SimHash candidates against exact
+    n-gram Jaccard at the target threshold, computed on a sample tier).
+
+    Both inputs are (id_a, id_b, ...) relations; orientation is normalized
+    (least/greatest) and duplicates dropped, so callers can pass raw pair
+    output. Returns ONE row: (n_pred, n_truth, tp, precision, recall, f1),
+    ratios rounded 6 dp, 0.0 where undefined (empty denominator).
+
+    Relational shape: two distinct-aggregates + one equi-join on the pair
+    key + three 1-row cross joins — nothing driver-side, so it runs at any
+    corpus size (the joins shuffle pair keys, the natural key).
+    """
+    def norm(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.least("id_a", "id_b").alias("a"), F.greatest("id_a", "id_b").alias("b")
+        ).distinct()
+
+    p, t = norm(pred), norm(truth)
+    np_ = p.agg(F.count(F.lit(1)).cast("long").alias("n_pred"))
+    nt = t.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    tp = p.join(t, ["a", "b"], "inner").agg(F.count(F.lit(1)).cast("long").alias("tp"))
+    row = np_.crossJoin(nt).crossJoin(tp)
+    prec = F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")).otherwise(F.lit(0.0))
+    rec = F.when(F.col("n_truth") > 0, F.col("tp") / F.col("n_truth")).otherwise(F.lit(0.0))
+    f1 = F.when(
+        (prec + rec) > 0, F.lit(2.0) * prec * rec / (prec + rec)
+    ).otherwise(F.lit(0.0))
+    return row.select(
+        "n_pred", "n_truth", "tp",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )

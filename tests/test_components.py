@@ -138,3 +138,32 @@ def test_decontaminate_scalar_replay(spark):
         for r in decontaminate(docs, ev, n=3).collect()
     }
     assert got == {i: (h, h > 0) for i, h in expect.items()}
+
+
+def test_pair_eval_counts_and_ratios(spark):
+    from defactonlp_spark.operators.dedup import pair_eval
+
+    pred = spark.createDataFrame(
+        [(1, 2), (3, 2), (4, 5), (4, 5), (6, 7)], "id_a long, id_b long"
+    )  # (2,3) reversed; (4,5) duplicated -> 4 distinct normalized pairs
+    truth = spark.createDataFrame(
+        [(2, 1), (2, 3), (8, 9)], "id_a long, id_b long"
+    )  # 3 pairs; tp = {1,2},{2,3} = 2
+    r = pair_eval(pred, truth).collect()[0]
+    assert (r["n_pred"], r["n_truth"], r["tp"]) == (4, 3, 2)
+    assert r["precision"] == 0.5
+    assert r["recall"] == round(2 / 3, 6)
+    f1 = 2 * 0.5 * (2 / 3) / (0.5 + 2 / 3)
+    import pytest as _pt
+    assert r["f1"] == _pt.approx(round(f1, 6), abs=1e-6)
+
+
+def test_pair_eval_empty_sides(spark):
+    from defactonlp_spark.operators.dedup import pair_eval
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    some = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    r = pair_eval(empty, some).collect()[0]
+    assert (r["n_pred"], r["tp"], r["precision"], r["f1"]) == (0, 0, 0.0, 0.0)
+    r2 = pair_eval(some, empty).collect()[0]
+    assert (r2["n_truth"], r2["recall"], r2["f1"]) == (0, 0.0, 0.0)
