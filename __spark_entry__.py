@@ -759,6 +759,21 @@ def q_dedup_method_eval(spark, sf_dir):
     return out.select("method", "n_pred", "n_truth", "tp", "precision", "recall", "f1")
 
 
+BM25F_LEAD_N = 20
+
+
+def q_bm25f_topk(spark, sf_dir):
+    """Simple BM25F (Zaragoza 2004; Lucene/ES field boosting): lead field
+    (first 20 tokens, the title proxy) weighted 2x over body, per-field
+    length norms, any-field df (operators/bm25f.py)."""
+    from defactonlp_spark.operators.bm25 import claim_terms
+    from defactonlp_spark.operators.bm25f import lead_body_fields, score_bm25f
+
+    fp = lead_body_fields(_docs(spark, sf_dir), lead_n=BM25F_LEAD_N).persist()
+    res = score_bm25f(fp, claim_terms(_claims_df(spark)), k=TOPK)
+    return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
+
+
 def q_lm_dirichlet_indexed(spark, sf_dir):
     """LM Dirichlet over COMPRESSED SEGMENTS (plans/query.py::
     query_lm_dirichlet's decode path: term-pruned segment scan -> varbyte
@@ -2161,6 +2176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_sequences": q_packed_sequences,
         "best_passage": q_best_passage,
         "dedup_method_eval": q_dedup_method_eval,
+        "bm25f_topk": q_bm25f_topk,
         "doc_perplexity": q_doc_perplexity,
         "bm25_topk_pruned": q_bm25_topk_pruned,
         "bm25_topk_boosted": q_bm25_topk_boosted,
@@ -2910,6 +2926,52 @@ scored AS (
   JOIN dfreq d ON d.term = w.term
   JOIN dl l ON l.doc_id = p.doc_id
   CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT claim_id::BIGINT AS claim_id, doc_id::BIGINT AS doc_id, round(score, 4) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
+        ORDER BY round(score, 6) DESC, doc_id) AS rn FROM scored)
+WHERE rn <= {TOPK}
+""",
+        "bm25f_topk": f"""
+WITH tl AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS t FROM documents
+),
+tokpos AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS term
+  FROM tl, unnest(range(1, len(t) + 1)) AS u(i)
+),
+ftoks AS (
+  SELECT doc_id, CASE WHEN pos < {BM25F_LEAD_N} THEN 'lead' ELSE 'body' END AS field, term
+  FROM tokpos
+),
+ftf AS (SELECT doc_id, field, term, count(*)::BIGINT AS tf FROM ftoks GROUP BY 1, 2, 3),
+fdl AS (SELECT doc_id, field, count(*)::BIGINT AS dl_f FROM ftoks GROUP BY 1, 2),
+favg AS (SELECT field, avg(dl_f) AS avgdl_f FROM fdl GROUP BY 1),
+nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM ftoks),
+dfreq AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM ftoks GROUP BY 1),
+claims(claim_id, claim) AS {_CLAIMS_SQL},
+qterms AS (
+  SELECT DISTINCT claim_id, unnest(list_filter(regexp_split_to_array(lower(claim),
+    '[^a-z0-9]+'), t -> t <> '')) AS term FROM claims
+),
+tfn AS (
+  SELECT q.claim_id, f.doc_id, f.term,
+         sum( (CASE f.field WHEN 'lead' THEN 2.0 ELSE 1.0 END)
+              * f.tf / (1.0 - 0.75 + 0.75 * l.dl_f / a.avgdl_f) ) AS tfc
+  FROM qterms q
+  JOIN ftf f ON f.term = q.term
+  JOIN fdl l ON l.doc_id = f.doc_id AND l.field = f.field
+  JOIN favg a ON a.field = f.field
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT t.claim_id, t.doc_id,
+         sum( ln(1 + (n.n - d.df + 0.5) / (d.df + 0.5)) * t.tfc / (1.2 + t.tfc) ) AS score
+  FROM tfn t
+  JOIN dfreq d ON d.term = t.term
+  CROSS JOIN nd n
   GROUP BY 1, 2
 )
 SELECT claim_id::BIGINT AS claim_id, doc_id::BIGINT AS doc_id, round(score, 4) AS score
