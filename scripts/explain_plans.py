@@ -296,6 +296,40 @@ def main():
         must=["Window", "HashAggregate"],
     )
 
+    # 19. pack_sequences: bucketed intra windows (partition spec carries
+    # _bucket) + broadcast offsets join — never one global data window
+    from defactonlp_spark.operators.curation import pack_sequences
+
+    ok &= check(
+        "pack_sequences (bucketed prefix sum)",
+        plan_of(pack_sequences(docs, seq_len=64)),
+        must=["Window", "_bucket", "BroadcastHashJoin"],
+    )
+
+    # 20. best_passage: query terms + scope broadcast onto the token scan;
+    # the range self-join must not degrade to a cartesian
+    from defactonlp_spark.operators.phrase import best_passage
+    from defactonlp_spark.functions.tokenize import tokenize_tokens
+
+    scope = spark.createDataFrame([(1, 0)], "claim_id long, doc_id long")
+    ok &= check(
+        "best_passage (broadcast q+scope, range join)",
+        plan_of(best_passage(tokenize_tokens(docs), qt, scope, window=8)),
+        must=["BroadcastHashJoin", "Window"],
+        must_not=["CartesianProduct"],
+    )
+
+    # 21. bm25f: one field-postings scan, query side broadcast, field stats
+    # broadcast; no corpus-sized sort-merge join
+    from defactonlp_spark.operators.bm25f import lead_body_fields, score_bm25f
+
+    fp = lead_body_fields(docs, lead_n=8)
+    ok &= check(
+        "bm25f (broadcast query + field stats)",
+        plan_of(score_bm25f(fp, qt, k=5)),
+        must=["BroadcastHashJoin", "HashAggregate", "Window"],
+    )
+
     print("\nPLANS " + ("OK" if ok else "NOT OK"))
     spark.stop()
     sys.exit(0 if ok else 1)
