@@ -774,6 +774,33 @@ def q_bm25f_topk(spark, sf_dir):
     return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
 
 
+def q_bm25_topk_page2(spark, sf_dir):
+    """search_after pagination (ES/Lucene deep-paging contract): page 2 via
+    per-claim cursors — the (round(score,6), doc_id) of page 1's last row —
+    filtered BEFORE the top-k window, so page N costs the same scan as
+    page 1 (operators/bm25.py::score_page_after). The oracle is the rank
+    slice [k+1, 2k] with the same order key: cursor paging must equal it."""
+    from defactonlp_spark.operators.bm25 import (
+        claim_terms,
+        score_exhaustive,
+        score_page_after,
+    )
+    from defactonlp_spark.operators.postings import term_stats
+
+    p = _postings_cached(spark, sf_dir)
+    n_docs, avgdl = _engine_corpus_stats(p)
+    stats = term_stats(p)
+    qt = claim_terms(_claims_df(spark))
+    page1 = score_exhaustive(p, stats, qt, n_docs, avgdl, k=TOPK, rank_dp=6)
+    cursors = page1.filter(F.col("rank") == TOPK).select(
+        "claim_id",
+        F.round("score", 6).alias("after_score"),
+        F.col("doc_id").alias("after_doc"),
+    )
+    page2 = score_page_after(p, stats, qt, n_docs, avgdl, cursors, k=TOPK)
+    return page2.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
+
+
 def q_lm_dirichlet_indexed(spark, sf_dir):
     """LM Dirichlet over COMPRESSED SEGMENTS (plans/query.py::
     query_lm_dirichlet's decode path: term-pruned segment scan -> varbyte
@@ -2177,6 +2204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_passage": q_best_passage,
         "dedup_method_eval": q_dedup_method_eval,
         "bm25f_topk": q_bm25f_topk,
+        "bm25_topk_page2": q_bm25_topk_page2,
         "doc_perplexity": q_doc_perplexity,
         "bm25_topk_pruned": q_bm25_topk_pruned,
         "bm25_topk_boosted": q_bm25_topk_boosted,
@@ -2933,6 +2961,16 @@ FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
         ORDER BY round(score, 6) DESC, doc_id) AS rn FROM scored)
 WHERE rn <= {TOPK}
 """,
+        "bm25_topk_page2": (
+            "SELECT claim_id, doc_id, score FROM ("
+            + _bm25_sql(
+                _TOKS_SQL, _CLAIMS_SQL, 2 * TOPK,
+                select="claim_id::BIGINT AS claim_id, doc_id::BIGINT AS doc_id, "
+                       "round(score, 4) AS score, rn",
+                order_by="round(score, 6) DESC, doc_id",
+            )
+            + f") WHERE rn > {TOPK}"
+        ),
         "bm25f_topk": f"""
 WITH tl AS (
   SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),

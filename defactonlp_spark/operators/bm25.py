@@ -353,3 +353,54 @@ def score_boosted(
         .filter(F.col("rank") <= k)
         .select("claim_id", "rank", "doc_id", "bm25", "score")
     )
+
+
+def score_page_after(
+    postings: DataFrame,
+    stats: DataFrame,
+    qterms: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    cursors: DataFrame,
+    k: int = 5,
+    params: BM25Params = BM25Params(),
+) -> DataFrame:
+    """search_after pagination (the Elasticsearch/Lucene deep-paging
+    contract): given per-claim cursors — the (round(score,6), doc_id) of
+    the LAST row of the previous page — return the next ``k`` results
+    strictly after the cursor in (round(score,6) desc, doc_id asc) order,
+    WITHOUT ranking everything above the cursor.
+
+    ``cursors``: (claim_id, after_score, after_doc); after_score must be
+    the 6-dp-rounded score (the page order key — raw floats differ across
+    engines/plans, the rounded key is the portable cursor). Claims absent
+    from ``cursors`` return nothing (no cursor, no page).
+
+    Why this beats OFFSET at scale: the cursor predicate filters BEFORE
+    the top-k window, so page N costs the same one scan + one narrow
+    shuffle as page 1 — the window never materializes the N*k rows above
+    the cursor (row_number()-then-filter would re-rank all of them on one
+    reducer per claim).
+
+    Correctness contract (tested): cursor-paging is EQUAL to the rank
+    slice [k+1, 2k] of a double-size page-1 run with the same rank key.
+    """
+    q = qterms.join(stats, "term", "inner")
+    scored = (
+        postings.join(F.broadcast(q), "term", "inner")
+        .withColumn("contrib", bm25_score_expr(n_docs, avgdl, params))
+        .groupBy("claim_id", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+        .withColumn("_key", F.round("score", 6))
+        .join(F.broadcast(cursors), "claim_id", "inner")
+        .filter(
+            (F.col("_key") < F.col("after_score"))
+            | ((F.col("_key") == F.col("after_score")) & (F.col("doc_id") > F.col("after_doc")))
+        )
+    )
+    w = Window.partitionBy("claim_id").orderBy(F.col("_key").desc(), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("claim_id", "rank", "doc_id", "score")
+    )

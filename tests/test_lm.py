@@ -310,3 +310,41 @@ def test_query_lm_dirichlet_stored_stats_under_deletes(spark, built_idx):
     assert not set(victims) & set(after.doc_id)
     merged = before.merge(after, on=["claim_id", "doc_id"], suffixes=("_b", "_a"))
     assert len(merged) and (merged.score_b - merged.score_a).abs().max() < 1e-12
+
+
+def test_search_after_equals_rank_slice(spark, corpus, claims_df):
+    """Cursor paging == the rank slice [k+1, 2k] of a double-size first
+    page with the same (round(score,6), doc_id) order key."""
+    from defactonlp_spark.operators.bm25 import score_page_after
+
+    p, n_docs, avgdl, total = corpus
+    stats = term_stats(p)
+    qt = claim_terms(claims_df)
+    K = 4
+    both = score_exhaustive(p, stats, qt, n_docs, avgdl, k=2 * K, rank_dp=6).toPandas()
+    page1 = both[both["rank"] <= K]
+    cursors_rows = [
+        (int(r.claim_id), round(float(r.score), 6), int(r.doc_id))
+        for r in page1[page1["rank"] == K].itertuples()
+    ]
+    cursors = spark.createDataFrame(
+        cursors_rows, "claim_id long, after_score double, after_doc long"
+    )
+    page2 = score_page_after(p, stats, qt, n_docs, avgdl, cursors, k=K).toPandas()
+    want = both[both["rank"] > K].copy()
+    want["rank"] = want["rank"] - K
+    g = page2.sort_values(["claim_id", "rank"]).reset_index(drop=True)
+    w = want.sort_values(["claim_id", "rank"]).reset_index(drop=True)
+    assert list(g.claim_id) == list(w.claim_id)
+    assert list(g.doc_id) == list(w.doc_id)
+    assert (g.score - w.score).abs().max() < 1e-9
+
+
+def test_search_after_no_cursor_no_page(spark, corpus, claims_df):
+    from defactonlp_spark.operators.bm25 import score_page_after
+
+    p, n_docs, avgdl, total = corpus
+    empty = spark.createDataFrame([], "claim_id long, after_score double, after_doc long")
+    assert score_page_after(
+        p, term_stats(p), claim_terms(claims_df), n_docs, avgdl, empty, k=3
+    ).count() == 0
