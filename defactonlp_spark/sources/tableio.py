@@ -164,6 +164,53 @@ class LocalTable:
             )
         )
 
+    def upsert(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        key_cols: list[str],
+        properties: dict | None = None,
+    ) -> Snapshot:
+        """MERGE INTO analog (Iceberg copy-on-write): rows of ``df`` replace
+        current rows with the same key; everything else carries over. The
+        survivor set is one anti-join (current LEFT ANTI incoming on the
+        key) unioned with the incoming rows, written as a fresh immutable
+        snapshot — old versions stay readable (time travel), exactly like
+        overwrite/append. Copy-on-write is the right trade for this
+        engine's read-heavy tables (manifest/metrics/doc-store); a
+        merge-on-read deployment swaps in Iceberg's positional deletes via
+        the IcebergTable shim with the same call shape.
+
+        Empty tables degrade to a plain overwrite of ``df``.
+        """
+        from pyspark.sql import functions as F
+
+        parent = self.current_snapshot()
+        if parent is None:
+            return self.overwrite(df, properties=properties)
+        if parent.partition_by:
+            raise NotImplementedError(
+                "upsert on a partitioned table: rewrite via overwrite(partition_by=...)"
+            )
+        current = self.read(spark)
+        # no broadcast hint: CDC batches are usually tiny (AQE broadcasts
+        # them), but a backfill-sized df must not be forced driver-side
+        survivors = current.join(df.select(*key_cols).distinct(), key_cols, "left_anti")
+        merged = survivors.unionByName(df.select(*current.columns))
+        part, files, rows = self._write_files(merged)
+        return self._commit(
+            Snapshot(
+                snapshot_id=uuid.uuid4().hex,
+                parent_id=parent.snapshot_id,
+                operation="upsert",
+                files=files,
+                total_rows=rows,
+                properties=dict(properties or {}, committed_at=time.time()),
+                dirs=[part],
+                partition_by=[],
+            )
+        )
+
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Read the current (or a time-travel ``version``) snapshot.
 

@@ -101,3 +101,34 @@ def test_local_partitioned_append_read(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         t.append(df2)
+
+
+def test_upsert_replaces_by_key_and_time_travels(spark, tmp_path):
+    from defactonlp_spark.sources.tableio import LocalTable
+
+    t = LocalTable(str(tmp_path / "docs"))
+    t.overwrite(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"))
+    snap = t.upsert(
+        spark,
+        spark.createDataFrame([(2, "B2"), (4, "d")], "doc_id long, text string"),
+        key_cols=["doc_id"],
+    )
+    assert snap.operation == "upsert" and snap.parent_id is not None
+    now = {r["doc_id"]: r["text"] for r in t.read(spark).collect()}
+    assert now == {1: "a", 2: "B2", 3: "c", 4: "d"}
+    # time travel: version 1 still reads the pre-upsert rows
+    old = {r["doc_id"]: r["text"] for r in t.read(spark, version=1).collect()}
+    assert old == {1: "a", 2: "b", 3: "c"}
+
+
+def test_upsert_on_empty_table_is_overwrite(spark, tmp_path):
+    from defactonlp_spark.sources.tableio import LocalTable
+
+    t = LocalTable(str(tmp_path / "fresh"))
+    snap = t.upsert(
+        spark, spark.createDataFrame([(1, "x")], "doc_id long, text string"),
+        key_cols=["doc_id"],
+    )
+    assert snap.operation == "overwrite"
+    assert t.read(spark).count() == 1
