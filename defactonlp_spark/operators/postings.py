@@ -247,21 +247,36 @@ def prune_postings(
     ties break on doc_id asc, so the kept set is engine-portable (the DuckDB
     twin applies the identical window).
 
-    Plan: one window per term over the postings relation — the same
-    term-keyed shuffle shape the build's range partitioning already pays;
-    at scale this runs inside the existing per-bucket sort, making pruning
-    effectively free at encode time.
+    Plan — two-phase top-N, because top-N is distributive: a plain window
+    ``partitionBy(term)`` would put a head term's ENTIRE posting list on
+    one reducer (df up to ~N at web scale — the exact skew the build salts
+    against). Phase 1 takes the local top-``keep_n`` within
+    (term, salt = doc_id % n_salts) partitions; phase 2 re-ranks the
+    surviving ``n_salts * keep_n`` rows per term. Any global-top-N row is
+    also in its salt's local top-N, so the result is IDENTICAL to the
+    single window (tested) while the largest partition shrinks by n_salts.
     """
     from defactonlp_spark.config import BM25Params
     from defactonlp_spark.operators.bm25 import bm25_score_expr
 
     p = params or BM25Params()
+    n_salts = 16
     impact = F.round(bm25_score_expr(n_docs, avgdl, p), 6)
-    w = Window.partitionBy("term").orderBy(F.desc("impact"), F.asc("doc_id"))
-    return (
+    scored = (
         postings.join(stats, "term", "inner")
         .withColumn("impact", impact)
-        .withColumn("_prn", F.row_number().over(w))
+        .withColumn("_salt", (F.col("doc_id") % n_salts).cast("int"))
+    )
+    w_local = Window.partitionBy("term", "_salt").orderBy(
+        F.desc("impact"), F.asc("doc_id")
+    )
+    survivors = (
+        scored.withColumn("_lrn", F.row_number().over(w_local))
+        .filter(F.col("_lrn") <= keep_n)
+    )
+    w_final = Window.partitionBy("term").orderBy(F.desc("impact"), F.asc("doc_id"))
+    return (
+        survivors.withColumn("_prn", F.row_number().over(w_final))
         .filter(F.col("_prn") <= keep_n)
         .select("term", "doc_id", "tf", "dl")
     )

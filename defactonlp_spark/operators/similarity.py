@@ -699,17 +699,36 @@ def sq8_cosine_topk(
             norms = np.sqrt((cm * cm).sum(axis=1).astype(np.float64))
             cos = dots.astype(np.float64) / (norms[:, None] * qn[None, :])
             b, qn_ = cos.shape
+            # Batch-local top-k pruning so the final per-query window sees
+            # O(#batches * k) rows instead of the whole corpus (a
+            # corpus-sized single-reducer window is the 100x killer).
+            # Conservative guard band: the JVM rounds to 6 dp before
+            # ranking, so keep everything within 2e-6 of the batch's
+            # (k+1)-th raw cos — any dropped row still rounds strictly
+            # below a kept one and can never enter the global top-k.
+            # (k+1 because the self row, excluded later, may occupy a slot.)
             # RAW cos out; the 6-dp rounding happens JVM-side (F.round =
             # HALF_UP like DuckDB; np.round is banker's and integer-exact
             # code sums CAN produce exact .5e-6 boundaries, e.g. equal-norm
             # twins) — same rule as mmr_topk's final rounding above
-            out = pd.DataFrame(
-                {
-                    "query_id": np.repeat(qi[None, :], b, axis=0).ravel(),
-                    "vec_id": np.repeat(ids, qn_),
-                    "cos": cos.ravel(),
-                }
-            )
+            frames = []
+            for j in range(qn_):
+                col = cos[:, j]
+                if b > k + 1:
+                    kth = np.partition(col, -(k + 1))[-(k + 1)]
+                    keep = col >= kth - 2e-6
+                else:
+                    keep = np.ones(b, dtype=bool)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(int(keep.sum()), qi[j], dtype=np.int64),
+                            "vec_id": ids[keep],
+                            "cos": col[keep],
+                        }
+                    )
+                )
+            out = pd.concat(frames, ignore_index=True)
             yield out[out.query_id != out.vec_id]
 
     scored = enc.select(id_col, "codes").mapInPandas(kern, out_schema).withColumn(

@@ -348,3 +348,24 @@ def test_search_after_no_cursor_no_page(spark, corpus, claims_df):
     assert score_page_after(
         p, term_stats(p), claim_terms(claims_df), n_docs, avgdl, empty, k=3
     ).count() == 0
+
+
+def test_prune_two_phase_equals_single_window(spark, corpus):
+    """The salted two-phase top-N must equal the plain per-term window."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from defactonlp_spark.operators.bm25 import bm25_score_expr
+
+    p, n_docs, avgdl, total = corpus
+    two = prune_postings(p, term_stats(p), n_docs, avgdl, keep_n=2)
+    impact = F.round(bm25_score_expr(n_docs, avgdl, BM25Params()), 6)
+    w = W.partitionBy("term").orderBy(F.desc("impact"), F.asc("doc_id"))
+    ref = (
+        p.join(term_stats(p), "term", "inner")
+        .withColumn("impact", impact)
+        .withColumn("_prn", F.row_number().over(w))
+        .filter(F.col("_prn") <= 2)
+        .select("term", "doc_id", "tf", "dl")
+    )
+    assert two.exceptAll(ref).count() == 0 and ref.exceptAll(two).count() == 0

@@ -129,3 +129,16 @@ def test_sq8_null_and_zero_vectors_excluded(spark):
     res = sq8_cosine_topk(_mk_emb(spark, rows), [0, 2, 3], k=5).collect()
     assert {r["query_id"] for r in res} == {0}
     assert {r["vec_id"] for r in res} == {1}
+
+
+def test_sq8_batch_local_pruning_layout_independent(spark, gauss_rows):
+    """The kernel's conservative batch-local top-k must not change results
+    when the corpus is split across many partitions/batches."""
+    one = sq8_cosine_topk(_mk_emb(spark, gauss_rows), [0, 40, 80], k=7).collect()
+    many = sq8_cosine_topk(
+        _mk_emb(spark, gauss_rows).repartition(9), [0, 40, 80], k=7
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert [(r["query_id"], r["rank"], r["vec_id"], r["cos"]) for r in sorted(one, key=key)] == [
+        (r["query_id"], r["rank"], r["vec_id"], r["cos"]) for r in sorted(many, key=key)
+    ]
