@@ -801,6 +801,41 @@ def q_bm25_topk_page2(spark, sf_dir):
     return page2.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
 
 
+SIGTERMS_FG_K = 20
+
+
+def q_significant_terms(spark, sf_dir):
+    """ES significant_terms (JLH) over each claim's BM25 top-20 sampler
+    set, query terms excluded — "what the result set is about beyond the
+    query" (operators/analytics.py::significant_terms)."""
+    from defactonlp_spark.operators.analytics import significant_terms
+    from defactonlp_spark.operators.bm25 import claim_terms, score_exhaustive
+    from defactonlp_spark.operators.postings import term_stats
+
+    p = _postings_cached(spark, sf_dir)
+    n_docs, avgdl = _engine_corpus_stats(p)
+    stats = term_stats(p)
+    qt = claim_terms(_claims_df(spark))
+    fg = score_exhaustive(p, stats, qt, n_docs, avgdl, k=SIGTERMS_FG_K, rank_dp=6).select(
+        "claim_id", "doc_id"
+    )
+    res = significant_terms(p, stats, fg, n_docs, k=10, min_fg_count=2, exclude=qt)
+    return res.select(
+        "claim_id",
+        F.col("rank").cast("long").alias("rank"),
+        "term", "fg_count", "bg_count", "jlh",
+    )
+
+
+def q_value_histogram(spark, sf_dir):
+    """ES histogram aggregation: fixed-width bins per event_type over the
+    events value column (operators/analytics.py::value_histogram)."""
+    from defactonlp_spark.operators.analytics import value_histogram
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return value_histogram(ev, width=25.0, group_col="event_type")
+
+
 def q_lm_dirichlet_indexed(spark, sf_dir):
     """LM Dirichlet over COMPRESSED SEGMENTS (plans/query.py::
     query_lm_dirichlet's decode path: term-pruned segment scan -> varbyte
@@ -2205,6 +2240,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_method_eval": q_dedup_method_eval,
         "bm25f_topk": q_bm25f_topk,
         "bm25_topk_page2": q_bm25_topk_page2,
+        "significant_terms": q_significant_terms,
+        "value_histogram": q_value_histogram,
         "doc_perplexity": q_doc_perplexity,
         "bm25_topk_pruned": q_bm25_topk_pruned,
         "bm25_topk_boosted": q_bm25_topk_boosted,
@@ -2961,6 +2998,68 @@ FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
         ORDER BY round(score, 6) DESC, doc_id) AS rn FROM scored)
 WHERE rn <= {TOPK}
 """,
+        "value_histogram": """
+            SELECT event_type, bin, round(bin * 25.0, 6) AS lo,
+                   count(*)::BIGINT AS n, round(avg(value), 6) AS mean_value
+            FROM (SELECT event_type, value, floor(value / 25.0)::BIGINT AS bin FROM events)
+            GROUP BY event_type, bin
+        """,
+        "significant_terms": (
+            f"""
+WITH toks AS ({_TOKS_SQL}),
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+claims(claim_id, claim) AS {_CLAIMS_SQL},
+qterms AS (
+  SELECT DISTINCT claim_id, unnest(list_filter(regexp_split_to_array(lower(claim),
+    '[^a-z0-9]+'), t -> t <> '')) AS term FROM claims
+),
+scored AS (
+  SELECT q.claim_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * p.tf * {K1 + 1.0}
+              / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)) ) AS score
+  FROM qterms q
+  JOIN postings p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl l ON l.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+fg AS (
+  SELECT claim_id, doc_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
+          ORDER BY round(score, 6) DESC, doc_id) AS rn FROM scored)
+  WHERE rn <= {SIGTERMS_FG_K}
+),
+fgsize AS (SELECT claim_id, count(*)::DOUBLE AS fg_size FROM fg GROUP BY 1),
+fgterms AS (
+  SELECT f.claim_id, p.term, count(*)::BIGINT AS fg_count
+  FROM fg f JOIN postings p ON p.doc_id = f.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+kept AS (
+  SELECT ft.claim_id, ft.term, ft.fg_count, d.df::BIGINT AS bg_count,
+         (ft.fg_count / z.fg_size) AS fgp, (d.df / s.n) AS bgp
+  FROM fgterms ft
+  JOIN dfreq d ON d.term = ft.term
+  JOIN fgsize z ON z.claim_id = ft.claim_id
+  CROSS JOIN stats s
+  LEFT JOIN qterms q ON q.claim_id = ft.claim_id AND q.term = ft.term
+  WHERE q.term IS NULL AND (ft.fg_count / z.fg_size) > (d.df / s.n)
+)
+SELECT claim_id::BIGINT AS claim_id, rank::BIGINT AS rank, term, fg_count, bg_count,
+       round(jlh, 6) AS jlh
+FROM (SELECT *, (fgp - bgp) * (fgp / bgp) AS jlh,
+             row_number() OVER (PARTITION BY claim_id
+               ORDER BY round((fgp - bgp) * (fgp / bgp), 6) DESC, term) AS rank
+      FROM kept)
+WHERE rank <= 10
+"""
+        ),
         "bm25_topk_page2": (
             "SELECT claim_id, doc_id, score FROM ("
             + _bm25_sql(

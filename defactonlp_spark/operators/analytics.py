@@ -242,3 +242,96 @@ def rrf_fuse(
         .filter(F.col("rank") <= k)
         .select("claim_id", "rank", "doc_id", "rrf")
     )
+
+
+def significant_terms(
+    postings: DataFrame,
+    stats: DataFrame,
+    fg_docs: DataFrame,
+    n_docs: int,
+    k: int = 10,
+    min_fg_count: int = 2,
+    exclude: DataFrame | None = None,
+) -> DataFrame:
+    """Significant-terms aggregation (the Elasticsearch `significant_terms`
+    shape, JLH scoring): terms OVERREPRESENTED in a foreground doc set
+    relative to the whole corpus — "what is this result set about, beyond
+    what I searched for".
+
+    ``fg_docs``: (claim_id, doc_id) — the foreground per claim. Callers
+    should pass a BOUNDED set (the BM25 top-F docs — ES's sampler >
+    significant_terms pattern) so cost is query-sized at any corpus scale;
+    an unbounded match set over a head term would drag its whole posting
+    list in. ``exclude``: optional (claim_id, term) to drop (typically the
+    query's own terms — trivially significant).
+
+    Pinned scoring (the DuckDB twin computes the identical doubles):
+      fgp   = fg_count / fg_size     (term's doc rate in the foreground)
+      bgp   = df / N                 (background rate, full-corpus df)
+      JLH   = (fgp - bgp) * (fgp / bgp)
+    keep terms with fg_count >= min_fg_count and fgp > bgp, top-k per
+    claim by (round(jlh,6) desc, term asc).
+
+    Plan: ONE doc-keyed join of the (claims x F)-sized foreground onto the
+    postings relation (broadcast), a (claim, term) hash aggregate, then a
+    broadcast of per-term df onto the aggregate — the postings relation is
+    touched once.
+    """
+    fg_size = fg_docs.groupBy("claim_id").agg(
+        F.count(F.lit(1)).cast("double").alias("fg_size")
+    )
+    fg_terms = (
+        postings.join(F.broadcast(fg_docs), "doc_id", "inner")
+        .groupBy("claim_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("fg_count"))
+        .filter(F.col("fg_count") >= min_fg_count)
+    )
+    if exclude is not None:
+        fg_terms = fg_terms.join(exclude, ["claim_id", "term"], "left_anti")
+    scored = (
+        fg_terms.join(stats.select("term", "df"), "term", "inner")
+        .join(F.broadcast(fg_size), "claim_id", "inner")
+        .withColumn("fgp", F.col("fg_count") / F.col("fg_size"))
+        .withColumn("bgp", F.col("df").cast("double") / F.lit(float(n_docs)))
+        .filter(F.col("fgp") > F.col("bgp"))
+        .withColumn("jlh", (F.col("fgp") - F.col("bgp")) * (F.col("fgp") / F.col("bgp")))
+    )
+    w = Window.partitionBy("claim_id").orderBy(F.round("jlh", 6).desc(), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "claim_id", "rank", "term", "fg_count",
+            F.col("df").cast("long").alias("bg_count"),
+            F.round("jlh", 6).alias("jlh"),
+        )
+    )
+
+
+def value_histogram(
+    df: DataFrame,
+    width: float,
+    value_col: str = "value",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Fixed-interval histogram facet (the Elasticsearch `histogram`
+    aggregation): bin = floor(value / width), one hash aggregate, bins with
+    zero rows are simply absent (ES `min_doc_count=1` behavior). Optional
+    ``group_col`` gives per-group histograms (ES sub-aggregation shape).
+
+    Output: ([group], bin, lo, n, mean_value) — lo = bin * width, the
+    bucket's inclusive lower edge. Pure codegen; floor on doubles is
+    identical IEEE in Spark and DuckDB, so the twin hash-matches.
+    """
+    bin_col = F.floor(F.col(value_col) / F.lit(float(width))).cast("long")
+    keys = ([group_col] if group_col else []) + ["bin"]
+    return (
+        df.withColumn("bin", bin_col)
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg(value_col), 6).alias("mean_value"),
+        )
+        .withColumn("lo", F.round(F.col("bin") * F.lit(float(width)), 6))
+        .select(*keys, "lo", "n", "mean_value")
+    )

@@ -262,3 +262,69 @@ def test_s_stem_matches_duckdb_case(spark):
         f"SELECT w, {S_STEM_SQL_CASE.format(t='w')} AS s FROM words ORDER BY w"
     ).df()
     assert list(got["s"]) == list(want["s"])
+
+
+def test_significant_terms_scalar_replay(spark):
+    """JLH scoring replay: planted foreground docs share a marker term that
+    is rare in the background — it must rank first; query terms excluded."""
+    from collections import Counter
+
+    from defactonlp_spark.functions.tokenize import tokenize_one
+    from defactonlp_spark.operators.analytics import significant_terms
+    from defactonlp_spark.operators.bm25 import claim_terms
+    from defactonlp_spark.operators.postings import build_postings, term_stats
+
+    texts = {}
+    for i in range(30):
+        texts[i] = f"common filler words number{i % 7} appear everywhere"
+    # foreground docs 0-4: add the query term + a rare marker
+    for i in range(5):
+        texts[i] = texts[i] + " target marker signal"
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    p = build_postings(docs).persist()
+    claims = spark.createDataFrame([(0, "target")], "claim_id long, claim string")
+    qt = claim_terms(claims)
+    fg = spark.createDataFrame([(0, d) for d in range(5)], "claim_id long, doc_id long")
+    res = significant_terms(p, term_stats(p), fg, n_docs=30, k=5, exclude=qt).collect()
+    got = [(r["rank"], r["term"], r["fg_count"], r["bg_count"], r["jlh"]) for r in
+           sorted(res, key=lambda r: r["rank"])]
+
+    # scalar replay
+    df = Counter()
+    for t in texts.values():
+        for term in set(tokenize_one(t)):
+            df[term] += 1
+    fg_counts = Counter()
+    for d in range(5):
+        for term in set(tokenize_one(texts[d])):
+            fg_counts[term] += 1
+    rows = []
+    for term, c in fg_counts.items():
+        if c < 2 or term == "target":
+            continue
+        fgp, bgp = c / 5.0, df[term] / 30.0
+        if fgp > bgp:
+            rows.append((term, c, df[term], round((fgp - bgp) * (fgp / bgp), 6)))
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    want = [(i + 1, t, c, b, j) for i, (t, c, b, j) in enumerate(rows[:5])]
+    p.unpersist()
+    assert got == want
+    assert got[0][1] in ("marker", "signal")  # the planted rare markers lead
+
+
+def test_value_histogram_bins_pinned(spark):
+    from defactonlp_spark.operators.analytics import value_histogram
+
+    rows = [("a", -0.1), ("a", 0.0), ("a", 9.99), ("a", 10.0), ("b", 25.0)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    got = {
+        (r["event_type"], r["bin"]): (r["lo"], r["n"])
+        for r in value_histogram(df, width=10.0, group_col="event_type").collect()
+    }
+    # floor(-0.1/10) = -1 (negative values fall in the -1 bucket, ES semantics)
+    assert got == {
+        ("a", -1): (-10.0, 1),
+        ("a", 0): (0.0, 2),
+        ("a", 1): (10.0, 1),
+        ("b", 2): (20.0, 1),
+    }
