@@ -754,3 +754,28 @@ class IndexReader:
         if not bounds:
             return []
         return sorted({max(bisect_right(bounds, t) - 1, 0) for t in terms})
+
+
+def plan_compaction(
+    generations: list[dict],
+    max_generations: int = 4,
+    min_merge: int = 2,
+) -> list[str] | None:
+    """Size-tiered compaction policy (the Lucene TieredMergePolicy shape,
+    reduced to this engine's generation model): given live generations as
+    ``[{"dir": ..., "n_docs": ...}, ...]`` (from each manifest's props),
+    return the dirs of ONE merge job — the smallest generations, enough of
+    them to bring the live count back to ``max_generations`` — or None when
+    no compaction is due. Merging smallest-first minimizes bytes rewritten
+    per doc over the index's lifetime (each doc is re-encoded O(log n)
+    times), the same argument as size-tiered LSM compaction.
+
+    Deterministic: candidates sort on (n_docs, dir). Callers feed the
+    result straight to :func:`merge_builds`; the merged output re-enters
+    the next round as one generation.
+    """
+    if len(generations) <= max_generations:
+        return None
+    n_merge = max(len(generations) - max_generations + 1, min_merge)
+    ranked = sorted(generations, key=lambda g: (int(g["n_docs"]), str(g["dir"])))
+    return [str(g["dir"]) for g in ranked[:n_merge]]

@@ -131,3 +131,18 @@ def test_merge_builds_two_generations(spark, tmp_path):
     ).toPandas().sort_values(["claim_id", "rank"]).reset_index(drop=True)
     assert (w["doc_id"] == oracle["doc_id"]).all()
     assert np.allclose(w["score"], oracle["score"], rtol=0, atol=1e-12)
+
+
+def test_plan_compaction_policy():
+    from defactonlp_spark.plans.build import plan_compaction
+
+    gens = [{"dir": f"/g{i}", "n_docs": n} for i, n in enumerate([900, 50, 400, 70, 30, 800])]
+    # 6 live, max 4 -> merge the 3 smallest (30, 50, 70)
+    assert plan_compaction(gens, max_generations=4) == ["/g4", "/g1", "/g3"]
+    # at or under the cap: nothing due
+    assert plan_compaction(gens[:4], max_generations=4) is None
+    # one over the cap: min_merge floors the job at 2
+    assert plan_compaction(gens[:5], max_generations=4) == ["/g4", "/g1"]
+    # deterministic tie-break on dir when sizes equal
+    ties = [{"dir": d, "n_docs": 10} for d in ("/b", "/a", "/c", "/e", "/d")]
+    assert plan_compaction(ties, max_generations=3) == ["/a", "/b", "/c"]

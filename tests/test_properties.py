@@ -314,3 +314,69 @@ def test_curation_count_regexes_match_char_definitions(txt):
     digits = len(txt) - len(_DIGIT_RE.sub("", txt))
     assert alpha == sum(1 for c in txt if ("a" <= c <= "z") or ("A" <= c <= "Z"))
     assert digits == sum(1 for c in txt if "0" <= c <= "9")
+
+
+# ---- session-5 operator invariants (pure-python kernels, no Spark) -------
+
+
+@given(
+    st.lists(
+        st.lists(st.floats(-100, 100, allow_nan=False, width=32), min_size=1, max_size=32),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_sq8_code_bounds_and_reconstruction_error(vecs):
+    """For any finite vector: codes stay in [-127,127] and per-component
+    reconstruction error is bounded by scale/254 + half-ulp slack (the
+    symmetric-quantizer guarantee the 4x compression trades on)."""
+    for v in vecs:
+        x = np.asarray(v, dtype=np.float64)
+        mx = float(np.max(np.abs(x)))
+        if mx == 0.0:
+            continue
+        codes = np.floor((x * 127.0) / mx + 0.5)
+        assert codes.min() >= -127 and codes.max() <= 127
+        rec = codes * mx / 127.0
+        assert np.max(np.abs(rec - x)) <= mx / 254.0 + 1e-9 * mx
+
+
+@given(
+    st.lists(st.integers(0, 500), min_size=1, max_size=300),
+    st.integers(1, 64),
+)
+@settings(max_examples=100, deadline=None)
+def test_pack_sequences_prefix_invariants(ntoks, seq_len):
+    """Scalar form of the packing rule: offsets advance by exactly n_tokens,
+    every seq_offset < seq_len, seq_id is nondecreasing along the order,
+    and the token total is conserved."""
+    excl = 0
+    prev_seq = -1
+    for n in ntoks:
+        seq_id, seq_off = excl // seq_len, excl % seq_len
+        assert 0 <= seq_off < seq_len
+        assert seq_id >= prev_seq
+        prev_seq = seq_id
+        excl += n
+    assert excl == sum(ntoks)
+
+
+@given(
+    st.sets(st.tuples(st.integers(0, 30), st.integers(0, 30)), max_size=60),
+    st.sets(st.tuples(st.integers(0, 30), st.integers(0, 30)), max_size=60),
+)
+@settings(max_examples=150, deadline=None)
+def test_pair_eval_metric_bounds(pred, truth):
+    """Scalar replay of pair_eval's definitions: metrics live in [0,1],
+    tp <= min(n_pred, n_truth), and perfect prediction gives P=R=F1=1."""
+    norm = lambda s: {(min(a, b), max(a, b)) for a, b in s if a != b}
+    p, t = norm(pred), norm(truth)
+    tp = len(p & t)
+    prec = tp / len(p) if p else 0.0
+    rec = tp / len(t) if t else 0.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec > 0 else 0.0
+    assert 0.0 <= prec <= 1.0 and 0.0 <= rec <= 1.0 and 0.0 <= f1 <= 1.0
+    assert tp <= min(len(p), len(t))
+    if p and p == t:
+        assert prec == rec == f1 == 1.0
