@@ -603,6 +603,7 @@ def q_doc_perplexity(spark, sf_dir):
 
     p = _postings_cached(spark, sf_dir)
     total = int(corpus_stats(p).collect()[0]["total_tokens"])
+    d["bm25_topk_fuzzy_symspell"] = d["bm25_topk_fuzzy"]
     return doc_perplexity(p, ctf_stats(p), total)
 
 
@@ -834,6 +835,28 @@ def q_value_histogram(spark, sf_dir):
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return value_histogram(ev, width=25.0, group_col="event_type")
+
+
+def q_bm25_topk_fuzzy_symspell(spark, sf_dir):
+    """The SymSpell deletion-neighborhood plan for the same fuzzy query —
+    an equi-join on deletion keys instead of the banded levenshtein
+    theta-join (operators/expansion.py::expand_fuzzy_symspell). Shares
+    bm25_topk_fuzzy's oracle SQL: the driver gate checks the two plans
+    produce identical rankings (the wand-shares-B6 pattern)."""
+    from defactonlp_spark.operators.bm25 import claim_terms
+    from defactonlp_spark.operators.expansion import (
+        expand_fuzzy_symspell,
+        score_weighted,
+    )
+    from defactonlp_spark.operators.postings import term_stats
+
+    p = _postings_cached(spark, sf_dir)
+    n_docs, avgdl = _engine_corpus_stats(p)
+    stats = term_stats(p)
+    claims = spark.createDataFrame(FUZZY_CLAIMS, "claim_id long, claim string")
+    w = expand_fuzzy_symspell(stats, claim_terms(claims), FUZZY_EXP)
+    res = score_weighted(p, stats, w, n_docs, avgdl, k=TOPK, rank_dp=6)
+    return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
 
 
 def q_lm_dirichlet_indexed(spark, sf_dir):
@@ -1382,6 +1405,7 @@ def q_dedup_clusters(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     pairs = ngram_jaccard_pairs(docs, threshold=0.2, n=3)
+    d["bm25_topk_fuzzy_symspell"] = d["bm25_topk_fuzzy"]
     return duplicate_clusters(docs, pairs).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("component_id").cast("long").alias("component_id"),
@@ -1414,6 +1438,7 @@ def q_decontaminate(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     ev = docs.filter((F.col("doc_id") % 97) == 0)
+    d["bm25_topk_fuzzy_symspell"] = d["bm25_topk_fuzzy"]
     return decontaminate(docs, ev, n=3).select(
         F.col("doc_id").cast("long").alias("doc_id"), "n_hits", "contaminated"
     )
@@ -1594,6 +1619,7 @@ def _docs_with_pii(spark, sf_dir):
         F.lit(".com at 10.0."), (F.col("doc_id") % 256).cast("string"),
         F.lit(".9 call 555-123-4567"),
     )
+    d["bm25_topk_fuzzy_symspell"] = d["bm25_topk_fuzzy"]
     return d.withColumn(
         "text",
         F.concat(F.col("text"), F.when(F.col("doc_id") % 3 == 0, suffix).otherwise(F.lit(""))),
@@ -1631,6 +1657,7 @@ def _docs_with_url(spark, sf_dir):
         F.lit("/p/"), did.cast("string"),
         F.when(did % 4 == 0, F.lit("?q=x")).otherwise(F.lit("")),
     )
+    d["bm25_topk_fuzzy_symspell"] = d["bm25_topk_fuzzy"]
     return d.select("doc_id", url.alias("url"))
 
 
@@ -1665,6 +1692,7 @@ def q_domain_rollup(spark, sf_dir):
     page count, distinct hosts, https fraction, mean path depth."""
     from defactonlp_spark.functions.urls import domain_rollup
 
+    d["bm25_topk_fuzzy_symspell"] = d["bm25_topk_fuzzy"]
     return domain_rollup(_docs_with_url(spark, sf_dir))
 
 
@@ -1775,6 +1803,7 @@ def q_doc_keywords(spark, sf_dir):
 
     p = _postings_cached(spark, sf_dir)
     n_docs, _ = _engine_corpus_stats(p)
+    d["bm25_topk_fuzzy_symspell"] = d["bm25_topk_fuzzy"]
     return doc_keywords(p, n_docs, k=3).select(
         "doc_id", F.col("rank").cast("long").alias("rank"), "term", "weight"
     )
@@ -2235,6 +2264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_dirichlet_indexed": q_lm_dirichlet_indexed,
         "sq8_cosine_topk": q_sq8_cosine_topk,
         "bm25_topk_fuzzy": q_bm25_topk_fuzzy,
+        "bm25_topk_fuzzy_symspell": q_bm25_topk_fuzzy_symspell,
         "packed_sequences": q_packed_sequences,
         "best_passage": q_best_passage,
         "dedup_method_eval": q_dedup_method_eval,
@@ -3745,4 +3775,5 @@ SELECT method, n_pred, n_truth, tp,
                  / (tp / n_pred::DOUBLE + tp / n_truth::DOUBLE) ELSE 0.0 END, 6) AS f1
 FROM ev
 """
+    d["bm25_topk_fuzzy_symspell"] = d["bm25_topk_fuzzy"]
     return d

@@ -109,3 +109,42 @@ def test_fuzzy_topk_matches_scalar_replay(spark, corpus):
     for cid in want:
         for (gd, gs), (wd, ws) in zip(got[cid], want[cid]):
             assert gs == pytest.approx(ws, rel=1e-9)
+
+
+def test_symspell_equals_banded_levenshtein(spark, corpus):
+    """The deletion-neighborhood equi-join path must produce EXACTLY the
+    banded theta-join's (claim_id, term, weight) relation at max_dist=1 —
+    same contract, different (scalable) plan."""
+    from defactonlp_spark.operators.expansion import expand_fuzzy_symspell
+
+    p, n_docs, avgdl = corpus
+    claims = spark.createDataFrame(
+        [(i, c) for i, c in CLAIMS.items()], "claim_id long, claim string"
+    )
+    banded = expand_fuzzy(term_stats(p), claim_terms(claims), 1, MAX_EXP)
+    sym = expand_fuzzy_symspell(term_stats(p), claim_terms(claims), MAX_EXP)
+    assert banded.exceptAll(sym).count() == 0 and sym.exceptAll(banded).count() == 0
+
+
+def test_symspell_catches_each_edit_kind(spark):
+    """Insertion, deletion, and substitution typos each surface the true
+    dictionary term through the deletion-key join."""
+    from defactonlp_spark.operators.bm25 import claim_terms as ct
+    from defactonlp_spark.operators.expansion import expand_fuzzy_symspell
+
+    docs = spark.createDataFrame(
+        [(0, "retrieval engines index documents")], "doc_id long, text string"
+    )
+    p = build_postings(docs)
+    claims = spark.createDataFrame(
+        [(0, "retrievall"), (1, "retrieal"), (2, "retrieval"), (3, "retrievol")],
+        "claim_id long, claim string",
+    )
+    got = {
+        (r["claim_id"], r["term"]): r["weight"]
+        for r in expand_fuzzy_symspell(term_stats(p), ct(claims), 3).collect()
+    }
+    assert got[(0, "retrieval")] == 0.5   # insertion typo
+    assert got[(1, "retrieval")] == 0.5   # deletion typo
+    assert got[(2, "retrieval")] == 1.0   # exact
+    assert got[(3, "retrieval")] == 0.5   # substitution typo
