@@ -859,6 +859,28 @@ def q_bm25_topk_fuzzy_symspell(spark, sf_dir):
     return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
 
 
+CLARITY_FB_DOCS, CLARITY_FB_TERMS = 5, 10
+
+
+def q_query_clarity(spark, sf_dir):
+    """Query clarity (Cronen-Townsend 2002 query-performance prediction):
+    KL divergence in bits between the query's relevance-model LM (RM over
+    the BM25 top-5, top-10 terms) and the collection unigram model
+    (operators/expansion.py::clarity_score)."""
+    from defactonlp_spark.operators.bm25 import claim_terms
+    from defactonlp_spark.operators.expansion import clarity_score
+    from defactonlp_spark.operators.lm import ctf_stats
+    from defactonlp_spark.operators.postings import corpus_stats, term_stats
+
+    p = _postings_cached(spark, sf_dir)
+    cs = corpus_stats(p).collect()[0]
+    n_docs, avgdl, total = int(cs["n_docs"]), float(cs["avgdl"]), int(cs["total_tokens"])
+    return clarity_score(
+        p, term_stats(p), ctf_stats(p), claim_terms(_claims_df(spark)),
+        n_docs, avgdl, total, fb_docs=CLARITY_FB_DOCS, fb_terms=CLARITY_FB_TERMS,
+    )
+
+
 def q_lm_dirichlet_indexed(spark, sf_dir):
     """LM Dirichlet over COMPRESSED SEGMENTS (plans/query.py::
     query_lm_dirichlet's decode path: term-pruned segment scan -> varbyte
@@ -2271,6 +2293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25f_topk": q_bm25f_topk,
         "bm25_topk_page2": q_bm25_topk_page2,
         "significant_terms": q_significant_terms,
+        "query_clarity": q_query_clarity,
         "value_histogram": q_value_histogram,
         "doc_perplexity": q_doc_perplexity,
         "bm25_topk_pruned": q_bm25_topk_pruned,
@@ -3027,6 +3050,68 @@ SELECT claim_id::BIGINT AS claim_id, doc_id::BIGINT AS doc_id, round(score, 4) A
 FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
         ORDER BY round(score, 6) DESC, doc_id) AS rn FROM scored)
 WHERE rn <= {TOPK}
+""",
+        "query_clarity": f"""
+WITH toks AS ({_TOKS_SQL}),
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tot AS (SELECT sum(dl) AS t FROM dl),
+ctf AS (SELECT term, sum(tf)::DOUBLE AS ctf FROM postings GROUP BY 1),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+claims(claim_id, claim) AS {_CLAIMS_SQL},
+qterms AS (
+  SELECT DISTINCT claim_id, unnest(list_filter(regexp_split_to_array(lower(claim),
+    '[^a-z0-9]+'), t -> t <> '')) AS term FROM claims
+),
+scored1 AS (
+  SELECT q.claim_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * p.tf * {K1 + 1.0}
+              / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)) ) AS score
+  FROM qterms q
+  JOIN postings p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl l ON l.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+fbdocs AS (
+  SELECT claim_id, doc_id, score
+  FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
+          ORDER BY round(score, 6) DESC, doc_id) AS rn FROM scored1)
+  WHERE rn <= {CLARITY_FB_DOCS}
+),
+fb AS (
+  SELECT f.claim_id, f.doc_id, f.score / s.ssum AS p_d
+  FROM fbdocs f JOIN (SELECT claim_id, sum(score) AS ssum FROM fbdocs GROUP BY 1) s
+    USING (claim_id)
+),
+rm AS (
+  SELECT f.claim_id, p.term, round(sum(p.tf / l.dl * f.p_d), 9) AS rm_w
+  FROM fb f
+  JOIN postings p ON p.doc_id = f.doc_id
+  JOIN dl l ON l.doc_id = f.doc_id
+  GROUP BY 1, 2
+),
+kept AS (
+  SELECT claim_id, term, rm_w
+  FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
+          ORDER BY rm_w DESC, term) AS rn FROM rm)
+  WHERE rn <= {CLARITY_FB_TERMS}
+),
+rm_p AS (
+  SELECT k.claim_id, k.term, round(k.rm_w / s.ksum, 9) AS rm_p
+  FROM kept k JOIN (SELECT claim_id, sum(rm_w) AS ksum FROM kept GROUP BY 1) s
+    USING (claim_id)
+)
+SELECT r.claim_id::BIGINT AS claim_id, count(*)::BIGINT AS n_terms,
+       round(sum(r.rm_p * ln(r.rm_p / (c.ctf / t.t)) * 1.4426950408889634), 6) AS clarity
+FROM rm_p r
+JOIN ctf c ON c.term = r.term
+CROSS JOIN tot t
+WHERE r.rm_p > 0
+GROUP BY 1
 """,
         "value_histogram": """
             SELECT event_type, bin, round(bin * 25.0, 6) AS lo,

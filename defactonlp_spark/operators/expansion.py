@@ -303,3 +303,54 @@ def expand_fuzzy_symspell(
         )
     )
     return kept.groupBy("claim_id", "term").agg(F.max("weight").alias("weight"))
+
+
+def clarity_score(
+    postings: DataFrame,
+    stats: DataFrame,
+    cstats: DataFrame,
+    qterms: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    total_tokens: int,
+    fb_docs: int = 5,
+    fb_terms: int = 10,
+    params: BM25Params = BM25Params(),
+) -> DataFrame:
+    """Query clarity score (Cronen-Townsend et al., SIGIR 2002 — query
+    performance prediction): the KL divergence, in bits, between the
+    query's relevance-model language model and the collection model. High
+    clarity = the result set speaks a focused sub-language (the query will
+    probably perform well); clarity near 0 = the query retrieves
+    background noise. The standard pre-retrieval QA signal a serving stack
+    uses to route hard queries to expansion/rerank tiers.
+
+    Pinned spec (DuckDB twin identical): relevance model = RM3's feedback
+    model with alpha = 0 (pure RM over the BM25 top-``fb_docs``, top
+    ``fb_terms`` terms, 9-dp-rounded and renormalized — exactly the tested
+    rm3_weights machinery); p_c(w) = ctf/T;
+    clarity = round(sum_w rm(w) * ln(rm(w)/p_c(w)) * 1/ln(2), 6)
+    (the 1/ln2 literal — not log2() — so both engines multiply the same
+    double). Output: (claim_id, n_terms, clarity).
+
+    Cost: one BM25 pass + one fb-doc-keyed postings read — the RM3 front
+    half without the second scored pass.
+    """
+    first = score_exhaustive(
+        postings, stats, qterms, n_docs, avgdl, k=fb_docs, params=params, rank_dp=6
+    ).select("claim_id", "doc_id", "score")
+    wterms = rm3_weights(first, postings, qterms, fb_terms=fb_terms, alpha=0.0)
+    lm = wterms.filter(F.col("weight") > 0)
+    p_c = F.col("ctf").cast("double") / F.lit(float(total_tokens))
+    inv_ln2 = 1.4426950408889634
+    return (
+        lm.join(cstats, "term", "inner")
+        .withColumn(
+            "_kl", F.col("weight") * F.log(F.col("weight") / p_c) * F.lit(inv_ln2)
+        )
+        .groupBy("claim_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.round(F.sum("_kl"), 6).alias("clarity"),
+        )
+    )

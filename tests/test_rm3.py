@@ -183,3 +183,71 @@ def test_expand_synonyms(spark, fixtures):
     res = score_weighted(p, P.term_stats(p), w, n_docs, avgdl, k=5, rank_dp=9)
     rows = {r["claim_id"] for r in res.collect()}
     assert 102 in rows  # grape matches even though zzznope is OOV
+
+
+def test_clarity_score_scalar_replay(spark):
+    """Clarity replay over a tiny corpus: BM25 top-fb docs -> RM weights
+    (9dp, renormalized) -> KL vs the corpus unigram model in bits; and the
+    focused query must out-score the background-noise query."""
+    import math
+    from collections import Counter
+
+    from defactonlp_spark.functions.tokenize import tokenize_one
+    from defactonlp_spark.operators.expansion import clarity_score
+    from defactonlp_spark.operators.lm import ctf_stats
+    from tests.oracle_bm25 import bm25_topk_oracle, build_oracle_index
+
+    texts = {
+        0: "quantum entanglement experiment measures photon spin states",
+        1: "quantum computing qubits exploit entanglement and superposition",
+        2: "photon detectors record entanglement correlations in the lab",
+        3: "the cat sat on the mat and the dog sat too",
+        4: "a dog and a cat and a mat and a hat",
+        5: "general filler text about many common everyday things",
+        6: "more filler text with common words about things and stuff",
+    }
+    claims = {0: "quantum entanglement", 1: "the and a"}
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    p = P.build_postings(docs).persist()
+    cs = P.corpus_stats(p).collect()[0]
+    n_docs, avgdl, total = int(cs["n_docs"]), float(cs["avgdl"]), int(cs["total_tokens"])
+    cdf = spark.createDataFrame(list(claims.items()), "claim_id long, claim string")
+    got = {
+        r["claim_id"]: (r["n_terms"], r["clarity"])
+        for r in clarity_score(
+            p, P.term_stats(p), ctf_stats(p), claim_terms(cdf),
+            n_docs, avgdl, total, fb_docs=3, fb_terms=8,
+        ).collect()
+    }
+    p.unpersist()
+
+    # scalar replay
+    postings, dl, n, avg = build_oracle_index(texts)
+    ctf = {t: sum(pl.values()) for t, pl in postings.items()}
+    T = float(sum(dl.values()))
+    fb = bm25_topk_oracle(texts, claims, k=3)
+    want = {}
+    for cid, docs_scores in fb.items():
+        # rank_dp=6 replay: same docs (no ties in this fixture)
+        ssum = sum(s for _, s in docs_scores)
+        rm = Counter()
+        for d, s in docs_scores:
+            p_d = s / ssum
+            toks = Counter(tokenize_one(texts[d]))
+            for t, c in toks.items():
+                rm[t] += c / dl[d] * p_d
+        rm = {t: round(v, 9) for t, v in rm.items()}
+        kept = sorted(rm.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
+        ksum = sum(v for _, v in kept)
+        lm = {t: round(v / ksum, 9) for t, v in kept}
+        kl = sum(
+            w * math.log(w / (ctf[t] / T)) * 1.4426950408889634
+            for t, w in lm.items() if w > 0
+        )
+        want[cid] = (len([w for w in lm.values() if w > 0]), round(kl, 6))
+    assert got.keys() == want.keys()
+    for cid in want:
+        assert got[cid][0] == want[cid][0]
+        assert got[cid][1] == pytest.approx(want[cid][1], abs=2e-6)
+    # the focused query is clearer than the stopword-ish one
+    assert got[0][1] > got[1][1]
