@@ -335,3 +335,52 @@ def value_histogram(
         .withColumn("lo", F.round(F.col("bin") * F.lit(float(width)), 6))
         .select(*keys, "lo", "n", "mean_value")
     )
+
+
+def ranking_rbo(
+    ranks_a: DataFrame,
+    ranks_b: DataFrame,
+    k: int = 10,
+    p: float = 0.9,
+) -> DataFrame:
+    """Truncated rank-biased overlap (Webber et al., TOIS 2010 — the
+    standard top-weighted ranking-similarity metric): compare two top-k
+    rankings per claim, e.g. the pruned-tier ranking against the full
+    index's (how much ranking damage did static pruning cause?).
+
+    Inputs: (claim_id, rank, doc_id) with 1-based ranks. Output:
+    (claim_id, overlap_k, rbo) where overlap_k = |A_k ∩ B_k| and
+    rbo = round(sum_{d=1..k} (1-p) p^(d-1) X_d / d, 6) with
+    X_d = |A_1..d ∩ B_1..d| (the finite prefix of Webber eq. 4 — no
+    extrapolation, so identical rankings at depth k score
+    1 - p^k, not 1).
+
+    Engine portability: the depth weights (1-p)p^(d-1)/d are computed ONCE
+    in Python and fed to BOTH engines as literal doubles (a k-row
+    broadcast table here, a VALUES list in the twin) — pow() in two
+    engines is not guaranteed bit-identical, a shared literal is.
+
+    Plan: one (claim, doc) equi-join of the two k-sized rankings, a range
+    join against the k-row weights table, one aggregate — everything is
+    query-sized.
+    """
+    spark = ranks_a.sparkSession
+    weights = [(d, (1.0 - p) * p ** (d - 1) / d) for d in range(1, k + 1)]
+    wdf = spark.createDataFrame(weights, "d int, w double")
+    a = ranks_a.select("claim_id", F.col("rank").alias("_ra"), "doc_id").filter(
+        F.col("_ra") <= k
+    )
+    b = ranks_b.select("claim_id", F.col("rank").alias("_rb"), "doc_id").filter(
+        F.col("_rb") <= k
+    )
+    both = a.join(b, ["claim_id", "doc_id"], "inner").select(
+        "claim_id", F.greatest("_ra", "_rb").alias("_dmin")
+    )
+    contrib = both.join(F.broadcast(wdf), F.col("_dmin") <= F.col("d"), "inner")
+    return (
+        contrib.groupBy("claim_id")
+        .agg(
+            F.sum(F.when(F.col("d") == k, 1).otherwise(0)).cast("long").alias("overlap_k"),
+            F.round(F.sum("w"), 6).alias("rbo"),
+        )
+    )

@@ -328,3 +328,37 @@ def test_value_histogram_bins_pinned(spark):
         ("a", 1): (10.0, 1),
         ("b", 2): (20.0, 1),
     }
+
+
+def test_ranking_rbo_pinned_cases(spark):
+    from defactonlp_spark.operators.analytics import ranking_rbo
+
+    K, P = 5, 0.9
+    ident = [(0, r, 100 + r) for r in range(1, K + 1)]
+    a = spark.createDataFrame(ident, "claim_id long, rank int, doc_id long")
+    r = ranking_rbo(a, a, k=K, p=P).collect()[0]
+    assert r["overlap_k"] == K
+    assert r["rbo"] == round(sum((1 - P) * P ** (d - 1) for d in range(1, K + 1)), 6)
+
+    # disjoint rankings: no common doc -> claim absent (zero overlap)
+    b = spark.createDataFrame(
+        [(0, r, 200 + r) for r in range(1, K + 1)], "claim_id long, rank int, doc_id long"
+    )
+    assert ranking_rbo(a, b, k=K, p=P).count() == 0
+
+    # scalar replay on a partial overlap (docs 101,102 swapped + one swap-out)
+    b2 = spark.createDataFrame(
+        [(0, 1, 102), (0, 2, 101), (0, 3, 999), (0, 4, 104), (0, 5, 105)],
+        "claim_id long, rank int, doc_id long",
+    )
+    got = ranking_rbo(a, b2, k=K, p=P).collect()[0]
+    ar = {100 + r: r for r in range(1, K + 1)}
+    br = {102: 1, 101: 2, 999: 3, 104: 4, 105: 5}
+    rbo = 0.0
+    for d in range(1, K + 1):
+        x_d = len({doc for doc, r_ in ar.items() if r_ <= d}
+                  & {doc for doc, r_ in br.items() if r_ <= d})
+        rbo += (1 - P) * P ** (d - 1) * x_d / d
+    assert got["overlap_k"] == 4
+    import pytest as _pt
+    assert got["rbo"] == _pt.approx(round(rbo, 6), abs=1e-6)
