@@ -969,6 +969,19 @@ def q_pruned_rbo(spark, sf_dir):
     return ranking_rbo(full, pruned, k=RBO_K, p=RBO_P)
 
 
+DUPSPAN_L = 8
+
+
+def q_dup_spans(spark, sf_dir):
+    """Exact repeated-substring spans (Lee et al. 2022 dedup shape): every
+    maximal token span whose every 8-gram occurs >= 2 times in the corpus —
+    rolling-gram occurrence counts + per-doc gap-merge
+    (operators/dedup.py::dup_spans)."""
+    from defactonlp_spark.operators.dedup import dup_spans
+
+    return dup_spans(_docs(spark, sf_dir), gram_len=DUPSPAN_L)
+
+
 def q_lm_dirichlet_indexed(spark, sf_dir):
     """LM Dirichlet over COMPRESSED SEGMENTS (plans/query.py::
     query_lm_dirichlet's decode path: term-pruned segment scan -> varbyte
@@ -2773,6 +2786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_terms": q_significant_terms,
         "query_clarity": q_query_clarity,
         "pruned_rbo": q_pruned_rbo,
+        "dup_spans": q_dup_spans,
         "value_histogram": q_value_histogram,
         "doc_perplexity": q_doc_perplexity,
         "bm25_topk_pruned": q_bm25_topk_pruned,
@@ -3529,6 +3543,37 @@ SELECT claim_id::BIGINT AS claim_id, doc_id::BIGINT AS doc_id, round(score, 4) A
 FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
         ORDER BY round(score, 6) DESC, doc_id) AS rn FROM scored)
 WHERE rn <= {TOPK}
+""",
+        "dup_spans": f"""
+WITH tl AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         ('0x' || substr(md5(array_to_string(t[i:i+{DUPSPAN_L}-1], ' ')), 1, 15))::BIGINT AS g64
+  FROM tl, unnest(range(1, len(t) - {DUPSPAN_L} + 2)) AS u(i)
+  WHERE len(t) >= {DUPSPAN_L}
+),
+dupk AS (SELECT g64 FROM grams GROUP BY 1 HAVING count(*) >= 2),
+hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dupk USING (g64)),
+marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 1
+              THEN 1 ELSE 0 END AS newgrp
+  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+grp AS (
+  SELECT doc_id, pos,
+         sum(newgrp) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM marked
+)
+SELECT doc_id::BIGINT AS doc_id,
+       min(pos)::BIGINT AS start_pos,
+       (max(pos) + {DUPSPAN_L} - 1)::BIGINT AS end_pos,
+       (max(pos) - min(pos) + {DUPSPAN_L})::BIGINT AS n_tokens
+FROM grp GROUP BY doc_id, g
 """,
         "query_clarity": f"""
 WITH toks AS ({_TOKS_SQL}),

@@ -788,3 +788,89 @@ def pair_eval(pred: DataFrame, truth: DataFrame) -> DataFrame:
         F.round(rec, 6).alias("recall"),
         F.round(f1, 6).alias("f1"),
     )
+
+
+def dup_spans(
+    docs: DataFrame,
+    gram_len: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact repeated-substring span detection (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" shape,
+    re-expressed relationally): find every MAXIMAL token span whose every
+    ``gram_len``-token window occurs >= ``min_count`` times in the corpus
+    (within- and cross-document occurrences both count). The suffix-array
+    construction of the paper becomes: rolling L-grams at every position ->
+    corpus-wide occurrence count -> positions whose gram is duplicated ->
+    per-doc gap-merge into maximal spans.
+
+    Output: (doc_id, start_pos, end_pos, n_tokens) — token-index span
+    [start_pos, end_pos] inclusive, n_tokens = end_pos - start_pos + 1
+    (always >= gram_len). 0-based positions (tokenize_tokens convention).
+
+    Pinned gram key (twin-identical): the first 15 hex chars of
+    md5(space-joined L tokens) parsed as int64 — both engines hash the
+    same bytes, so even a (cosmically unlikely) 60-bit collision yields
+    the same answer in both. The kernel ships ONE int64 per position, not
+    gram strings (the Arrow string-explosion lesson: 212 s -> 23 s on the
+    minhash kernel).
+
+    Scale shape: one text pass in an Arrow kernel -> |tokens| fixed-width
+    rows -> one hash aggregate on the gram key (uniform, skew-free) ->
+    broadcast-free semi-join of positions against duplicated keys (same
+    key) -> one per-doc window for the gap-merge. Nothing quadratic,
+    nothing driver-side.
+    """
+    import hashlib
+
+    from defactonlp_spark.functions.textstats import sql_tokens_py
+    from defactonlp_spark.session import floor_parallelism
+
+    def kern(batches):
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids, poss, g64s = [], [], []
+            for i, text in zip(pdf[id_col], pdf["_text"]):
+                toks = sql_tokens_py(text)
+                if not toks or len(toks) < gram_len:
+                    continue
+                joined = [
+                    " ".join(toks[p : p + gram_len])
+                    for p in range(len(toks) - gram_len + 1)
+                ]
+                for p, g in enumerate(joined):
+                    ids.append(i)
+                    poss.append(p)
+                    g64s.append(int(md5(g.encode()).hexdigest()[:15], 16))
+            yield pd.DataFrame(
+                {id_col: pd.array(ids, dtype="int64"),
+                 "pos": pd.array(poss, dtype="int32"),
+                 "g64": pd.array(g64s, dtype="int64")}
+            )
+
+    prepared = floor_parallelism(
+        docs.select(F.col(id_col), F.col(text_col).alias("_text"))
+    )
+    grams = prepared.mapInPandas(kern, f"{id_col} long, pos int, g64 long")
+    dup_keys = grams.groupBy("g64").agg(F.count(F.lit(1)).alias("_c")).filter(
+        F.col("_c") >= min_count
+    )
+    hits = grams.join(dup_keys.select("g64"), "g64", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    spans = (
+        hits.withColumn("_prev", F.lag("pos").over(w))
+        .withColumn(
+            "_new", F.when(F.col("_prev").isNull() | (F.col("pos") - F.col("_prev") > 1), 1).otherwise(0)
+        )
+        .withColumn("_grp", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(id_col, "_grp")
+        .agg(F.min("pos").alias("start_pos"), F.max("pos").alias("end_pos"))
+    )
+    return spans.select(
+        id_col,
+        F.col("start_pos").cast("long").alias("start_pos"),
+        (F.col("end_pos") + gram_len - 1).cast("long").alias("end_pos"),
+        (F.col("end_pos") - F.col("start_pos") + gram_len).cast("long").alias("n_tokens"),
+    )

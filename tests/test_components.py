@@ -167,3 +167,52 @@ def test_pair_eval_empty_sides(spark):
     assert (r["n_pred"], r["tp"], r["precision"], r["f1"]) == (0, 0, 0.0, 0.0)
     r2 = pair_eval(some, empty).collect()[0]
     assert (r2["n_truth"], r2["recall"], r2["f1"]) == (0, 0.0, 0.0)
+
+
+def test_dup_spans_planted_repeats(spark):
+    """Planted spans: a 10-token passage shared by docs 0/1 (cross-doc), a
+    6-token phrase repeated twice INSIDE doc 2 (within-doc), unique text
+    elsewhere -> exactly the planted spans come back, maximally merged."""
+    from defactonlp_spark.operators.dedup import dup_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    inner = "red orange yellow green blue violet"
+    uniq = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    docs = spark.createDataFrame(
+        [
+            (0, uniq("a", 5) + " " + shared + " " + uniq("b", 5)),
+            (1, uniq("c", 7) + " " + shared + " " + uniq("d", 3)),
+            (2, inner + " " + uniq("e", 4) + " " + inner),
+            (3, uniq("f", 30)),
+        ],
+        "doc_id long, text string",
+    )
+    L = 5
+    got = {
+        r["doc_id"]: (r["start_pos"], r["end_pos"], r["n_tokens"])
+        for r in dup_spans(docs, gram_len=L).collect()
+    }
+    # doc 0: shared starts at token 5, 10 tokens -> [5, 14]
+    assert got[0] == (5, 14, 10)
+    # doc 1: shared starts at token 7 -> [7, 16]
+    assert got[1] == (7, 16, 10)
+    # doc 3 has no duplicated grams
+    assert 3 not in got
+    # doc 2: inner (6 tokens) at 0 and at 10; both occurrences are spans —
+    # collect returns one row per span, so re-query without the dict
+    rows = sorted(
+        (r["start_pos"], r["end_pos"]) for r in
+        dup_spans(docs, gram_len=L).filter("doc_id = 2").collect()
+    )
+    assert rows == [(0, 5), (10, 15)]
+
+
+def test_dup_spans_respects_min_gram_length(spark):
+    from defactonlp_spark.operators.dedup import dup_spans
+
+    # shared run of only 4 tokens < gram_len=5 -> no span anywhere
+    docs = spark.createDataFrame(
+        [(0, "one two three four x1 x2 x3"), (1, "one two three four y1 y2 y3")],
+        "doc_id long, text string",
+    )
+    assert dup_spans(docs, gram_len=5).count() == 0
