@@ -603,72 +603,6 @@ def q_doc_perplexity(spark, sf_dir):
 
     p = _postings_cached(spark, sf_dir)
     total = int(corpus_stats(p).collect()[0]["total_tokens"])
-    d["bm25_topk_fuzzy_symspell"] = d["bm25_topk_fuzzy"]
-    rbo_weights = ", ".join(
-        f"({d}, {(1.0 - RBO_P) * RBO_P ** (d - 1) / d!r})" for d in range(1, RBO_K + 1)
-    )
-    d["pruned_rbo"] = f"""
-WITH toks AS ({_TOKS_SQL}),
-postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
-dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
-stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
-dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
-impacts AS (
-  SELECT p.term, p.doc_id, p.tf,
-         round( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
-                * p.tf * {K1 + 1.0}
-                / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)), 6) AS impact
-  FROM postings p
-  JOIN dfreq d ON d.term = p.term
-  JOIN dl l ON l.doc_id = p.doc_id
-  CROSS JOIN stats s
-),
-pruned AS (
-  SELECT term, doc_id, tf
-  FROM (SELECT *, row_number() OVER (PARTITION BY term
-          ORDER BY impact DESC, doc_id) AS prn FROM impacts)
-  WHERE prn <= {PRUNE_KEEP_N}
-),
-claims(claim_id, claim) AS {_CLAIMS_SQL},
-qterms AS (
-  SELECT DISTINCT claim_id, unnest(list_filter(regexp_split_to_array(lower(claim),
-    '[^a-z0-9]+'), t -> t <> '')) AS term FROM claims
-),
-sfull AS (
-  SELECT q.claim_id, p.doc_id,
-         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
-              * p.tf * {K1 + 1.0}
-              / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)) ) AS score
-  FROM qterms q JOIN postings p ON p.term = q.term
-  JOIN dfreq d ON d.term = q.term JOIN dl l ON l.doc_id = p.doc_id
-  CROSS JOIN stats s GROUP BY 1, 2
-),
-spruned AS (
-  SELECT q.claim_id, p.doc_id,
-         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
-              * p.tf * {K1 + 1.0}
-              / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)) ) AS score
-  FROM qterms q JOIN pruned p ON p.term = q.term
-  JOIN dfreq d ON d.term = q.term JOIN dl l ON l.doc_id = p.doc_id
-  CROSS JOIN stats s GROUP BY 1, 2
-),
-ra AS (SELECT claim_id, doc_id, rn AS rank FROM
-  (SELECT *, row_number() OVER (PARTITION BY claim_id
-     ORDER BY round(score, 6) DESC, doc_id) AS rn FROM sfull) WHERE rn <= {RBO_K}),
-rb AS (SELECT claim_id, doc_id, rn AS rank FROM
-  (SELECT *, row_number() OVER (PARTITION BY claim_id
-     ORDER BY round(score, 6) DESC, doc_id) AS rn FROM spruned) WHERE rn <= {RBO_K}),
-wts(d, w) AS (VALUES {rbo_weights}),
-common AS (
-  SELECT ra.claim_id, greatest(ra.rank, rb.rank) AS dmin
-  FROM ra JOIN rb ON rb.claim_id = ra.claim_id AND rb.doc_id = ra.doc_id
-)
-SELECT claim_id::BIGINT AS claim_id,
-       sum(CASE WHEN w.d = {RBO_K} THEN 1 ELSE 0 END)::BIGINT AS overlap_k,
-       round(sum(w.w), 6) AS rbo
-FROM common b JOIN wts w ON b.dmin <= w.d
-GROUP BY 1
-"""
     return doc_perplexity(p, ctf_stats(p), total)
 
 
@@ -1528,72 +1462,6 @@ def q_dedup_clusters(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     pairs = ngram_jaccard_pairs(docs, threshold=0.2, n=3)
-    d["bm25_topk_fuzzy_symspell"] = d["bm25_topk_fuzzy"]
-    rbo_weights = ", ".join(
-        f"({d}, {(1.0 - RBO_P) * RBO_P ** (d - 1) / d!r})" for d in range(1, RBO_K + 1)
-    )
-    d["pruned_rbo"] = f"""
-WITH toks AS ({_TOKS_SQL}),
-postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
-dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
-stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
-dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
-impacts AS (
-  SELECT p.term, p.doc_id, p.tf,
-         round( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
-                * p.tf * {K1 + 1.0}
-                / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)), 6) AS impact
-  FROM postings p
-  JOIN dfreq d ON d.term = p.term
-  JOIN dl l ON l.doc_id = p.doc_id
-  CROSS JOIN stats s
-),
-pruned AS (
-  SELECT term, doc_id, tf
-  FROM (SELECT *, row_number() OVER (PARTITION BY term
-          ORDER BY impact DESC, doc_id) AS prn FROM impacts)
-  WHERE prn <= {PRUNE_KEEP_N}
-),
-claims(claim_id, claim) AS {_CLAIMS_SQL},
-qterms AS (
-  SELECT DISTINCT claim_id, unnest(list_filter(regexp_split_to_array(lower(claim),
-    '[^a-z0-9]+'), t -> t <> '')) AS term FROM claims
-),
-sfull AS (
-  SELECT q.claim_id, p.doc_id,
-         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
-              * p.tf * {K1 + 1.0}
-              / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)) ) AS score
-  FROM qterms q JOIN postings p ON p.term = q.term
-  JOIN dfreq d ON d.term = q.term JOIN dl l ON l.doc_id = p.doc_id
-  CROSS JOIN stats s GROUP BY 1, 2
-),
-spruned AS (
-  SELECT q.claim_id, p.doc_id,
-         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
-              * p.tf * {K1 + 1.0}
-              / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)) ) AS score
-  FROM qterms q JOIN pruned p ON p.term = q.term
-  JOIN dfreq d ON d.term = q.term JOIN dl l ON l.doc_id = p.doc_id
-  CROSS JOIN stats s GROUP BY 1, 2
-),
-ra AS (SELECT claim_id, doc_id, rn AS rank FROM
-  (SELECT *, row_number() OVER (PARTITION BY claim_id
-     ORDER BY round(score, 6) DESC, doc_id) AS rn FROM sfull) WHERE rn <= {RBO_K}),
-rb AS (SELECT claim_id, doc_id, rn AS rank FROM
-  (SELECT *, row_number() OVER (PARTITION BY claim_id
-     ORDER BY round(score, 6) DESC, doc_id) AS rn FROM spruned) WHERE rn <= {RBO_K}),
-wts(d, w) AS (VALUES {rbo_weights}),
-common AS (
-  SELECT ra.claim_id, greatest(ra.rank, rb.rank) AS dmin
-  FROM ra JOIN rb ON rb.claim_id = ra.claim_id AND rb.doc_id = ra.doc_id
-)
-SELECT claim_id::BIGINT AS claim_id,
-       sum(CASE WHEN w.d = {RBO_K} THEN 1 ELSE 0 END)::BIGINT AS overlap_k,
-       round(sum(w.w), 6) AS rbo
-FROM common b JOIN wts w ON b.dmin <= w.d
-GROUP BY 1
-"""
     return duplicate_clusters(docs, pairs).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("component_id").cast("long").alias("component_id"),
@@ -1626,72 +1494,6 @@ def q_decontaminate(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     ev = docs.filter((F.col("doc_id") % 97) == 0)
-    d["bm25_topk_fuzzy_symspell"] = d["bm25_topk_fuzzy"]
-    rbo_weights = ", ".join(
-        f"({d}, {(1.0 - RBO_P) * RBO_P ** (d - 1) / d!r})" for d in range(1, RBO_K + 1)
-    )
-    d["pruned_rbo"] = f"""
-WITH toks AS ({_TOKS_SQL}),
-postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
-dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
-stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
-dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
-impacts AS (
-  SELECT p.term, p.doc_id, p.tf,
-         round( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
-                * p.tf * {K1 + 1.0}
-                / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)), 6) AS impact
-  FROM postings p
-  JOIN dfreq d ON d.term = p.term
-  JOIN dl l ON l.doc_id = p.doc_id
-  CROSS JOIN stats s
-),
-pruned AS (
-  SELECT term, doc_id, tf
-  FROM (SELECT *, row_number() OVER (PARTITION BY term
-          ORDER BY impact DESC, doc_id) AS prn FROM impacts)
-  WHERE prn <= {PRUNE_KEEP_N}
-),
-claims(claim_id, claim) AS {_CLAIMS_SQL},
-qterms AS (
-  SELECT DISTINCT claim_id, unnest(list_filter(regexp_split_to_array(lower(claim),
-    '[^a-z0-9]+'), t -> t <> '')) AS term FROM claims
-),
-sfull AS (
-  SELECT q.claim_id, p.doc_id,
-         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
-              * p.tf * {K1 + 1.0}
-              / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)) ) AS score
-  FROM qterms q JOIN postings p ON p.term = q.term
-  JOIN dfreq d ON d.term = q.term JOIN dl l ON l.doc_id = p.doc_id
-  CROSS JOIN stats s GROUP BY 1, 2
-),
-spruned AS (
-  SELECT q.claim_id, p.doc_id,
-         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
-              * p.tf * {K1 + 1.0}
-              / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)) ) AS score
-  FROM qterms q JOIN pruned p ON p.term = q.term
-  JOIN dfreq d ON d.term = q.term JOIN dl l ON l.doc_id = p.doc_id
-  CROSS JOIN stats s GROUP BY 1, 2
-),
-ra AS (SELECT claim_id, doc_id, rn AS rank FROM
-  (SELECT *, row_number() OVER (PARTITION BY claim_id
-     ORDER BY round(score, 6) DESC, doc_id) AS rn FROM sfull) WHERE rn <= {RBO_K}),
-rb AS (SELECT claim_id, doc_id, rn AS rank FROM
-  (SELECT *, row_number() OVER (PARTITION BY claim_id
-     ORDER BY round(score, 6) DESC, doc_id) AS rn FROM spruned) WHERE rn <= {RBO_K}),
-wts(d, w) AS (VALUES {rbo_weights}),
-common AS (
-  SELECT ra.claim_id, greatest(ra.rank, rb.rank) AS dmin
-  FROM ra JOIN rb ON rb.claim_id = ra.claim_id AND rb.doc_id = ra.doc_id
-)
-SELECT claim_id::BIGINT AS claim_id,
-       sum(CASE WHEN w.d = {RBO_K} THEN 1 ELSE 0 END)::BIGINT AS overlap_k,
-       round(sum(w.w), 6) AS rbo
-FROM common b JOIN wts w ON b.dmin <= w.d
-GROUP BY 1
-"""
     return decontaminate(docs, ev, n=3).select(
         F.col("doc_id").cast("long").alias("doc_id"), "n_hits", "contaminated"
     )
@@ -1872,72 +1674,6 @@ def _docs_with_pii(spark, sf_dir):
         F.lit(".com at 10.0."), (F.col("doc_id") % 256).cast("string"),
         F.lit(".9 call 555-123-4567"),
     )
-    d["bm25_topk_fuzzy_symspell"] = d["bm25_topk_fuzzy"]
-    rbo_weights = ", ".join(
-        f"({d}, {(1.0 - RBO_P) * RBO_P ** (d - 1) / d!r})" for d in range(1, RBO_K + 1)
-    )
-    d["pruned_rbo"] = f"""
-WITH toks AS ({_TOKS_SQL}),
-postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
-dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
-stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
-dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
-impacts AS (
-  SELECT p.term, p.doc_id, p.tf,
-         round( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
-                * p.tf * {K1 + 1.0}
-                / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)), 6) AS impact
-  FROM postings p
-  JOIN dfreq d ON d.term = p.term
-  JOIN dl l ON l.doc_id = p.doc_id
-  CROSS JOIN stats s
-),
-pruned AS (
-  SELECT term, doc_id, tf
-  FROM (SELECT *, row_number() OVER (PARTITION BY term
-          ORDER BY impact DESC, doc_id) AS prn FROM impacts)
-  WHERE prn <= {PRUNE_KEEP_N}
-),
-claims(claim_id, claim) AS {_CLAIMS_SQL},
-qterms AS (
-  SELECT DISTINCT claim_id, unnest(list_filter(regexp_split_to_array(lower(claim),
-    '[^a-z0-9]+'), t -> t <> '')) AS term FROM claims
-),
-sfull AS (
-  SELECT q.claim_id, p.doc_id,
-         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
-              * p.tf * {K1 + 1.0}
-              / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)) ) AS score
-  FROM qterms q JOIN postings p ON p.term = q.term
-  JOIN dfreq d ON d.term = q.term JOIN dl l ON l.doc_id = p.doc_id
-  CROSS JOIN stats s GROUP BY 1, 2
-),
-spruned AS (
-  SELECT q.claim_id, p.doc_id,
-         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
-              * p.tf * {K1 + 1.0}
-              / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)) ) AS score
-  FROM qterms q JOIN pruned p ON p.term = q.term
-  JOIN dfreq d ON d.term = q.term JOIN dl l ON l.doc_id = p.doc_id
-  CROSS JOIN stats s GROUP BY 1, 2
-),
-ra AS (SELECT claim_id, doc_id, rn AS rank FROM
-  (SELECT *, row_number() OVER (PARTITION BY claim_id
-     ORDER BY round(score, 6) DESC, doc_id) AS rn FROM sfull) WHERE rn <= {RBO_K}),
-rb AS (SELECT claim_id, doc_id, rn AS rank FROM
-  (SELECT *, row_number() OVER (PARTITION BY claim_id
-     ORDER BY round(score, 6) DESC, doc_id) AS rn FROM spruned) WHERE rn <= {RBO_K}),
-wts(d, w) AS (VALUES {rbo_weights}),
-common AS (
-  SELECT ra.claim_id, greatest(ra.rank, rb.rank) AS dmin
-  FROM ra JOIN rb ON rb.claim_id = ra.claim_id AND rb.doc_id = ra.doc_id
-)
-SELECT claim_id::BIGINT AS claim_id,
-       sum(CASE WHEN w.d = {RBO_K} THEN 1 ELSE 0 END)::BIGINT AS overlap_k,
-       round(sum(w.w), 6) AS rbo
-FROM common b JOIN wts w ON b.dmin <= w.d
-GROUP BY 1
-"""
     return d.withColumn(
         "text",
         F.concat(F.col("text"), F.when(F.col("doc_id") % 3 == 0, suffix).otherwise(F.lit(""))),
@@ -1975,72 +1711,6 @@ def _docs_with_url(spark, sf_dir):
         F.lit("/p/"), did.cast("string"),
         F.when(did % 4 == 0, F.lit("?q=x")).otherwise(F.lit("")),
     )
-    d["bm25_topk_fuzzy_symspell"] = d["bm25_topk_fuzzy"]
-    rbo_weights = ", ".join(
-        f"({d}, {(1.0 - RBO_P) * RBO_P ** (d - 1) / d!r})" for d in range(1, RBO_K + 1)
-    )
-    d["pruned_rbo"] = f"""
-WITH toks AS ({_TOKS_SQL}),
-postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
-dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
-stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
-dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
-impacts AS (
-  SELECT p.term, p.doc_id, p.tf,
-         round( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
-                * p.tf * {K1 + 1.0}
-                / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)), 6) AS impact
-  FROM postings p
-  JOIN dfreq d ON d.term = p.term
-  JOIN dl l ON l.doc_id = p.doc_id
-  CROSS JOIN stats s
-),
-pruned AS (
-  SELECT term, doc_id, tf
-  FROM (SELECT *, row_number() OVER (PARTITION BY term
-          ORDER BY impact DESC, doc_id) AS prn FROM impacts)
-  WHERE prn <= {PRUNE_KEEP_N}
-),
-claims(claim_id, claim) AS {_CLAIMS_SQL},
-qterms AS (
-  SELECT DISTINCT claim_id, unnest(list_filter(regexp_split_to_array(lower(claim),
-    '[^a-z0-9]+'), t -> t <> '')) AS term FROM claims
-),
-sfull AS (
-  SELECT q.claim_id, p.doc_id,
-         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
-              * p.tf * {K1 + 1.0}
-              / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)) ) AS score
-  FROM qterms q JOIN postings p ON p.term = q.term
-  JOIN dfreq d ON d.term = q.term JOIN dl l ON l.doc_id = p.doc_id
-  CROSS JOIN stats s GROUP BY 1, 2
-),
-spruned AS (
-  SELECT q.claim_id, p.doc_id,
-         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
-              * p.tf * {K1 + 1.0}
-              / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)) ) AS score
-  FROM qterms q JOIN pruned p ON p.term = q.term
-  JOIN dfreq d ON d.term = q.term JOIN dl l ON l.doc_id = p.doc_id
-  CROSS JOIN stats s GROUP BY 1, 2
-),
-ra AS (SELECT claim_id, doc_id, rn AS rank FROM
-  (SELECT *, row_number() OVER (PARTITION BY claim_id
-     ORDER BY round(score, 6) DESC, doc_id) AS rn FROM sfull) WHERE rn <= {RBO_K}),
-rb AS (SELECT claim_id, doc_id, rn AS rank FROM
-  (SELECT *, row_number() OVER (PARTITION BY claim_id
-     ORDER BY round(score, 6) DESC, doc_id) AS rn FROM spruned) WHERE rn <= {RBO_K}),
-wts(d, w) AS (VALUES {rbo_weights}),
-common AS (
-  SELECT ra.claim_id, greatest(ra.rank, rb.rank) AS dmin
-  FROM ra JOIN rb ON rb.claim_id = ra.claim_id AND rb.doc_id = ra.doc_id
-)
-SELECT claim_id::BIGINT AS claim_id,
-       sum(CASE WHEN w.d = {RBO_K} THEN 1 ELSE 0 END)::BIGINT AS overlap_k,
-       round(sum(w.w), 6) AS rbo
-FROM common b JOIN wts w ON b.dmin <= w.d
-GROUP BY 1
-"""
     return d.select("doc_id", url.alias("url"))
 
 
@@ -2075,72 +1745,6 @@ def q_domain_rollup(spark, sf_dir):
     page count, distinct hosts, https fraction, mean path depth."""
     from defactonlp_spark.functions.urls import domain_rollup
 
-    d["bm25_topk_fuzzy_symspell"] = d["bm25_topk_fuzzy"]
-    rbo_weights = ", ".join(
-        f"({d}, {(1.0 - RBO_P) * RBO_P ** (d - 1) / d!r})" for d in range(1, RBO_K + 1)
-    )
-    d["pruned_rbo"] = f"""
-WITH toks AS ({_TOKS_SQL}),
-postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
-dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
-stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
-dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
-impacts AS (
-  SELECT p.term, p.doc_id, p.tf,
-         round( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
-                * p.tf * {K1 + 1.0}
-                / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)), 6) AS impact
-  FROM postings p
-  JOIN dfreq d ON d.term = p.term
-  JOIN dl l ON l.doc_id = p.doc_id
-  CROSS JOIN stats s
-),
-pruned AS (
-  SELECT term, doc_id, tf
-  FROM (SELECT *, row_number() OVER (PARTITION BY term
-          ORDER BY impact DESC, doc_id) AS prn FROM impacts)
-  WHERE prn <= {PRUNE_KEEP_N}
-),
-claims(claim_id, claim) AS {_CLAIMS_SQL},
-qterms AS (
-  SELECT DISTINCT claim_id, unnest(list_filter(regexp_split_to_array(lower(claim),
-    '[^a-z0-9]+'), t -> t <> '')) AS term FROM claims
-),
-sfull AS (
-  SELECT q.claim_id, p.doc_id,
-         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
-              * p.tf * {K1 + 1.0}
-              / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)) ) AS score
-  FROM qterms q JOIN postings p ON p.term = q.term
-  JOIN dfreq d ON d.term = q.term JOIN dl l ON l.doc_id = p.doc_id
-  CROSS JOIN stats s GROUP BY 1, 2
-),
-spruned AS (
-  SELECT q.claim_id, p.doc_id,
-         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
-              * p.tf * {K1 + 1.0}
-              / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)) ) AS score
-  FROM qterms q JOIN pruned p ON p.term = q.term
-  JOIN dfreq d ON d.term = q.term JOIN dl l ON l.doc_id = p.doc_id
-  CROSS JOIN stats s GROUP BY 1, 2
-),
-ra AS (SELECT claim_id, doc_id, rn AS rank FROM
-  (SELECT *, row_number() OVER (PARTITION BY claim_id
-     ORDER BY round(score, 6) DESC, doc_id) AS rn FROM sfull) WHERE rn <= {RBO_K}),
-rb AS (SELECT claim_id, doc_id, rn AS rank FROM
-  (SELECT *, row_number() OVER (PARTITION BY claim_id
-     ORDER BY round(score, 6) DESC, doc_id) AS rn FROM spruned) WHERE rn <= {RBO_K}),
-wts(d, w) AS (VALUES {rbo_weights}),
-common AS (
-  SELECT ra.claim_id, greatest(ra.rank, rb.rank) AS dmin
-  FROM ra JOIN rb ON rb.claim_id = ra.claim_id AND rb.doc_id = ra.doc_id
-)
-SELECT claim_id::BIGINT AS claim_id,
-       sum(CASE WHEN w.d = {RBO_K} THEN 1 ELSE 0 END)::BIGINT AS overlap_k,
-       round(sum(w.w), 6) AS rbo
-FROM common b JOIN wts w ON b.dmin <= w.d
-GROUP BY 1
-"""
     return domain_rollup(_docs_with_url(spark, sf_dir))
 
 
@@ -2251,72 +1855,6 @@ def q_doc_keywords(spark, sf_dir):
 
     p = _postings_cached(spark, sf_dir)
     n_docs, _ = _engine_corpus_stats(p)
-    d["bm25_topk_fuzzy_symspell"] = d["bm25_topk_fuzzy"]
-    rbo_weights = ", ".join(
-        f"({d}, {(1.0 - RBO_P) * RBO_P ** (d - 1) / d!r})" for d in range(1, RBO_K + 1)
-    )
-    d["pruned_rbo"] = f"""
-WITH toks AS ({_TOKS_SQL}),
-postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
-dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
-stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
-dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
-impacts AS (
-  SELECT p.term, p.doc_id, p.tf,
-         round( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
-                * p.tf * {K1 + 1.0}
-                / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)), 6) AS impact
-  FROM postings p
-  JOIN dfreq d ON d.term = p.term
-  JOIN dl l ON l.doc_id = p.doc_id
-  CROSS JOIN stats s
-),
-pruned AS (
-  SELECT term, doc_id, tf
-  FROM (SELECT *, row_number() OVER (PARTITION BY term
-          ORDER BY impact DESC, doc_id) AS prn FROM impacts)
-  WHERE prn <= {PRUNE_KEEP_N}
-),
-claims(claim_id, claim) AS {_CLAIMS_SQL},
-qterms AS (
-  SELECT DISTINCT claim_id, unnest(list_filter(regexp_split_to_array(lower(claim),
-    '[^a-z0-9]+'), t -> t <> '')) AS term FROM claims
-),
-sfull AS (
-  SELECT q.claim_id, p.doc_id,
-         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
-              * p.tf * {K1 + 1.0}
-              / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)) ) AS score
-  FROM qterms q JOIN postings p ON p.term = q.term
-  JOIN dfreq d ON d.term = q.term JOIN dl l ON l.doc_id = p.doc_id
-  CROSS JOIN stats s GROUP BY 1, 2
-),
-spruned AS (
-  SELECT q.claim_id, p.doc_id,
-         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
-              * p.tf * {K1 + 1.0}
-              / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)) ) AS score
-  FROM qterms q JOIN pruned p ON p.term = q.term
-  JOIN dfreq d ON d.term = q.term JOIN dl l ON l.doc_id = p.doc_id
-  CROSS JOIN stats s GROUP BY 1, 2
-),
-ra AS (SELECT claim_id, doc_id, rn AS rank FROM
-  (SELECT *, row_number() OVER (PARTITION BY claim_id
-     ORDER BY round(score, 6) DESC, doc_id) AS rn FROM sfull) WHERE rn <= {RBO_K}),
-rb AS (SELECT claim_id, doc_id, rn AS rank FROM
-  (SELECT *, row_number() OVER (PARTITION BY claim_id
-     ORDER BY round(score, 6) DESC, doc_id) AS rn FROM spruned) WHERE rn <= {RBO_K}),
-wts(d, w) AS (VALUES {rbo_weights}),
-common AS (
-  SELECT ra.claim_id, greatest(ra.rank, rb.rank) AS dmin
-  FROM ra JOIN rb ON rb.claim_id = ra.claim_id AND rb.doc_id = ra.doc_id
-)
-SELECT claim_id::BIGINT AS claim_id,
-       sum(CASE WHEN w.d = {RBO_K} THEN 1 ELSE 0 END)::BIGINT AS overlap_k,
-       round(sum(w.w), 6) AS rbo
-FROM common b JOIN wts w ON b.dmin <= w.d
-GROUP BY 1
-"""
     return doc_keywords(p, n_docs, k=3).select(
         "doc_id", F.col("rank").cast("long").alias("rank"), "term", "weight"
     )

@@ -330,6 +330,28 @@ def main():
         must=["BroadcastHashJoin", "HashAggregate", "Window"],
     )
 
+    # 22. symspell fuzzy: the deletion-key EQUI-join — the banded
+    # theta-join's BroadcastNestedLoopJoin must be gone from this plan
+    from defactonlp_spark.operators.expansion import expand_fuzzy_symspell
+
+    ok &= check(
+        "fuzzy symspell (equi-join, no nested loop)",
+        plan_of(expand_fuzzy_symspell(st, qt, 3)),
+        must=["Window"],
+        must_not=["BroadcastNestedLoopJoin", "CartesianProduct"],
+    )
+
+    # 23. dup_spans: one kernel pass -> hash agg on the gram key ->
+    # LEFT SEMI back -> per-doc window; no corpus-sized nested join
+    from defactonlp_spark.operators.dedup import dup_spans
+
+    ok &= check(
+        "dup_spans (gram agg + semi-join + gap-merge window)",
+        plan_of(dup_spans(docs, gram_len=4)),
+        must=["MapInPandas", "HashAggregate", "LeftSemi", "Window"],
+        must_not=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    )
+
     print("\nPLANS " + ("OK" if ok else "NOT OK"))
     spark.stop()
     sys.exit(0 if ok else 1)
