@@ -916,6 +916,24 @@ def q_dup_spans(spark, sf_dir):
     return dup_spans(_docs(spark, sf_dir), gram_len=DUPSPAN_L)
 
 
+PERC_RULES = [
+    (0, "hash join"),
+    (1, "window stream batch"),
+    (2, "customer order"),
+    (3, "vector zzznever"),
+]
+
+
+def q_percolate_matches(spark, sf_dir):
+    """Reverse search (ES percolator): which corpus docs match which stored
+    alert rules — conjunctive term matching, rule terms broadcast onto one
+    postings scan (operators/bm25.py::percolate)."""
+    from defactonlp_spark.operators.bm25 import percolate
+
+    rules = spark.createDataFrame(PERC_RULES, "query_id long, query string")
+    return percolate(_postings_cached(spark, sf_dir), rules)
+
+
 def q_lm_dirichlet_indexed(spark, sf_dir):
     """LM Dirichlet over COMPRESSED SEGMENTS (plans/query.py::
     query_lm_dirichlet's decode path: term-pruned segment scan -> varbyte
@@ -2325,6 +2343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_clarity": q_query_clarity,
         "pruned_rbo": q_pruned_rbo,
         "dup_spans": q_dup_spans,
+        "percolate_matches": q_percolate_matches,
         "value_histogram": q_value_histogram,
         "doc_perplexity": q_doc_perplexity,
         "bm25_topk_pruned": q_bm25_topk_pruned,
@@ -3081,6 +3100,22 @@ SELECT claim_id::BIGINT AS claim_id, doc_id::BIGINT AS doc_id, round(score, 4) A
 FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
         ORDER BY round(score, 6) DESC, doc_id) AS rn FROM scored)
 WHERE rn <= {TOPK}
+""",
+        "percolate_matches": f"""
+WITH toks AS ({_TOKS_SQL}),
+doc_terms AS (SELECT DISTINCT term, doc_id FROM toks),
+rules(query_id, query) AS (VALUES {", ".join(f"({i}, '{q}')" for i, q in [(0, "hash join"), (1, "window stream batch"), (2, "customer order"), (3, "vector zzznever")])}),
+rterms AS (
+  SELECT DISTINCT query_id, unnest(list_filter(regexp_split_to_array(lower(query),
+    '[^a-z0-9]+'), t -> t <> '')) AS term FROM rules
+),
+nq AS (SELECT query_id, count(*)::BIGINT AS n_q FROM rterms GROUP BY 1)
+SELECT d.doc_id::BIGINT AS doc_id, r.query_id::BIGINT AS query_id, n.n_q AS n_terms
+FROM doc_terms d
+JOIN rterms r ON r.term = d.term
+JOIN nq n USING (query_id)
+GROUP BY d.doc_id, r.query_id, n.n_q
+HAVING count(*) = n.n_q
 """,
         "dup_spans": f"""
 WITH tl AS (

@@ -404,3 +404,46 @@ def score_page_after(
         .filter(F.col("rank") <= k)
         .select("claim_id", "rank", "doc_id", "score")
     )
+
+
+def percolate(
+    postings: DataFrame,
+    stored_queries: DataFrame,
+    id_col: str = "query_id",
+    text_col: str = "query",
+) -> DataFrame:
+    """Reverse search (the Elasticsearch percolator): match DOCUMENTS
+    against STORED QUERIES — the alerting/routing primitive ("tell me when
+    a crawled page matches my saved search"). A doc matches a stored query
+    iff it contains EVERY distinct term of the query (the percolator's
+    conjunctive term-query semantics; score-free).
+
+    ``postings``: the (term, doc_id, ...) relation of the incoming docs —
+    in a streaming deployment this is each micro-batch's postings inside
+    ``foreachBatch``; the operator is stateless so it composes directly.
+    ``stored_queries``: (query_id, query) free text — the rule table,
+    broadcast (alert rules are query-sized, never corpus-sized).
+
+    Output: (doc_id, query_id, n_terms) match pairs.
+
+    Plan: the score_conjunctive shape without scoring — broadcast the rule
+    terms onto one postings scan, one (doc, query) hash aggregate, keep
+    groups matching ALL terms. Rules with zero valid terms match nothing.
+    """
+    qterms = (
+        tokenize_postings(stored_queries, id_col=id_col, text_col=text_col)
+        .select(F.col("doc_id").alias(id_col), "term")
+        .distinct()
+    )
+    nq = qterms.groupBy(id_col).agg(F.count(F.lit(1)).alias("_nq"))
+    matched = (
+        postings.select("term", "doc_id")
+        .join(F.broadcast(qterms), "term", "inner")
+        .groupBy("doc_id", id_col)
+        .agg(F.count(F.lit(1)).alias("_hit"))
+        .join(F.broadcast(nq), id_col, "inner")
+        .filter(F.col("_hit") == F.col("_nq"))
+    )
+    return matched.select(
+        "doc_id", id_col, F.col("_nq").cast("long").alias("n_terms")
+    )

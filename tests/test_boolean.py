@@ -127,3 +127,38 @@ def test_query_boolean_index_path(spark, fixtures, tmp_path):
     )
     r = IndexReader(spark, str(tmp_path / "idx"))
     _check(query_boolean(r, queries, k=5, cfg=cfg))
+
+
+def test_percolate_conjunctive_matching(spark):
+    """Reverse search: docs match stored rules iff they contain every rule
+    term; duplicate rule words collapse; rules with an absent term match
+    nothing."""
+    from defactonlp_spark.operators.bm25 import percolate
+    from defactonlp_spark.operators.postings import build_postings
+
+    docs = spark.createDataFrame(
+        [
+            (0, "breaking news about spark release and performance"),
+            (1, "spark performance tuning guide"),
+            (2, "cooking pasta news"),
+        ],
+        "doc_id long, text string",
+    )
+    rules = spark.createDataFrame(
+        [
+            (10, "spark performance"),
+            (11, "news"),
+            (12, "news news news"),       # dup terms -> single term rule
+            (13, "spark zzzmissing"),     # unmatchable term
+        ],
+        "query_id long, query string",
+    )
+    got = {
+        (r["doc_id"], r["query_id"]): r["n_terms"]
+        for r in percolate(build_postings(docs), rules).collect()
+    }
+    assert got == {
+        (0, 10): 2, (1, 10): 2,          # both contain spark+performance
+        (0, 11): 1, (2, 11): 1,          # news docs
+        (0, 12): 1, (2, 12): 1,          # dedup'd rule == rule 11
+    }
