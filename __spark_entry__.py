@@ -934,6 +934,35 @@ def q_percolate_matches(spark, sf_dir):
     return percolate(_postings_cached(spark, sf_dir), rules)
 
 
+LTR_K, LTR_MU = 10, 2000.0
+
+
+def q_ltr_features(spark, sf_dir):
+    """LTR feature logging (ES LTR / feature-store shape): per claim the
+    BM25 top-10 candidates with (bm25, lm_qlh, n_matched, dl, quality)
+    features — the retrieval-to-training bridge
+    (operators/ltr.py::ltr_features)."""
+    from defactonlp_spark.functions.textstats import quality_features
+    from defactonlp_spark.operators.bm25 import claim_terms
+    from defactonlp_spark.operators.lm import ctf_stats
+    from defactonlp_spark.operators.ltr import ltr_features
+    from defactonlp_spark.operators.postings import corpus_stats, term_stats
+
+    p = _postings_cached(spark, sf_dir)
+    cs = corpus_stats(p).collect()[0]
+    n_docs, avgdl, total = int(cs["n_docs"]), float(cs["avgdl"]), int(cs["total_tokens"])
+    qual = quality_features(_docs(spark, sf_dir)).select("doc_id", "quality")
+    res = ltr_features(
+        p, term_stats(p), ctf_stats(p), claim_terms(_claims_df(spark)), qual,
+        n_docs, avgdl, total, k=LTR_K, mu=LTR_MU,
+    )
+    return res.select(
+        "claim_id", F.col("rank").cast("long").alias("rank"), "doc_id",
+        F.round("bm25", 4).alias("bm25"), F.round("lm_qlh", 4).alias("lm_qlh"),
+        "n_matched", "dl", "quality",
+    )
+
+
 def q_lm_dirichlet_indexed(spark, sf_dir):
     """LM Dirichlet over COMPRESSED SEGMENTS (plans/query.py::
     query_lm_dirichlet's decode path: term-pruned segment scan -> varbyte
@@ -2344,6 +2373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pruned_rbo": q_pruned_rbo,
         "dup_spans": q_dup_spans,
         "percolate_matches": q_percolate_matches,
+        "ltr_features": q_ltr_features,
         "value_histogram": q_value_histogram,
         "doc_perplexity": q_doc_perplexity,
         "bm25_topk_pruned": q_bm25_topk_pruned,
@@ -3101,6 +3131,83 @@ FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
         ORDER BY round(score, 6) DESC, doc_id) AS rn FROM scored)
 WHERE rn <= {TOPK}
 """,
+        "ltr_features": f"""
+WITH toks AS ({_TOKS_SQL}),
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tot AS (SELECT sum(dl) AS t FROM dl),
+ctf AS (SELECT term, sum(tf)::DOUBLE AS ctf FROM postings GROUP BY 1),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+claims(claim_id, claim) AS {_CLAIMS_SQL},
+qterms AS (
+  SELECT DISTINCT claim_id, unnest(list_filter(regexp_split_to_array(lower(claim),
+    '[^a-z0-9]+'), t -> t <> '')) AS term FROM claims
+),
+base AS (
+  SELECT q.claim_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * p.tf * {K1 + 1.0}
+              / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)) ) AS bm25,
+         count(*)::BIGINT AS n_matched,
+         min(l.dl)::BIGINT AS dl
+  FROM qterms q
+  JOIN postings p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl l ON l.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+cands AS (
+  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
+      ORDER BY round(bm25, 6) DESC, doc_id) AS rank FROM base)
+  WHERE rank <= {LTR_K}
+),
+qc AS (SELECT q.claim_id, q.term, c.ctf FROM qterms q JOIN ctf c ON c.term = q.term),
+nqin AS (SELECT claim_id, count(*)::DOUBLE AS nqin FROM qc GROUP BY 1),
+lmrel AS (
+  SELECT q.claim_id, p.doc_id,
+         sum(ln(1 + p.tf / ({LTR_MU} * q.ctf / t.t))) AS tsum,
+         min(l.dl) AS dld
+  FROM qc q JOIN postings p ON p.term = q.term
+  JOIN dl l ON l.doc_id = p.doc_id
+  CROSS JOIN tot t
+  GROUP BY 1, 2
+),
+lm AS (
+  SELECT r.claim_id, r.doc_id,
+         r.tsum + n.nqin * ln({LTR_MU} / (r.dld + {LTR_MU})) AS lm_qlh
+  FROM lmrel r JOIN nqin n USING (claim_id)
+),
+qbase AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toklist,
+         length(text)::BIGINT AS n_chars,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE AS alpha
+  FROM documents
+),
+qfeat AS (
+  SELECT doc_id, len(toklist)::BIGINT AS n_tokens,
+         CASE WHEN len(toklist) > 0
+              THEN len(list_filter(toklist, t -> list_contains({{stop_list}}, t)))::DOUBLE / len(toklist)
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END AS alpha_ratio
+  FROM qbase
+),
+qual AS (
+  SELECT doc_id,
+         round(CASE WHEN n_tokens < 5 THEN 0.0
+               ELSE least(greatest(alpha_ratio * (1.0 - greatest(stop_ratio - 0.5, 0.0)), 0.0), 1.0)
+               END, 6) AS quality
+  FROM qfeat
+)
+SELECT c.claim_id::BIGINT AS claim_id, c.rank::BIGINT AS rank, c.doc_id::BIGINT AS doc_id,
+       round(c.bm25, 4) AS bm25, round(m.lm_qlh, 4) AS lm_qlh,
+       c.n_matched, c.dl, u.quality
+FROM cands c
+LEFT JOIN lm m ON m.claim_id = c.claim_id AND m.doc_id = c.doc_id
+LEFT JOIN qual u ON u.doc_id = c.doc_id
+""".format(stop_list=stop_list),
         "percolate_matches": f"""
 WITH toks AS ({_TOKS_SQL}),
 doc_terms AS (SELECT DISTINCT term, doc_id FROM toks),

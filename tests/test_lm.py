@@ -369,3 +369,35 @@ def test_prune_two_phase_equals_single_window(spark, corpus):
         .select("term", "doc_id", "tf", "dl")
     )
     assert two.exceptAll(ref).count() == 0 and ref.exceptAll(two).count() == 0
+
+
+def test_ltr_features_consistent_with_component_scorers(spark, corpus, claims_df):
+    """Each feature column must equal the standalone operator's value for
+    the same (claim, doc): bm25 == score_exhaustive, lm_qlh ==
+    score_lm_dirichlet, quality == quality_features."""
+    from defactonlp_spark.functions.textstats import quality_features
+    from defactonlp_spark.operators.ltr import ltr_features
+
+    p, n_docs, avgdl, total = corpus
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in TEXTS.items()], "doc_id long, text string"
+    )
+    qual = quality_features(docs).select("doc_id", "quality")
+    qt = claim_terms(claims_df)
+    feats = ltr_features(
+        p, term_stats(p), ctf_stats(p), qt, qual, n_docs, avgdl, total,
+        k=6, mu=MU,
+    ).toPandas()
+    assert (feats.groupby("claim_id")["rank"].max() <= 6).all()
+
+    bm = score_exhaustive(p, term_stats(p), qt, n_docs, avgdl, k=6, rank_dp=6).toPandas()
+    bm_map = {(r.claim_id, r.doc_id): r.score for r in bm.itertuples()}
+    lm = score_lm_dirichlet(p, ctf_stats(p), qt, total, mu=MU, k=100).toPandas()
+    lm_map = {(r.claim_id, r.doc_id): r.score for r in lm.itertuples()}
+    qmap = {r["doc_id"]: r["quality"] for r in qual.collect()}
+    for r in feats.itertuples():
+        key = (r.claim_id, r.doc_id)
+        assert abs(bm_map[key] - r.bm25) < 1e-9
+        assert abs(lm_map[key] - r.lm_qlh) < 1e-9
+        assert qmap[r.doc_id] == r.quality
+        assert r.dl == len(TEXTS[r.doc_id].split())
