@@ -63,6 +63,8 @@ DO_DELETES = os.environ.get("BENCH_DELETES", "1") == "1"
 DO_HARNESS = os.environ.get("BENCH_HARNESS", "1") == "1"
 # one-pass curation throughput over the synthetic webpages corpus:
 DO_CURATION = os.environ.get("BENCH_CURATION", "1") == "1"
+#: session-5 ops (dup_spans / pack_sequences / percolate) at the 320k corpus
+DO_S5OPS = os.environ.get("BENCH_S5OPS", "1") == "1"
 MERGE_PAGES = int(os.environ.get("BENCH_MERGE_PAGES", "1000000"))
 # end-to-end near-dup dedup pipeline throughput over the webpages corpus:
 DO_DEDUP = os.environ.get("BENCH_DEDUP", "1") == "1"
@@ -291,6 +293,84 @@ def bench_curation(cores: int) -> dict:
             "steal_jiffies": _steal_jiffies() - s0,
         }
     finally:
+        spark.stop()
+
+
+def bench_s5_ops(cores: int) -> dict:
+    """Throughput of the session-5 corpus-scale ops over the synthetic
+    webpages corpus: exact repeated-substring spans (dup_spans — one kernel
+    pass + gram agg + gap-merge), training-sequence packing
+    (pack_sequences — two-phase prefix sum), and reverse search
+    (percolate — 100 stored rules broadcast onto one postings pass).
+    Each action is a small aggregate that forces the full plan."""
+    from pyspark.sql import functions as F
+
+    from defactonlp_spark.operators.bm25 import percolate
+    from defactonlp_spark.operators.curation import pack_sequences
+    from defactonlp_spark.operators.dedup import dup_spans
+    from defactonlp_spark.operators.postings import build_postings
+    from defactonlp_spark.plans.build import prepare_webpages
+
+    spark = _spark(cores)
+    out: dict = {}
+    corpus = p = None
+    try:
+        _warmup(spark)
+        corpus = prepare_webpages(spark.read.parquet(_webpages_path())).persist()
+        n = corpus.count()  # materialize OUTSIDE the timed regions
+        out["docs"] = n
+
+        t0, s0 = time.time(), _steal_jiffies()
+        spans = dup_spans(corpus, gram_len=8)
+        row = spans.agg(
+            F.count(F.lit(1)).alias("spans"), F.sum("n_tokens").alias("dup_tokens")
+        ).collect()[0]
+        w = time.time() - t0
+        out["dup_spans"] = {
+            "spans": int(row["spans"]), "dup_tokens": int(row["dup_tokens"] or 0),
+            "wall_sec": round(w, 2), "docs_per_sec": round(n / w, 1),
+            "steal_jiffies": _steal_jiffies() - s0,
+        }
+
+        t0, s0 = time.time(), _steal_jiffies()
+        packed = pack_sequences(corpus, seq_len=2048)
+        row = packed.agg(
+            F.max("seq_id").alias("mx"), F.sum("n_tokens").alias("tok")
+        ).collect()[0]
+        w = time.time() - t0
+        out["pack_sequences"] = {
+            "sequences": int(row["mx"]) + 1, "tokens": int(row["tok"]),
+            "wall_sec": round(w, 2), "docs_per_sec": round(n / w, 1),
+            "steal_jiffies": _steal_jiffies() - s0,
+        }
+
+        # rules from the real dictionary (prep OUTSIDE the timed region):
+        # pair mid-df terms so conjunctions match a realistic slice
+        p = build_postings(corpus).persist()
+        p.count()
+        from defactonlp_spark.operators.postings import term_stats
+
+        vocab = [
+            r["term"] for r in term_stats(p).orderBy(F.desc("df"), "term")
+            .limit(300).collect()
+        ][100:300]
+        rules = spark.createDataFrame(
+            [(i, f"{vocab[i]} {vocab[199 - i]}") for i in range(100)],
+            "query_id long, query string",
+        )
+        t0, s0 = time.time(), _steal_jiffies()
+        m = percolate(p, rules).count()
+        w = time.time() - t0
+        out["percolate_100_rules"] = {
+            "matches": int(m), "wall_sec": round(w, 2),
+            "docs_per_sec": round(n / w, 1),
+            "steal_jiffies": _steal_jiffies() - s0,
+        }
+        return out
+    finally:
+        for rel in (corpus, p):
+            if rel is not None:
+                rel.unpersist()
         spark.stop()
 
 
@@ -585,6 +665,10 @@ def main():
     # -- near-dup dedup pipeline + decontaminate + training mix at 320k -----
     if DO_DEDUP:
         results["dedup_pipeline"] = bench_dedup_pipeline(CPUS)
+
+    # -- session-5 corpus-scale ops at 320k ---------------------------------
+    if DO_S5OPS:
+        results["s5_ops"] = bench_s5_ops(CPUS)
 
     # -- harness queries at SF_DIR ------------------------------------------
     if not DO_HARNESS:

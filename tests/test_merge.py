@@ -146,3 +146,57 @@ def test_plan_compaction_policy():
     # deterministic tie-break on dir when sizes equal
     ties = [{"dir": d, "n_docs": 10} for d in ("/b", "/a", "/c", "/e", "/d")]
     assert plan_compaction(ties, max_generations=3) == ["/a", "/b", "/c"]
+
+
+def test_policy_driven_compaction_loop(spark, tmp_path):
+    """plan_compaction driving merge_builds in a loop (the operational
+    lifecycle): five unequal generations, cap 2 -> the policy selects the
+    four smallest, one merge brings the live set to [merged, biggest],
+    policy goes quiet; a final full merge serves queries rank-identical to
+    WAND-vs-exhaustive over the same index and covers every doc."""
+    from defactonlp_spark.plans.build import (
+        IndexBuild,
+        IndexReader,
+        merge_builds,
+        plan_compaction,
+        prepare_webpages_fused,
+    )
+    from defactonlp_spark.plans.query import query_exhaustive, query_wand
+    from defactonlp_spark.sources.fixtures import gen_claims, gen_webpages
+
+    cfg = EngineConfig(n_buckets=4)
+    sizes = [120, 40, 80, 30, 60]
+    gens = []
+    start = 0
+    for gi, n in enumerate(sizes):
+        pages = spark.createDataFrame(gen_webpages(n=n, seed=20 + gi, start=start))
+        d = str(tmp_path / f"g{gi}")
+        props = IndexBuild(
+            d, cfg, build_id=f"g{gi}", n_groups=1, id_offset=gi << 50
+        ).run(spark, prepare_webpages_fused(pages, n_parts=4), input_snapshot=f"g{gi}")
+        gens.append({"dir": d, "n_docs": int(props["n_docs"])})
+        start += n
+
+    live = list(gens)
+    job = plan_compaction(live, max_generations=2)
+    assert job is not None and len(job) == 4
+    # the four smallest by (n_docs, dir)
+    assert set(job) == {g["dir"] for g in sorted(gens, key=lambda g: (g["n_docs"], g["dir"]))[:4]}
+
+    d_m1 = str(tmp_path / "m1")
+    p1 = merge_builds(spark, job, d_m1, cfg)
+    live = [g for g in live if g["dir"] not in set(job)]
+    live.append({"dir": d_m1, "n_docs": int(p1["n_docs"])})
+    assert len(live) == 2
+    assert plan_compaction(live, max_generations=2) is None  # at cap: quiet
+
+    d_final = str(tmp_path / "mf")
+    pf = merge_builds(spark, [g["dir"] for g in live], d_final, cfg)
+    assert pf["n_docs"] == sum(sizes)
+    r = IndexReader(spark, d_final)
+    claims = spark.createDataFrame(gen_claims(10)[["claim_id", "claim"]])
+    w = query_wand(r, claims, k=5, cfg=cfg).toPandas().sort_values(
+        ["claim_id", "rank"]).reset_index(drop=True)
+    e = query_exhaustive(r, claims, k=5, cfg=cfg).toPandas().sort_values(
+        ["claim_id", "rank"]).reset_index(drop=True)
+    assert list(w["doc_id"]) == list(e["doc_id"]) and len(w) > 0
