@@ -211,6 +211,42 @@ class LocalTable:
             )
         )
 
+    def snapshot_diff(
+        self,
+        spark: SparkSession,
+        v_old: int,
+        v_new: int,
+        key_cols: list[str],
+    ) -> DataFrame:
+        """Changed-data view between two snapshots (the Iceberg
+        changelog/CDC shape): one row per key whose row set differs, with
+        ``change`` in ('added', 'removed', 'updated'). Pure relational —
+        full-outer join of the two versions' key sets plus an exceptAll
+        row-identity check for updates; both versions are immutable file
+        lists, so the diff is reproducible forever.
+        """
+        from pyspark.sql import functions as F
+
+        old_df, new_df = self.read(spark, v_old), self.read(spark, v_new)
+        ok = old_df.select(*key_cols).distinct().withColumn("_o", F.lit(1))
+        nk = new_df.select(*key_cols).distinct().withColumn("_n", F.lit(1))
+        keys = ok.join(nk, key_cols, "full_outer")
+        added = keys.filter(F.col("_o").isNull()).select(
+            *key_cols, F.lit("added").alias("change")
+        )
+        removed = keys.filter(F.col("_n").isNull()).select(
+            *key_cols, F.lit("removed").alias("change")
+        )
+        # updated: key present in both but the full row changed
+        common = keys.filter(F.col("_o").isNotNull() & F.col("_n").isNotNull()).select(*key_cols)
+        changed_rows = new_df.join(common, key_cols, "left_semi").exceptAll(
+            old_df.join(common, key_cols, "left_semi")
+        )
+        updated = changed_rows.select(*key_cols).distinct().select(
+            *key_cols, F.lit("updated").alias("change")
+        )
+        return added.unionByName(removed).unionByName(updated)
+
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Read the current (or a time-travel ``version``) snapshot.
 

@@ -132,3 +132,19 @@ def test_upsert_on_empty_table_is_overwrite(spark, tmp_path):
     )
     assert snap.operation == "overwrite"
     assert t.read(spark).count() == 1
+
+
+def test_snapshot_diff_add_remove_update(spark, tmp_path):
+    from defactonlp_spark.sources.tableio import LocalTable
+
+    t = LocalTable(str(tmp_path / "cdc"))
+    t.overwrite(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"))
+    # v2: 2 updated, 3 removed, 4 added (1 untouched)
+    t.overwrite(spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "doc_id long, text string"))
+    diff = {
+        (r["doc_id"], r["change"])
+        for r in t.snapshot_diff(spark, 1, 2, ["doc_id"]).collect()
+    }
+    assert diff == {(4, "added"), (3, "removed"), (2, "updated")}
