@@ -19,8 +19,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from defactonlp_spark.functions.textstats import token_count_col
-
 #: default split percentages (train, val, test) — must sum to 100
 SPLIT_WEIGHTS = (80, 10, 10)
 
