@@ -674,7 +674,7 @@ def main():
     if not DO_HARNESS:
         results["queries"] = {}
         results["value"] = 0.0
-        print(json.dumps(results))
+        _emit(results)
         return
     from defactonlp_spark.operators.dedup import release_cached
 
@@ -701,7 +701,49 @@ def main():
         spark.stop()
     results["queries"] = queries
     results["value"] = round(sum(v for v in queries.values() if v > 0), 2)
-    print(json.dumps(results))
+    _emit(results)
+
+
+FULL_RESULTS_PATH = os.environ.get(
+    "BENCH_FULL_PATH", os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "BENCH_full_latest.json")
+)
+
+
+def _emit(results: dict) -> None:
+    """Write the FULL results dict to a file and print a COMPACT summary as
+    the final stdout line.
+
+    Round 3 lost its driver-side bench record because the single stdout JSON
+    line (91-query dict + 10 nested benchmark sections, ~15 KB) outgrew the
+    driver's tail capture — BENCH_r03.json came back `parsed: null` with the
+    line's head sheared off (VERDICT r3 "What's wrong" #1). The driver
+    contract needs {metric, value, unit, sf, queries} plus the scaling and
+    serving headlines; everything else (raw runs, per-stage tables, deletes/
+    merge/dedup sections) is human-audit detail that lives in the file.
+    Query walls are rounded to 2 dp to keep the line a safe ~3 KB."""
+    with open(FULL_RESULTS_PATH, "w") as f:
+        json.dump(results, f, indent=1)
+    compact = {
+        "metric": results.get("metric"),
+        "value": results.get("value"),
+        "unit": results.get("unit"),
+        "sf": results.get("sf"),
+        "queries": {k: round(v, 2) for k, v in results.get("queries", {}).items()},
+        "full_results": FULL_RESULTS_PATH,
+    }
+    ib = results.get("index_build") or {}
+    for key in ("docs", "scaling_efficiency", "scaling_efficiency_median",
+                "scaling_efficiency_min_walls", "pair_efficiencies",
+                "dominant_stage_cpu_ratio",
+                f"local{N_SMALL}_docs_per_sec", f"local{N_LARGE}_docs_per_sec"):
+        if key in ib:
+            compact[f"ib_{key}"] = ib[key]
+    qs = results.get("query_serving") or {}
+    for key in ("claims", "wand_claims_per_sec", "warm_claims_per_sec"):
+        if key in qs:
+            compact[f"serve_{key}"] = qs[key]
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
