@@ -377,10 +377,22 @@ def ranking_rbo(
         "claim_id", F.greatest("_ra", "_rb").alias("_dmin")
     )
     contrib = both.join(F.broadcast(wdf), F.col("_dmin") <= F.col("d"), "inner")
-    return (
+    agg = (
         contrib.groupBy("claim_id")
         .agg(
             F.sum(F.when(F.col("d") == k, 1).otherwise(0)).cast("long").alias("overlap_k"),
             F.round(F.sum("w"), 6).alias("rbo"),
         )
+    )
+    # Zero-overlap claims produce no contrib rows; without this left join
+    # they would silently VANISH from the output and bias any downstream
+    # mean-RBO upward (ADVICE r3). Every claim appearing in either ranking
+    # gets a row; no intersection -> rbo = 0.0, the metric's true value.
+    ids = (
+        a.select("claim_id").union(b.select("claim_id")).distinct()
+    )
+    return ids.join(agg, "claim_id", "left").select(
+        "claim_id",
+        F.coalesce(F.col("overlap_k"), F.lit(0)).cast("long").alias("overlap_k"),
+        F.coalesce(F.col("rbo"), F.lit(0.0)).alias("rbo"),
     )

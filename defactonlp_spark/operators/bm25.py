@@ -371,10 +371,15 @@ def score_page_after(
     strictly after the cursor in (round(score,6) desc, doc_id asc) order,
     WITHOUT ranking everything above the cursor.
 
-    ``cursors``: (claim_id, after_score, after_doc); after_score must be
-    the 6-dp-rounded score (the page order key — raw floats differ across
-    engines/plans, the rounded key is the portable cursor). Claims absent
-    from ``cursors`` return nothing (no cursor, no page).
+    ``cursors``: (claim_id, after_score, after_doc); after_score is the
+    6-dp-rounded score (the page order key — raw floats differ across
+    engines/plans, the rounded key is the portable cursor). The operator
+    re-applies ``F.round(after_score, 6)`` itself, so a caller passing a
+    raw float — or a Python ``round()`` value, which is banker's-rounded
+    and can sit off the HALF_UP grid — cannot silently drop or duplicate
+    boundary rows: the contract is enforced here, not just documented
+    (ADVICE r3). Claims absent from ``cursors`` return nothing (no
+    cursor, no page).
 
     Why this beats OFFSET at scale: the cursor predicate filters BEFORE
     the top-k window, so page N costs the same one scan + one narrow
@@ -385,6 +390,7 @@ def score_page_after(
     Correctness contract (tested): cursor-paging is EQUAL to the rank
     slice [k+1, 2k] of a double-size page-1 run with the same rank key.
     """
+    cursors = cursors.withColumn("after_score", F.round("after_score", 6))
     q = qterms.join(stats, "term", "inner")
     scored = (
         postings.join(F.broadcast(q), "term", "inner")
@@ -446,4 +452,131 @@ def percolate(
     )
     return matched.select(
         "doc_id", id_col, F.col("_nq").cast("long").alias("n_terms")
+    )
+
+
+def percolate_v2(
+    postings: DataFrame,
+    stored_queries: DataFrame,
+    tokens: DataFrame | None = None,
+    id_col: str = "query_id",
+) -> DataFrame:
+    """Percolator with the Elasticsearch BOOL-QUERY surface (VERDICT r3 #7):
+    stored queries are sets of CLAUSES, each a conjunctive term set or an
+    exact phrase, composed with must / should / must_not occurs.
+
+    ``stored_queries``: (query_id, clause_id, occur, kind, text) — one row
+    per clause; ``occur`` in {'must','should','must_not'}, ``kind`` in
+    {'terms','phrase'}. Match semantics are ES bool-filter semantics:
+    every must clause matches AND no must_not clause matches AND — the ES
+    minimum_should_match default — at least one should clause matches when
+    the query has NO must clauses (with must present, should is optional).
+    A query whose clauses are all must_not would match the entire corpus;
+    that is rejected loudly (alerting rules must select, not only exclude).
+
+    ``tokens``: positional (doc_id, pos, term) from ``tokenize_tokens`` —
+    required iff any phrase clause exists. A terms clause matches a doc iff
+    the doc contains EVERY distinct term (percolate v1's semantics); a
+    phrase clause iff the exact adjacent sequence occurs — the anchor trick
+    (operators/phrase.py): occurrences of phrase term i at position p all
+    share anchor p - i iff the phrase is contiguous, so one groupBy on
+    (doc, clause, anchor) counting distinct i replaces any positional
+    self-join.
+
+    Output: (doc_id, query_id, n_must_matched, n_should_matched).
+
+    Plan: rule relations are query-sized — every join against corpus-sized
+    relations broadcasts the rule side onto ONE postings scan (terms
+    clauses) and ONE term-pruned tokens scan (phrase clauses); the only
+    corpus-keyed aggregates are (doc, clause[, anchor]) hash aggregates.
+    Stateless like v1, so it drops into foreachBatch unchanged.
+    """
+    from defactonlp_spark.functions.tokenize import tokenize_tokens
+
+    # clause uid: numeric (the tokenize kernels require int64 ids);
+    # query-sized relation, 2^20 clauses per query is beyond any rule table
+    rules = stored_queries.withColumn(
+        "_uid", F.col(id_col).cast("long") * F.lit(1 << 20) + F.col("clause_id")
+    )
+    n_unselective = (
+        rules.groupBy(id_col)
+        .agg(F.sum(F.when(F.col("occur") != "must_not", 1).otherwise(0)).alias("_p"))
+        .filter(F.col("_p") == 0)
+        .count()
+    )
+    if n_unselective:
+        raise ValueError(
+            f"{n_unselective} stored queries have only must_not clauses — "
+            "they would match the whole corpus; add a positive clause"
+        )
+
+    matches = []
+    tcl = rules.filter(F.col("kind") == "terms")
+    cterms = (
+        tokenize_postings(tcl, id_col="_uid", text_col="text")
+        .select(F.col("doc_id").alias("_uid"), "term")
+        .distinct()
+    )
+    nct = cterms.groupBy("_uid").agg(F.count(F.lit(1)).alias("_n"))
+    matches.append(
+        postings.select("term", "doc_id")
+        .join(F.broadcast(cterms), "term", "inner")
+        .groupBy("doc_id", "_uid")
+        .agg(F.count(F.lit(1)).alias("_hit"))
+        .join(F.broadcast(nct), "_uid", "inner")
+        .filter(F.col("_hit") == F.col("_n"))
+        .select("doc_id", "_uid")
+    )
+
+    pcl = rules.filter(F.col("kind") == "phrase")
+    if pcl.limit(1).count():
+        if tokens is None:
+            raise ValueError(
+                "phrase clauses present but no positional tokens relation "
+                "was given — pass tokenize_tokens(corpus)"
+            )
+        pterms = tokenize_tokens(pcl, id_col="_uid", text_col="text").select(
+            F.col("doc_id").alias("_uid"), F.col("pos").alias("_i"), "term"
+        )
+        plen = pterms.groupBy("_uid").agg((F.max("_i") + 1).alias("_m"))
+        matches.append(
+            tokens.join(F.broadcast(pterms), "term", "inner")
+            .withColumn("_anchor", F.col("pos") - F.col("_i"))
+            .groupBy("doc_id", "_uid", "_anchor")
+            .agg(F.count_distinct(F.col("_i")).alias("_c"))
+            .join(F.broadcast(plen), "_uid", "inner")
+            .filter(F.col("_c") == F.col("_m"))
+            .select("doc_id", "_uid")
+            .distinct()
+        )
+
+    cm = matches[0]
+    for m in matches[1:]:
+        cm = cm.unionByName(m)
+    occ = F.col("occur")
+    per = (
+        cm.join(F.broadcast(rules.select("_uid", id_col, "occur")), "_uid", "inner")
+        .groupBy("doc_id", id_col)
+        .agg(
+            F.sum(F.when(occ == "must", 1).otherwise(0)).cast("long").alias("_must_m"),
+            F.sum(F.when(occ == "should", 1).otherwise(0)).cast("long").alias("_should_m"),
+            F.sum(F.when(occ == "must_not", 1).otherwise(0)).cast("long").alias("_not_m"),
+        )
+    )
+    qstats = rules.groupBy(id_col).agg(
+        F.sum(F.when(occ == "must", 1).otherwise(0)).cast("long").alias("_must"),
+        F.sum(F.when(occ == "should", 1).otherwise(0)).cast("long").alias("_should"),
+    )
+    return (
+        per.join(F.broadcast(qstats), id_col, "inner")
+        .filter(
+            (F.col("_not_m") == 0)
+            & (F.col("_must_m") == F.col("_must"))
+            & ((F.col("_must") > 0) | (F.col("_should_m") >= 1))
+        )
+        .select(
+            "doc_id", id_col,
+            F.col("_must_m").alias("n_must_matched"),
+            F.col("_should_m").alias("n_should_matched"),
+        )
     )

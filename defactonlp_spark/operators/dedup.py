@@ -22,6 +22,8 @@ dedup is a first-class build stage (BASELINE.json webtext tier).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -48,7 +50,16 @@ def _track_persist(df: DataFrame, level=StorageLevel.MEMORY_AND_DISK) -> DataFra
 def release_cached() -> int:
     """Unpersist every intermediate this module persisted; returns the count.
     Call after the consuming action when invoking pair operators repeatedly
-    in one session."""
+    in one session.
+
+    SCOPE CONTRACT (ADVICE r3): the registry is process-global and shared by
+    every caller that routes persists through ``_track_persist`` (this
+    module, sentence_retrieval, plans/curate.py). A bare ``release_cached()``
+    therefore assumes ONE pipeline at a time — calling it while another
+    pipeline's cached relations are still in flight unpersists them too
+    (they recompute correctly, but the other pipeline loses its caching).
+    Interleaved pipelines in one process should each wrap their work in
+    ``cache_scope()`` below, which releases only its own persists."""
     n = len(_PERSISTED)
     while _PERSISTED:
         try:
@@ -56,6 +67,25 @@ def release_cached() -> int:
         except Exception:
             pass  # session already stopped
     return n
+
+
+@contextmanager
+def cache_scope():
+    """Scoped alternative to the global ``release_cached()``: on exit,
+    unpersist only the intermediates registered INSIDE the scope (a
+    high-water-mark over the LIFO registry, so scopes nest). Single-threaded
+    per process — concurrent pipelines belong in separate processes (or
+    must accept global release semantics), since interleaved appends from
+    two threads cannot be attributed to a scope."""
+    mark = len(_PERSISTED)
+    try:
+        yield
+    finally:
+        while len(_PERSISTED) > mark:
+            try:
+                _PERSISTED.pop().unpersist()
+            except Exception:
+                pass  # session already stopped
 
 
 def tokens_col(text_col: str = "text"):
@@ -688,7 +718,12 @@ def decontaminate(
     operator falls back to the distributed semi-join on the shingle key
     (same semantics, no driver materialization).
     """
-    ev = (
+    # persist BEFORE the probe: ev feeds two passes (the limit-count probe,
+    # then the collect or the semi-join) and the explode/distinct would
+    # otherwise run twice (ADVICE r3). The broadcast path unpersists as soon
+    # as the set is on the driver; the semi-join path is lazy, so its handle
+    # stays registered for release_cached().
+    ev = _track_persist(
         eval_docs.select(F.explode(shingles_col(n, eval_text_col)).alias("sh"))
         .distinct()
     )
@@ -717,6 +752,7 @@ def decontaminate(
 
     spark = docs.sparkSession
     ev_set = {r["sh"] for r in ev.collect()}
+    ev.unpersist()
     bc = spark.sparkContext.broadcast(ev_set)
 
     def kern(batches):

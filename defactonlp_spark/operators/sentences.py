@@ -103,6 +103,7 @@ def sentence_retrieval(
     candidates: DataFrame | None = None,
     k: int = 5,
     persist: bool = True,
+    rank_dp: int | None = None,
 ) -> DataFrame:
     """Top-k sentences per claim by exhaustive BM25 over sentences.
 
@@ -135,8 +136,13 @@ def sentence_retrieval(
     if persist:
         p = _track_persist(p)
     cs = corpus_stats(p).collect()[0]
+    # rank_dp: rank on round(score, rank_dp) with id tiebreak instead of the
+    # raw float — chunked pseudo-sentences tie in exact arithmetic and raw
+    # float64 tie order depends on engine summation order (the same
+    # portability knob as score_exhaustive everywhere else)
     res = score_exhaustive(
-        p, term_stats(p), claim_terms(claims), int(cs["n_docs"]), float(cs["avgdl"]), k=k
+        p, term_stats(p), claim_terms(claims), int(cs["n_docs"]), float(cs["avgdl"]),
+        k=k, rank_dp=rank_dp,
     )
     return res.select(
         "claim_id",

@@ -484,6 +484,46 @@ def ivf_ann_topk(
     )
 
 
+def ann_recall_eval(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """ANN-method QA (the similarity-tier analog of ``dedup.pair_eval``,
+    VERDICT r3 #4): per-query recall@k of an approximate top-k against the
+    exact brute-force top-k — the acceptance gate a production ANN tier
+    runs on a sample before trusting the index at full scale.
+
+    Inputs: two (query_id, rank, vec_id, ...) rankings (``cosine_topk``
+    shape). Output: (query_id, n_exact, n_approx, n_overlap, recall) with
+    recall = n_overlap / k rounded to 6 dp. Queries present in ``exact``
+    but absent from ``approx`` (empty candidate set) still get a row with
+    recall 0.0 — silent drops would bias the mean upward (the same rule as
+    ``analytics.ranking_rbo``).
+
+    Plan: one (query, vec) equi-join of two k-row-per-query relations plus
+    a query-keyed count — everything is query-sized, nothing corpus-sized
+    moves.
+    """
+    hit = approx.select("query_id", "vec_id").withColumn("_hit", F.lit(1))
+    n_approx = approx.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_approx")
+    )
+    return (
+        exact.select("query_id", "vec_id")
+        .join(hit, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_overlap"),
+        )
+        .join(n_approx, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_approx"), F.lit(0)).cast("long").alias("n_approx"),
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.lit(float(k)), 6).alias("recall"),
+        )
+    )
+
+
 def mmr_topk(
     embeddings: DataFrame,
     query_ids: list[int],

@@ -340,11 +340,13 @@ def test_ranking_rbo_pinned_cases(spark):
     assert r["overlap_k"] == K
     assert r["rbo"] == round(sum((1 - P) * P ** (d - 1) for d in range(1, K + 1)), 6)
 
-    # disjoint rankings: no common doc -> claim absent (zero overlap)
+    # disjoint rankings: no common doc -> the claim still gets a row with
+    # rbo = 0.0 (ADVICE r3: dropping it biased downstream mean-RBO upward)
     b = spark.createDataFrame(
         [(0, r, 200 + r) for r in range(1, K + 1)], "claim_id long, rank int, doc_id long"
     )
-    assert ranking_rbo(a, b, k=K, p=P).count() == 0
+    zr = ranking_rbo(a, b, k=K, p=P).collect()
+    assert [(r["claim_id"], r["overlap_k"], r["rbo"]) for r in zr] == [(0, 0, 0.0)]
 
     # scalar replay on a partial overlap (docs 101,102 swapped + one swap-out)
     b2 = spark.createDataFrame(

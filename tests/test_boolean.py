@@ -162,3 +162,98 @@ def test_percolate_conjunctive_matching(spark):
         (0, 11): 1, (2, 11): 1,          # news docs
         (0, 12): 1, (2, 12): 1,          # dedup'd rule == rule 11
     }
+
+
+def test_percolate_v2_bool_clauses(spark):
+    """ES bool-query percolation: must/should/must_not over term and phrase
+    clauses — all must + no must_not + (>=1 should iff no must); phrase
+    clauses need exact adjacency (anchor trick), not mere co-occurrence."""
+    import pytest
+
+    from defactonlp_spark.functions.tokenize import tokenize_tokens
+    from defactonlp_spark.operators.bm25 import percolate_v2
+    from defactonlp_spark.operators.postings import build_postings
+
+    docs = spark.createDataFrame(
+        [
+            (0, "breaking news about spark release and performance"),
+            (1, "spark performance tuning guide"),
+            (2, "cooking pasta news and performance spark tricks"),
+            (3, "spark spark performance performance"),
+        ],
+        "doc_id long, text string",
+    )
+    rules = spark.createDataFrame(
+        [
+            # q10: must terms + must_not veto
+            (10, 0, "must", "terms", "spark performance"),
+            (10, 1, "must_not", "terms", "cooking"),
+            # q11: should-only disjunction — terms OR phrase
+            (11, 0, "should", "terms", "pasta"),
+            (11, 1, "should", "phrase", "tuning guide"),
+            # q12: phrase must — adjacency required ("performance spark"
+            # occurs in doc 2 only; docs 0/1/3 have both words, not adjacent)
+            (12, 0, "must", "phrase", "performance spark"),
+            # q13: repeated-term phrase — doc 3 only
+            (13, 0, "must", "phrase", "spark spark performance"),
+            # q14: must + optional should (ES minimum_should_match=0)
+            (14, 0, "must", "terms", "news"),
+            (14, 1, "should", "terms", "pasta"),
+            # q15: unmatchable must
+            (15, 0, "must", "terms", "zzzmissing"),
+        ],
+        "query_id long, clause_id long, occur string, kind string, text string",
+    )
+    got = {
+        (r["doc_id"], r["query_id"]): (r["n_must_matched"], r["n_should_matched"])
+        for r in percolate_v2(
+            build_postings(docs), rules, tokens=tokenize_tokens(docs)
+        ).collect()
+    }
+    assert got == {
+        (0, 10): (1, 0), (1, 10): (1, 0), (3, 10): (1, 0),  # doc 2 vetoed
+        (2, 11): (0, 1),                                    # pasta (should)
+        (1, 11): (0, 1),                                    # phrase 'tuning guide'
+        (2, 12): (1, 0),                                    # adjacency only in doc 2
+        (3, 13): (1, 0),                                    # repeated-term phrase
+        (0, 14): (1, 0), (2, 14): (1, 1),                   # should optional; counted
+    }
+
+    # only-must_not rules are rejected loudly
+    bad = spark.createDataFrame(
+        [(20, 0, "must_not", "terms", "spark")],
+        "query_id long, clause_id long, occur string, kind string, text string",
+    )
+    with pytest.raises(ValueError, match="must_not"):
+        percolate_v2(build_postings(docs), bad)
+
+    # phrase clause without a tokens relation is a loud failure
+    pr = spark.createDataFrame(
+        [(21, 0, "must", "phrase", "spark performance")],
+        "query_id long, clause_id long, occur string, kind string, text string",
+    )
+    with pytest.raises(ValueError, match="positional tokens"):
+        percolate_v2(build_postings(docs), pr)
+
+
+def test_ann_recall_eval_arithmetic(spark):
+    """ann_recall_eval: overlap counting, recall arithmetic, and the
+    zero-candidate row rule (queries absent from approx still get a row)."""
+    from defactonlp_spark.operators.similarity import ann_recall_eval
+
+    exact = spark.createDataFrame(
+        [(0, r, 100 + r, 0.9) for r in range(1, 6)]
+        + [(1, r, 200 + r, 0.8) for r in range(1, 6)],
+        "query_id long, rank int, vec_id long, cos double",
+    )
+    # q0: approx recovers 3 of 5 (plus 2 non-exact ids); q1: empty
+    approx = spark.createDataFrame(
+        [(0, 1, 101, 0.9), (0, 2, 103, 0.9), (0, 3, 105, 0.9),
+         (0, 4, 999, 0.1), (0, 5, 998, 0.1)],
+        "query_id long, rank int, vec_id long, cos double",
+    )
+    got = {r["query_id"]: r for r in ann_recall_eval(exact, approx, k=5).collect()}
+    assert (got[0]["n_exact"], got[0]["n_approx"], got[0]["n_overlap"]) == (5, 5, 3)
+    assert got[0]["recall"] == 0.6
+    assert (got[1]["n_exact"], got[1]["n_approx"], got[1]["n_overlap"]) == (5, 0, 0)
+    assert got[1]["recall"] == 0.0

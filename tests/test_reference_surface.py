@@ -308,3 +308,72 @@ def test_fever_pipeline_end_to_end(spark, tmp_path):
     parsed = {d["id"]: d for d in map(_json.loads, lines)}
     assert set(parsed) == {0, 1}
     assert all(isinstance(d["predicted_evidence"][0], list) for d in parsed.values())
+
+
+def test_fever_pipeline_from_wiki_pages(spark, tmp_path):
+    """ADVICE r3 (medium): the composed pipeline must run end-to-end from
+    read_wiki_pages output — STRING page ids in, page-name strings back out
+    in predicted_evidence, and write_fever_jsonl emitting heterogeneous
+    [page:str, sent_idx:int] pairs that json.loads round-trips."""
+    import json as _json
+    import os
+
+    from defactonlp_spark.plans.fever import (
+        fever_pipeline_from_wiki,
+        with_wiki_doc_ids,
+        write_fever_jsonl,
+    )
+    from defactonlp_spark.sources.fever_jsonl import read_wiki_pages
+
+    pages = [
+        {"id": "Merge_Join", "text": "the merge join wins",
+         "lines": "0\tthe merge join wins here\n1\tbut sorting is harder"},
+        {"id": "Sort-LRB-Table-RRB-", "text": "sort table scan basics",
+         "lines": "0\tsort table scan basics\n1\tvector scans differ"},
+        {"id": "Window_Stream", "text": "window stream batch processing",
+         "lines": "0\twindow stream batch processing\n1\tbatches flow in windows"},
+        {"id": "Unrelated Éclair", "text": "pastry recipes only",
+         "lines": "0\tpastry recipes only"},
+    ]
+    p = str(tmp_path / "wiki.jsonl")
+    with open(p, "w") as f:
+        for row in pages:
+            f.write(_json.dumps(row) + "\n")
+    wiki = read_wiki_pages(spark, p)
+
+    # dense id assignment: a bijection onto [0, n_pages), deterministic
+    mapped = with_wiki_doc_ids(wiki)
+    ids = {r["page_id"]: r["doc_id"] for r in mapped.collect()}
+    assert sorted(ids.values()) == list(range(len(pages)))
+    again = {r["page_id"]: r["doc_id"]
+             for r in with_wiki_doc_ids(wiki).collect()}
+    assert ids == again
+
+    claims = spark.createDataFrame(
+        [(0, "the merge join"), (1, "sort table scan"), (2, "window stream")],
+        "claim_id long, claim string",
+    )
+    pred = fever_pipeline_from_wiki(wiki, claims, k_docs=2, k_sents=2)
+    rows = {r["claim_id"]: r for r in pred.collect()}
+    assert set(rows) == {0, 1, 2}
+    page_names = {pg["id"] for pg in pages}
+    for r in rows.values():
+        assert r["predicted_label"] in ("SUPPORTS", "REFUTES", "NOT ENOUGH INFO")
+        for ev in r["predicted_evidence"]:
+            # evidence pages are page-NAME strings, not numeric engine ids
+            assert ev["page"] in page_names
+            assert isinstance(ev["sent_idx"], int)
+
+    out = str(tmp_path / "wiki_preds")
+    write_fever_jsonl(pred, out)
+    lines = []
+    for fn in os.listdir(out):
+        if fn.startswith("part-"):
+            lines += [l for l in open(os.path.join(out, fn)) if l.strip()]
+    parsed = {d["id"]: d for d in map(_json.loads, lines)}
+    assert set(parsed) == {0, 1, 2}
+    for d in parsed.values():
+        for pair in d["predicted_evidence"]:
+            # the FEVER submission contract: heterogeneous [str, int] pairs
+            assert isinstance(pair[0], str) and pair[0] in page_names
+            assert isinstance(pair[1], int)
