@@ -41,12 +41,23 @@ BM25F_K1 = 1.2
 
 
 def lead_body_fields(
-    docs: DataFrame, lead_n: int = 20, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame | None,
+    lead_n: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """corpus -> field postings (doc_id, field, term, tf, dl_f): ``lead`` =
     tokens at pos < lead_n, ``body`` = the rest. Docs shorter than lead_n
-    simply have no body rows (and no body length)."""
-    toks = tokenize_tokens(docs, id_col=id_col, text_col=text_col).withColumn(
+    simply have no body rows (and no body length).
+
+    ``tokens``: an existing positional (doc_id, pos, term) relation — when a
+    session already holds one (the shared tokens fixture the phrase family
+    serves from), pass it to skip this operator's own tokenize kernel; the
+    field split is then pure JVM expression work over the cached relation."""
+    if tokens is None:
+        tokens = tokenize_tokens(docs, id_col=id_col, text_col=text_col)
+    toks = tokens.withColumn(
         "field", F.when(F.col("pos") < lead_n, F.lit("lead")).otherwise(F.lit("body"))
     )
     tf = toks.groupBy("doc_id", "field", "term").agg(

@@ -717,6 +717,18 @@ def decontaminate(
     collect: above ``max_broadcast_shingles`` distinct eval shingles the
     operator falls back to the distributed semi-join on the shingle key
     (same semantics, no driver materialization).
+
+    Measured design note (kept so nobody "optimizes" this backwards): an
+    int64 rolling-hash probe — md5 per DISTINCT token + vectorized uint64
+    polynomial gram keys + np.searchsorted membership, the dup_spans key
+    trick — was built and A/B-measured against this string-set kernel on
+    realistic shapes (50k docs x ~160 tokens, 5.4k-shingle eval set,
+    identical outputs): set-probe 3.95 s vs vectorized-hash 6.21 s (0.64x,
+    and 0.65x on a contamination-heavy variant). dup_spans' win is avoiding
+    string SHIPPING across the Arrow boundary; this kernel never ships
+    shingles anywhere — ' '.join of 3 short tokens plus one C-speed set
+    lookup beats per-token md5 + five corpus-length numpy intermediates.
+    The string-set kernel stays.
     """
     # persist BEFORE the probe: ev feeds two passes (the limit-count probe,
     # then the collect or the semi-join) and the explode/distinct would
