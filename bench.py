@@ -366,6 +366,29 @@ def bench_s5_ops(cores: int) -> dict:
             "docs_per_sec": round(n / w, 1),
             "steal_jiffies": _steal_jiffies() - s0,
         }
+
+        # bool-query percolator (v2): the same 100 rules recast as
+        # must-clause pairs plus a phrase clause per rule — one postings
+        # pass for term clauses + one term-pruned tokens pass for phrases
+        from defactonlp_spark.functions.tokenize import tokenize_tokens
+        from defactonlp_spark.operators.bm25 import percolate_v2
+
+        rules2 = spark.createDataFrame(
+            [(i, 0, "must", "terms", f"{vocab[i]} {vocab[199 - i]}")
+             for i in range(100)]
+            + [(i, 1, "should", "phrase", f"{vocab[i]} {vocab[i + 1]}")
+               for i in range(100)],
+            "query_id long, clause_id long, occur string, kind string, text string",
+        )
+        toks = tokenize_tokens(corpus)
+        t0, s0 = time.time(), _steal_jiffies()
+        m2 = percolate_v2(p, rules2, tokens=toks).count()
+        w = time.time() - t0
+        out["percolate_v2_100_bool_rules"] = {
+            "matches": int(m2), "wall_sec": round(w, 2),
+            "docs_per_sec": round(n / w, 1),
+            "steal_jiffies": _steal_jiffies() - s0,
+        }
         return out
     finally:
         for rel in (corpus, p):
@@ -681,6 +704,17 @@ def main():
     spark = _spark(CPUS)
     queries = {}
     try:
+        # warm the session-scoped shared fixtures (postings / positional
+        # tokens / segment table) OUTSIDE the per-query walls but INSIDE the
+        # reported total: a deployment encodes once and serves many, and the
+        # round-3 record showed per-query rebuild walls measure host state,
+        # not the engine. The cost is its own field and is added to value.
+        t0 = time.time()
+        entrymod._postings_cached(spark, SF_DIR).count()
+        entrymod._tokens_cached(spark, SF_DIR).count()
+        seg = entrymod._segments_cached(spark, SF_DIR)[0]
+        seg.count()
+        results["fixtures_warmup_sec"] = round(time.time() - t0, 2)
         for name, fn in entrymod.queries().items():
             t0 = time.time()
             try:
@@ -700,7 +734,11 @@ def main():
     finally:
         spark.stop()
     results["queries"] = queries
-    results["value"] = round(sum(v for v in queries.values() if v > 0), 2)
+    results["value"] = round(
+        sum(v for v in queries.values() if v > 0)
+        + results.get("fixtures_warmup_sec", 0.0),
+        2,
+    )
     _emit(results)
 
 
@@ -743,6 +781,8 @@ def _emit(results: dict) -> None:
     for key in ("claims", "wand_claims_per_sec", "warm_claims_per_sec"):
         if key in qs:
             compact[f"serve_{key}"] = qs[key]
+    if "fixtures_warmup_sec" in results:
+        compact["fixtures_warmup_sec"] = results["fixtures_warmup_sec"]
     print(json.dumps(compact))
 
 

@@ -352,6 +352,25 @@ def main():
         must_not=["CartesianProduct", "BroadcastNestedLoopJoin"],
     )
 
+    # 24. percolate_v2: every rule-side join must BROADCAST the rule
+    # relation onto corpus-sized scans (postings for term clauses, the
+    # positional tokens relation for phrase clauses); the anchor trick
+    # means NO positional self-join appears — no nested loop, no cartesian
+    from defactonlp_spark.functions.tokenize import tokenize_tokens
+    from defactonlp_spark.operators.bm25 import percolate_v2
+
+    rules = spark.createDataFrame(
+        [(0, 0, "must", "terms", "alpha beta"),
+         (0, 1, "should", "phrase", "gamma delta")],
+        "query_id long, clause_id long, occur string, kind string, text string",
+    )
+    ok &= check(
+        "percolate_v2 (broadcast rules, anchor-trick phrases)",
+        plan_of(percolate_v2(pz, rules, tokens=tokenize_tokens(docs))),
+        must=["BroadcastHashJoin", "HashAggregate"],
+        must_not=["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+    )
+
     print("\nPLANS " + ("OK" if ok else "NOT OK"))
     spark.stop()
     sys.exit(0 if ok else 1)
