@@ -530,6 +530,29 @@ def _segments_cached(spark, sf_dir):
     return _MEMO[key]
 
 
+def _sharded_segments_cached(spark, sf_dir):
+    """Doc-sharded segment table (N_SHARDS doc shards x 8 term buckets),
+    encoded once per session — the fan-out serving deployment's stored
+    index (operators/sharding.py). Global stats shared with the unsharded
+    fixture's build inputs."""
+    key = (spark, "sharded_segments", sf_dir)
+    if key not in _MEMO:
+        from defactonlp_spark.config import EngineConfig
+        from defactonlp_spark.operators.postings import salt_plan, term_stats, with_salt
+        from defactonlp_spark.operators.sharding import encode_sharded_segments
+
+        cfg = EngineConfig(n_buckets=8)
+        p = _postings_cached(spark, sf_dir)
+        n_docs, avgdl = _engine_corpus_stats(p)
+        stats = term_stats(p)
+        seg = encode_sharded_segments(
+            with_salt(p, salt_plan(stats, n_docs, cfg)), stats, n_docs, avgdl,
+            cfg, N_SHARDS, 8,
+        ).persist()
+        _MEMO[key] = (seg, n_docs, avgdl, cfg)
+    return _MEMO[key]
+
+
 # --------------------------------------------------------------------------
 # queries
 # --------------------------------------------------------------------------
@@ -599,6 +622,68 @@ def q_bm25_topk_wand(spark, sf_dir):
     seg, n_docs, avgdl, cfg = _segments_cached(spark, sf_dir)
     res = wand_topk(seg, claim_terms(_claims_df(spark)), n_docs, avgdl, k=TOPK, cfg=cfg)
     return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
+
+
+N_SHARDS = 4
+
+
+def q_bm25_topk_sharded(spark, sf_dir):
+    """Doc-sharded fan-out/merge serving (operators/sharding.py) — the
+    1000-executor topology: shard-local block-max WAND top-k with GLOBAL
+    stats, merged to the exact global top-k. Same oracle as bm25_topk:
+    the driver checks the fan-out is rank-and-score invisible."""
+    from defactonlp_spark.operators.bm25 import claim_terms
+    from defactonlp_spark.operators.sharding import wand_topk_sharded
+
+    seg, n_docs, avgdl, cfg = _sharded_segments_cached(spark, sf_dir)
+    res = wand_topk_sharded(
+        seg, claim_terms(_claims_df(spark)), n_docs, avgdl, N_SHARDS, k=TOPK, cfg=cfg
+    )
+    return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
+
+
+# wildcard fixture: prefix (s*), single-char (qu?ry / ?ash), suffix/infix
+# (*ream / vec*or), and one all-literal control row. WILDCARD_EXP=4 is BELOW
+# s*'s 6 dictionary matches so the df-ranked top-terms cut is exercised.
+WILDCARD_CLAIMS = [
+    (0, "s* join"),
+    (1, "qu?ry ?ash"),
+    (2, "*ream vec*or"),
+    (3, "table order"),
+]
+WILDCARD_EXP = 4
+
+
+def q_wildcard_topk(spark, sf_dir):
+    """Wildcard retrieval (Lucene WildcardQuery + top-terms scoring
+    rewrite): patterns expand against the term dictionary — never the
+    postings — to the WILDCARD_EXP highest-df matches, then score as a
+    plain disjunction with each matched term's own idf
+    (operators/expansion.py::expand_wildcards)."""
+    from defactonlp_spark.operators.bm25 import score_exhaustive
+    from defactonlp_spark.operators.expansion import expand_wildcards, wildcard_terms
+    from defactonlp_spark.operators.postings import term_stats
+
+    p = _postings_cached(spark, sf_dir)
+    n_docs, avgdl = _engine_corpus_stats(p)
+    stats = term_stats(p)
+    claims = spark.createDataFrame(WILDCARD_CLAIMS, "claim_id long, claim string")
+    q = expand_wildcards(stats, wildcard_terms(claims), WILDCARD_EXP)
+    res = score_exhaustive(p, stats, q, n_docs, avgdl, k=TOPK, rank_dp=6)
+    return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
+
+
+def q_decontaminate_spans(spark, sf_dir):
+    """Span-level benchmark decontamination (the Lee et al. span machinery
+    pointed at an eval set): every maximal token span whose every 8-gram
+    occurs in the 'eval set' (every 97th doc) — what a pipeline REDACTS
+    instead of dropping whole documents
+    (operators/dedup.py::decontaminate_spans)."""
+    from defactonlp_spark.operators.dedup import decontaminate_spans
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.filter((F.col("doc_id") % 97) == 0).select("text")
+    return decontaminate_spans(docs, ev, gram_len=DUPSPAN_L)
 
 
 def q_bm25_topk_conjunctive(spark, sf_dir):
@@ -2516,7 +2601,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_tf_totals": q_term_tf_totals,
         "bm25_topk": q_bm25_topk,
         "bm25_topk_wand": q_bm25_topk_wand,
-        # -- never driver-checked (session-3+ additions) ------------------
+        # -- round-4 additions (must land in the 50-entry driver window) --
+        "bm25_topk_sharded": q_bm25_topk_sharded,
+        "wildcard_topk": q_wildcard_topk,
+        "decontaminate_spans": q_decontaminate_spans,
+        # -- never driver-checked (session-3 additions) -------------------
         "mmr_topk": q_mmr_topk,
         "more_like_this": q_more_like_this,
         "hybrid_similar": q_hybrid_similar,
@@ -4235,6 +4324,88 @@ SELECT method, n_pred, n_truth, tp,
 FROM ev
 """
     d["bm25_topk_fuzzy_symspell"] = d["bm25_topk_fuzzy"]
+    # sharded fan-out/merge is rank-and-score identical to exhaustive BM25
+    # (sharding.py module docstring has the exactness argument) — sharing
+    # the oracle makes the driver CHECK that claim every round.
+    d["bm25_topk_sharded"] = d["bm25_topk"]
+    wildcard_vals = ", ".join(f"({i}, '{c}')" for i, c in WILDCARD_CLAIMS)
+    d["wildcard_topk"] = f"""
+WITH toks AS ({toks}),
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+claims(claim_id, claim) AS (VALUES {wildcard_vals}),
+qraw AS (
+  SELECT DISTINCT claim_id, unnest(list_filter(regexp_split_to_array(lower(claim),
+    '[^a-z0-9*?]+'), t -> t <> '')) AS tok FROM claims
+),
+pats AS (
+  SELECT claim_id, tok, replace(replace(tok, '*', '%'), '?', '_') AS pat
+  FROM qraw WHERE contains(tok, '*') OR contains(tok, '?')
+),
+expanded AS (
+  SELECT claim_id, term
+  FROM (SELECT p.claim_id, p.tok, d.term,
+               row_number() OVER (PARTITION BY p.claim_id, p.tok
+                 ORDER BY d.df DESC, d.term) AS rk
+        FROM pats p JOIN dfreq d ON d.term LIKE p.pat)
+  WHERE rk <= {WILDCARD_EXP}
+),
+qterms AS (
+  SELECT DISTINCT claim_id, term FROM (
+    SELECT claim_id, tok AS term FROM qraw
+    WHERE NOT (contains(tok, '*') OR contains(tok, '?'))
+    UNION ALL SELECT claim_id, term FROM expanded)
+),
+scored AS (
+  SELECT q.claim_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * p.tf * {K1 + 1.0}
+              / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)) ) AS score
+  FROM qterms q
+  JOIN postings p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl l ON l.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT claim_id::BIGINT AS claim_id, doc_id::BIGINT AS doc_id, round(score, 4) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
+        ORDER BY round(score, 6) DESC, doc_id) AS rn FROM scored)
+WHERE rn <= {TOPK}
+"""
+    d["decontaminate_spans"] = f"""
+WITH tl AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         ('0x' || substr(md5(array_to_string(t[i:i+{DUPSPAN_L}-1], ' ')), 1, 15))::BIGINT AS g64
+  FROM tl, unnest(range(1, len(t) - {DUPSPAN_L} + 2)) AS u(i)
+  WHERE len(t) >= {DUPSPAN_L}
+),
+evk AS (SELECT DISTINCT g64 FROM grams WHERE doc_id % 97 = 0),
+hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN evk USING (g64)),
+marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 1
+              THEN 1 ELSE 0 END AS newgrp
+  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+grp AS (
+  SELECT doc_id, pos,
+         sum(newgrp) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM marked
+)
+SELECT doc_id::BIGINT AS doc_id,
+       min(pos)::BIGINT AS start_pos,
+       (max(pos) + {DUPSPAN_L} - 1)::BIGINT AS end_pos,
+       (max(pos) - min(pos) + {DUPSPAN_L})::BIGINT AS n_tokens
+FROM grp GROUP BY doc_id, g
+"""
     rbo_weights = ", ".join(
         f"({d}, {(1.0 - RBO_P) * RBO_P ** (d - 1) / d!r})" for d in range(1, RBO_K + 1)
     )

@@ -68,6 +68,8 @@ DO_S5OPS = os.environ.get("BENCH_S5OPS", "1") == "1"
 MERGE_PAGES = int(os.environ.get("BENCH_MERGE_PAGES", "1000000"))
 # end-to-end near-dup dedup pipeline throughput over the webpages corpus:
 DO_DEDUP = os.environ.get("BENCH_DEDUP", "1") == "1"
+# query-serving N-vs-4N scaling over the stored index:
+DO_SERVE_SCALING = os.environ.get("BENCH_SERVE_SCALING", "1") == "1"
 
 
 def _webpages_path() -> str:
@@ -207,6 +209,88 @@ def bench_query_serving(cores: int, idx_dir: str, n_claims: int = 200) -> dict:
                 "warm_claims_per_sec": round(n_claims / warm_med, 2)}
     finally:
         spark.stop()
+
+
+def _serve_bench_once(cores: int, idx_dir: str, n_claims: int) -> dict:
+    """One timed warm-serving batch at ``cores`` over the STORED index —
+    the --serve-only subprocess body. ServingSession.warm() plus one full
+    untimed batch run first (JIT + Python-worker spawn + blob cache), so
+    the timed region is steady-state serving only."""
+    from defactonlp_spark.config import EngineConfig
+    from defactonlp_spark.plans.build import IndexReader
+    from defactonlp_spark.plans.query import ServingSession
+    from defactonlp_spark.sources.fixtures import gen_claims
+
+    spark = _spark(cores)
+    try:
+        cfg = EngineConfig(n_buckets=BUILD_BUCKETS)
+        reader = IndexReader(spark, idx_dir)
+        claims = spark.createDataFrame(gen_claims(n_claims)[["claim_id", "claim"]])
+        sess = ServingSession(reader, cfg=cfg)
+        sess.warm()
+        sess.topk(claims, k=5).count()  # untimed: JIT + worker spawn
+        s0 = _steal_jiffies()
+        t0 = time.time()
+        rows = sess.topk(claims, k=5).count()
+        wall = time.time() - t0
+        sess.close()
+        return {"wall_sec": round(wall, 3), "rows": rows,
+                "steal": _steal_jiffies() - s0}
+    finally:
+        spark.stop()
+
+
+def _serve_in_subprocess(cores: int, idx_dir: str, n_claims: int) -> dict:
+    """Same process isolation + CPU pinning rationale as
+    _build_in_subprocess: each level gets exactly its hardware allocation,
+    pinned at the top of the cpu range."""
+    import subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__), "--serve-only",
+           str(cores), idx_dir, str(n_claims)]
+    if shutil.which("taskset"):
+        ncpu = os.cpu_count() or 32
+        cmd = ["taskset", "-c", f"{ncpu - cores}-{ncpu - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def bench_serving_scaling(idx_dir: str, n_claims: int = 200) -> dict:
+    """QUERY-SERVING N-vs-4N scaling over the same stored index — the
+    north rule's two-cluster-size criterion applied to the serving path,
+    not just the build. Same discipline as the build section: interleaved
+    (4N, N) pinned subprocess pairs so host drift cancels per-pair;
+    efficiency = (T_N / T_4N) / (N_LARGE/N_SMALL); the headline pair is
+    the CLEANEST one (least combined steal, ties by combined wall), with
+    every raw run published. 200 claims / 8 per batch = 25 cogroup
+    groups, so even the 4-core level has 6x task slack — the comparison
+    varies only the core count, never the plan."""
+    import statistics
+
+    pairs = []
+    for _ in range(REPS):
+        big = _serve_in_subprocess(N_LARGE, idx_dir, n_claims)
+        small = _serve_in_subprocess(N_SMALL, idx_dir, n_claims)
+        pairs.append((big, small))
+    factor = N_LARGE / N_SMALL
+    effs = [round((s["wall_sec"] / b["wall_sec"]) / factor, 3) for b, s in pairs]
+    cleanest = min(
+        range(len(pairs)),
+        key=lambda i: (pairs[i][0]["steal"] + pairs[i][1]["steal"],
+                       pairs[i][0]["wall_sec"] + pairs[i][1]["wall_sec"]),
+    )
+    b, s = pairs[cleanest]
+    return {
+        "claims": n_claims,
+        "pair": f"local[{N_SMALL}] vs local[{N_LARGE}]",
+        f"local{N_LARGE}_runs_sec_steal": [[r[0]["wall_sec"], r[0]["steal"]] for r in pairs],
+        f"local{N_SMALL}_runs_sec_steal": [[r[1]["wall_sec"], r[1]["steal"]] for r in pairs],
+        "pair_efficiencies": effs,
+        "scaling_efficiency": effs[cleanest],
+        "scaling_efficiency_median": round(statistics.median(effs), 3),
+        f"local{N_LARGE}_claims_per_sec": round(n_claims / b["wall_sec"], 2),
+        f"local{N_SMALL}_claims_per_sec": round(n_claims / s["wall_sec"], 2),
+    }
 
 
 def bench_merge_serve(cores: int) -> dict:
@@ -673,6 +757,10 @@ def main():
     # -- query serving over the built index ---------------------------------
     results["query_serving"] = bench_query_serving(CPUS, f"{CACHE}/idx_{N_LARGE}")
 
+    # -- serving N-vs-4N scaling over the same stored index ------------------
+    if DO_SERVE_SCALING:
+        results["serving_scaling"] = bench_serving_scaling(f"{CACHE}/idx_{N_LARGE}")
+
     # -- live-docs lifecycle: masked serving + compaction --------------------
     if DO_DELETES:
         results["deletes"] = bench_deletes(CPUS, f"{CACHE}/idx_{N_LARGE}", n_docs)
@@ -781,6 +869,11 @@ def _emit(results: dict) -> None:
     for key in ("claims", "wand_claims_per_sec", "warm_claims_per_sec"):
         if key in qs:
             compact[f"serve_{key}"] = qs[key]
+    ss = results.get("serving_scaling") or {}
+    for key in ("scaling_efficiency", "scaling_efficiency_median",
+                "pair_efficiencies"):
+        if key in ss:
+            compact[f"serve_{key}"] = ss[key]
     if "fixtures_warmup_sec" in results:
         compact["fixtures_warmup_sec"] = results["fixtures_warmup_sec"]
     print(json.dumps(compact))
@@ -792,5 +885,8 @@ if __name__ == "__main__":
         print(json.dumps({"wall_sec": wall, "n_docs": n, "steal": steal,
                           "cpu_sec": round(busy / 100.0, 1),
                           "stage_walls": st_w, "stage_cpu": st_c}))
+    elif len(sys.argv) == 5 and sys.argv[1] == "--serve-only":
+        print(json.dumps(_serve_bench_once(
+            int(sys.argv[2]), sys.argv[3], int(sys.argv[4]))))
     else:
         main()

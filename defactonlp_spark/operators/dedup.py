@@ -871,6 +871,21 @@ def dup_spans(
     key) -> one per-doc window for the gap-merge. Nothing quadratic,
     nothing driver-side.
     """
+    grams = _gram_positions(docs, gram_len, id_col, text_col)
+    dup_keys = grams.groupBy("g64").agg(F.count(F.lit(1)).alias("_c")).filter(
+        F.col("_c") >= min_count
+    )
+    hits = grams.join(dup_keys.select("g64"), "g64", "left_semi")
+    return _gap_merge_spans(hits, gram_len, id_col)
+
+
+def _gram_positions(
+    docs: DataFrame, gram_len: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, pos, g64): the pinned rolling L-gram key at every token position
+    — first 15 hex chars of md5(space-joined L lowercase tokens) as int64.
+    One Arrow kernel pass; ships one int64 per position, never gram strings
+    (shared by dup_spans and decontaminate_spans; twin-identical key)."""
     import hashlib
 
     from defactonlp_spark.functions.textstats import sql_tokens_py
@@ -901,11 +916,51 @@ def dup_spans(
     prepared = floor_parallelism(
         docs.select(F.col(id_col), F.col(text_col).alias("_text"))
     )
-    grams = prepared.mapInPandas(kern, f"{id_col} long, pos int, g64 long")
-    dup_keys = grams.groupBy("g64").agg(F.count(F.lit(1)).alias("_c")).filter(
-        F.col("_c") >= min_count
+    return prepared.mapInPandas(kern, f"{id_col} long, pos int, g64 long")
+
+
+def decontaminate_spans(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    gram_len: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+) -> DataFrame:
+    """Span-level benchmark decontamination — the surgical refinement of
+    :func:`decontaminate`: instead of flagging whole documents, locate every
+    MAXIMAL token span whose every ``gram_len``-token window occurs anywhere
+    in the evaluation set (the Lee et al. span machinery pointed at an eval
+    corpus; what a pipeline needs to REDACT contamination rather than drop
+    multi-topic documents wholesale). Output: (doc_id, start_pos, end_pos,
+    n_tokens), same span conventions as dup_spans.
+
+    Plan: the corpus-side rolling-gram kernel is shared with dup_spans
+    (:func:`_gram_positions`); the eval side produces its DISTINCT gram
+    keys (benchmark-sized — MBs against a TB corpus), and one semi-join on
+    the int64 key (AQE broadcasts the small side) feeds the per-doc
+    gap-merge window. One corpus text pass, nothing corpus-sized shuffles
+    except the |tokens| fixed-width gram rows.
+    """
+    grams = _gram_positions(docs, gram_len, id_col, text_col)
+    ev = (
+        _gram_positions(
+            eval_docs.select(
+                F.lit(0).cast("long").alias(id_col),
+                F.col(eval_text_col).alias(text_col),
+            ),
+            gram_len, id_col, text_col,
+        )
+        .select("g64")
+        .distinct()
     )
-    hits = grams.join(dup_keys.select("g64"), "g64", "left_semi")
+    hits = grams.join(ev, "g64", "left_semi")
+    return _gap_merge_spans(hits, gram_len, id_col)
+
+
+def _gap_merge_spans(hits: DataFrame, gram_len: int, id_col: str) -> DataFrame:
+    """(id, pos) hit positions -> maximal spans via the contiguous-run
+    window (island detection): (id, start_pos, end_pos, n_tokens)."""
     w = Window.partitionBy(id_col).orderBy("pos")
     spans = (
         hits.withColumn("_prev", F.lag("pos").over(w))

@@ -354,3 +354,76 @@ def clarity_score(
             F.round(F.sum("_kl"), 6).alias("clarity"),
         )
     )
+
+
+def wildcard_terms(queries: DataFrame, claim_col: str = "claim") -> DataFrame:
+    """Parse wildcard query strings into literal terms and patterns.
+
+    Tokenization matches the engine's standard analyzer (split on
+    non-[a-z0-9] after lowercasing) EXTENDED to keep ``*`` (any run) and
+    ``?`` (single char) inside tokens — the Lucene WildcardQuery surface.
+    -> (claim_id, tok, is_pattern); a token is a pattern iff it contains a
+    wildcard char. Pure JVM expressions (split/filter/contains).
+    """
+    toks = queries.select(
+        "claim_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(claim_col)), r"[^a-z0-9*?]+"),
+                lambda t: t != "",
+            )
+        ).alias("tok"),
+    ).distinct()
+    return toks.withColumn(
+        "is_pattern", F.col("tok").contains("*") | F.col("tok").contains("?")
+    )
+
+
+def expand_wildcards(
+    stats: DataFrame,
+    qtoks: DataFrame,
+    max_expansions: int = 16,
+) -> DataFrame:
+    """Wildcard-query expansion (the Lucene MultiTermQuery top-terms
+    scoring rewrite): each pattern expands against the term DICTIONARY —
+    never the postings — to at most ``max_expansions`` matching terms,
+    highest-df first (ties by term asc: a deterministic, engine-portable
+    cut, like Lucene's top-terms rewrite keeping the highest-frequency
+    terms). Literal tokens pass through. The expanded union scores as a
+    plain disjunction with each matched term's OWN idf (ScoringBoolean
+    rewrite semantics), so downstream is ordinary score_exhaustive.
+
+    -> (claim_id, term) — distinct, ready for the standard BM25 scorers.
+
+    Pattern translation: ``*`` -> LIKE ``%``, ``?`` -> LIKE ``_``. Terms
+    are [a-z0-9]+ so no LIKE metacharacter can occur literally in a token
+    — translation needs no escaping.
+
+    Relational shape: patterns (a handful per query batch) BROADCAST onto
+    the Heaps-bounded dictionary — a nested-loop join over vocabulary x
+    patterns, the same cost class as expand_fuzzy's banded scan; the
+    corpus is never touched. A prefix-only deployment at 10^12 docs would
+    range-prune a sorted dictionary instead (term >= 'pre' AND term <
+    'prf') — LIKE keeps the general * / ? surface here.
+    """
+    pats = qtoks.filter(F.col("is_pattern")).select(
+        "claim_id",
+        F.col("tok"),
+        F.replace(
+            F.replace(F.col("tok"), F.lit("*"), F.lit("%")),
+            F.lit("?"), F.lit("_"),
+        ).alias("_like"),
+    )
+    cand = stats.select("term", "df").join(
+        F.broadcast(pats), F.expr("term LIKE _like"), "inner"
+    )
+    w = Window.partitionBy("claim_id", "tok").orderBy(F.desc("df"), F.asc("term"))
+    expanded = (
+        cand.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_expansions)
+        .select("claim_id", "term")
+    )
+    literals = qtoks.filter(~F.col("is_pattern")).select(
+        "claim_id", F.col("tok").alias("term")
+    )
+    return literals.unionByName(expanded).distinct()

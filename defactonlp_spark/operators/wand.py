@@ -398,6 +398,7 @@ def wand_topk(
     term_buckets=None,
     boundaries: list[str] | None = None,
     deletes: np.ndarray | None = None,
+    n_shards: int | None = None,
 ) -> DataFrame:
     """segments x (claim_id, term) -> results(claim_id, rank, doc_id, score).
 
@@ -507,8 +508,32 @@ def wand_topk(
             deletes=deletes,
         )
 
-    return (
-        qt_b.groupBy("batch")
-        .cogroup(joined.groupBy("b_batch"))
+    if n_shards is None:
+        return (
+            qt_b.groupBy("batch")
+            .cogroup(joined.groupBy("b_batch"))
+            .applyInPandas(per_batch_fn, schema=RESULTS_SCHEMA)
+        )
+
+    # -- sharded fan-out (operators/sharding.py): each (batch, shard) group
+    # computes a LOCAL top-k over its shard's slices with GLOBAL stats; a
+    # window over the claims x shards x k local winners keeps the global k,
+    # with the kernels' exact tie-break (score desc, doc_id asc) — so the
+    # result is rank-and-score identical to the unsharded path. The claim
+    # side replicates to the shard list via a broadcast range (n_shards
+    # rows), never self-joining the gather relation.
+    shards = (
+        segments.sparkSession.range(n_shards)
+        .select(F.col("id").cast("int").alias("_shard"))
+    )
+    qt_bs = qt_b.crossJoin(F.broadcast(shards))
+    local = (
+        qt_bs.groupBy("batch", "_shard")
+        .cogroup(joined.groupBy("b_batch", "shard"))
         .applyInPandas(per_batch_fn, schema=RESULTS_SCHEMA)
+    )
+    wm = Window.partitionBy("claim_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(wm).cast("int"))
+        .filter(F.col("rank") <= k)
     )

@@ -371,6 +371,56 @@ def main():
         must_not=["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
     )
 
+    # 25. sharded fan-out/merge: shard-local kernels via ONE cogroup
+    # (FlatMapCoGroupsInPandas), the claim side replicated by a broadcast
+    # 4-row range (BroadcastNestedLoopJoin on a constant-sized side is the
+    # intended shape), then one window over |claims| x shards x k local
+    # winners — never a cartesian, never a corpus-sized merge input
+    from defactonlp_spark.operators.postings import salt_plan, with_salt
+    from defactonlp_spark.operators.sharding import (
+        encode_sharded_segments, wand_topk_sharded,
+    )
+
+    sseg = encode_sharded_segments(
+        with_salt(pz, salt_plan(st, 100, cfg)), st, 100, 10.0, cfg, 4, 8
+    )
+    ok &= check(
+        "sharded serving (cogroup fan-out + merge window)",
+        plan_of(wand_topk_sharded(sseg, qt, 100, 10.0, 4, k=5, cfg=cfg)),
+        must=["FlatMapCoGroupsInPandas", "Window"],
+        must_not=["CartesianProduct"],
+    )
+
+    # 26. wildcard expansion: patterns BROADCAST onto the Heaps-bounded
+    # dictionary (BroadcastNestedLoopJoin over vocab x patterns is the
+    # intended cost class — the corpus is never touched), top-terms cut is
+    # a window; no cartesian, no shuffle join
+    from defactonlp_spark.operators.expansion import expand_wildcards, wildcard_terms
+
+    wclaims = spark.createDataFrame(
+        [(0, "al* b?ta")], "claim_id long, claim string"
+    )
+    ok &= check(
+        "wildcard expansion (broadcast patterns onto dictionary)",
+        plan_of(expand_wildcards(st, wildcard_terms(wclaims), 4)),
+        must=["BroadcastNestedLoopJoin", "Window"],
+        must_not=["CartesianProduct", "SortMergeJoin"],
+    )
+
+    # 27. decontaminate_spans: one corpus gram-kernel pass, eval grams
+    # distinct (benchmark-sized), LEFT SEMI on the int64 key, per-doc
+    # gap-merge window — the dup_spans shape pointed at an eval set
+    from defactonlp_spark.operators.dedup import decontaminate_spans
+
+    ok &= check(
+        "decontaminate_spans (gram kernel + semi-join + gap-merge)",
+        plan_of(decontaminate_spans(
+            docs, docs.filter((F.col("doc_id") % 97) == 0), gram_len=4
+        )),
+        must=["MapInPandas", "LeftSemi", "Window"],
+        must_not=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    )
+
     print("\nPLANS " + ("OK" if ok else "NOT OK"))
     spark.stop()
     sys.exit(0 if ok else 1)

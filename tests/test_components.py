@@ -207,6 +207,39 @@ def test_dup_spans_planted_repeats(spark):
     assert rows == [(0, 5), (10, 15)]
 
 
+def test_decontaminate_spans_planted(spark):
+    """Planted contamination: only spans whose every L-gram occurs in the
+    EVAL set come back — corpus-internal duplication alone must not flag
+    (the property that separates decontaminate_spans from dup_spans)."""
+    from defactonlp_spark.operators.dedup import decontaminate_spans
+
+    bench = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens, L=5
+    inner = "red orange yellow green blue violet"
+    uniq = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    docs = spark.createDataFrame(
+        [
+            # full benchmark run at tokens 5..11
+            (0, uniq("a", 5) + " " + bench + " " + uniq("b", 3)),
+            # only a 4-token prefix of the benchmark (< gram_len) -> clean
+            (1, uniq("c", 4) + " alpha beta gamma delta " + uniq("d", 4)),
+            # corpus-internal duplicate NOT in the eval set -> clean
+            (2, inner + " " + uniq("e", 4) + " " + inner),
+            (3, inner + " " + uniq("g", 10)),
+            # TWO disjoint benchmark hits -> two spans, not one merged
+            (4, bench + " " + uniq("f", 6) + " " + bench),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(0, "q1 q2 " + bench + " q3")], "eval_id long, text string"
+    )
+    got = sorted(
+        (r["doc_id"], r["start_pos"], r["end_pos"], r["n_tokens"])
+        for r in decontaminate_spans(docs, ev, gram_len=5).collect()
+    )
+    assert got == [(0, 5, 11, 7), (4, 0, 6, 7), (4, 13, 19, 7)]
+
+
 def test_dup_spans_respects_min_gram_length(spark):
     from defactonlp_spark.operators.dedup import dup_spans
 
