@@ -686,6 +686,71 @@ def q_decontaminate_spans(spark, sf_dir):
     return decontaminate_spans(docs, ev, gram_len=DUPSPAN_L)
 
 
+# span-near fixture: ALL phrases are 3 terms so the DuckDB twin can state
+# the brute-force existential (p0<p1<p2, width <= 3+slop) as one 3-way
+# join — a STRONGER oracle than replaying the engine's greedy frontier
+# (their equivalence is the exchange-argument theorem the driver then
+# checks). Probed at sf0.01: each of 0-3 matches MORE docs at slop 2 than
+# at adjacency, 4 matches nothing.
+SPAN_SLOP = 2
+SPAN_PHRASES = [
+    (0, "hash join fast"),
+    (1, "customer order row"),
+    (2, "window stream batch"),
+    (3, "big data table"),
+    (4, "spark query engine"),
+]
+
+
+def q_span_near_topk(spark, sf_dir):
+    """Ordered span-near retrieval (Lucene SpanNearQuery in_order=true,
+    operators/phrase.py::score_span_near): docs where the phrase terms
+    appear IN ORDER within a span of phrase_len + slop tokens — the
+    greedy anchor-frontier of bounded range joins; matching docs
+    BM25-ranked over the phrase terms with stored stats."""
+    from defactonlp_spark.operators.phrase import score_span_near
+    from defactonlp_spark.operators.postings import term_stats
+
+    p = _postings_cached(spark, sf_dir)
+    n_docs, avgdl = _engine_corpus_stats(p)
+    phrases = spark.createDataFrame(SPAN_PHRASES, "claim_id long, phrase string")
+    res = score_span_near(
+        p, term_stats(p), _tokens_cached(spark, sf_dir), phrases, n_docs, avgdl,
+        slop=SPAN_SLOP, k=TOPK,
+    )
+    return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
+
+
+# regex fixture: alternation, dot-star, bounded +, and a no-match pattern —
+# all inside the Java-regex / RE2 / DuckDB-regex common subset the
+# operator's portability contract pins (full-term anchored on both sides)
+REGEX_PATTERNS = [
+    (0, "(hash|merge)"),
+    (1, "s.*m"),
+    (2, "cust.+r"),
+    (3, "zz+q"),
+]
+REGEX_EXP = 8
+
+
+def q_regex_topk(spark, sf_dir):
+    """Regexp retrieval (Lucene RegexpQuery surface,
+    operators/expansion.py::expand_regex): anchored full-term patterns
+    expand against the term dictionary to the REGEX_EXP highest-df
+    matches, scored as a plain disjunction with each term's own idf."""
+    from defactonlp_spark.operators.bm25 import score_exhaustive
+    from defactonlp_spark.operators.expansion import expand_regex
+    from defactonlp_spark.operators.postings import term_stats
+
+    p = _postings_cached(spark, sf_dir)
+    n_docs, avgdl = _engine_corpus_stats(p)
+    stats = term_stats(p)
+    pats = spark.createDataFrame(REGEX_PATTERNS, "claim_id long, pattern string")
+    q = expand_regex(stats, pats, REGEX_EXP)
+    res = score_exhaustive(p, stats, q, n_docs, avgdl, k=TOPK, rank_dp=6)
+    return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
+
+
 def q_bm25_topk_conjunctive(spark, sf_dir):
     """Boolean-AND retrieval: top-k docs containing ALL of a claim's terms,
     BM25-ranked (operators/bm25.py::score_conjunctive; same group-count
@@ -2605,6 +2670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_sharded": q_bm25_topk_sharded,
         "wildcard_topk": q_wildcard_topk,
         "decontaminate_spans": q_decontaminate_spans,
+        "span_near_topk": q_span_near_topk,
+        "regex_topk": q_regex_topk,
         # -- never driver-checked (session-3 additions) -------------------
         "mmr_topk": q_mmr_topk,
         "more_like_this": q_more_like_this,
@@ -4358,6 +4425,94 @@ qterms AS (
     WHERE NOT (contains(tok, '*') OR contains(tok, '?'))
     UNION ALL SELECT claim_id, term FROM expanded)
 ),
+scored AS (
+  SELECT q.claim_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * p.tf * {K1 + 1.0}
+              / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)) ) AS score
+  FROM qterms q
+  JOIN postings p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl l ON l.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT claim_id::BIGINT AS claim_id, doc_id::BIGINT AS doc_id, round(score, 4) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
+        ORDER BY round(score, 6) DESC, doc_id) AS rn FROM scored)
+WHERE rn <= {TOPK}
+"""
+    span_vals = ", ".join(f"({i}, '{p}')" for i, p in SPAN_PHRASES)
+    d["span_near_topk"] = f"""
+WITH tl AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS t FROM documents
+),
+tokpos AS (
+  SELECT doc_id, i AS pos, t[i] AS term FROM tl, unnest(range(1, len(t) + 1)) AS u(i)
+),
+toks AS (SELECT doc_id, term FROM tokpos),
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+claims(claim_id, phrase) AS (VALUES {span_vals}),
+qpos AS (
+  SELECT claim_id, i - 1 AS idx, q[i] AS term
+  FROM (SELECT claim_id, list_filter(regexp_split_to_array(lower(phrase),
+          '[^a-z0-9]+'), t -> t <> '') AS q FROM claims),
+       unnest(range(1, len(q) + 1)) AS u(i)
+),
+occ AS (
+  SELECT p.claim_id, p.idx, tk.doc_id, tk.pos
+  FROM qpos p JOIN tokpos tk USING (term)
+),
+-- all fixture phrases are length 3: the brute-force existential directly
+matches AS (
+  SELECT DISTINCT o0.claim_id, o0.doc_id
+  FROM occ o0
+  JOIN occ o1 ON o1.claim_id = o0.claim_id AND o1.doc_id = o0.doc_id
+            AND o1.idx = 1 AND o1.pos > o0.pos
+  JOIN occ o2 ON o2.claim_id = o0.claim_id AND o2.doc_id = o0.doc_id
+            AND o2.idx = 2 AND o2.pos > o1.pos
+  WHERE o0.idx = 0 AND o2.pos - o0.pos + 1 <= 3 + {SPAN_SLOP}
+),
+qterms AS (SELECT DISTINCT claim_id, term FROM qpos),
+scored AS (
+  SELECT q.claim_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * p.tf * {K1 + 1.0}
+              / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)) ) AS score
+  FROM qterms q
+  JOIN postings p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl l ON l.doc_id = p.doc_id
+  JOIN matches mt ON mt.claim_id = q.claim_id AND mt.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT claim_id::BIGINT AS claim_id, doc_id::BIGINT AS doc_id, round(score, 4) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY claim_id ORDER BY score DESC, doc_id) AS rn
+      FROM scored)
+WHERE rn <= {TOPK}
+"""
+    regex_vals = ", ".join(f"({i}, '{p}')" for i, p in REGEX_PATTERNS)
+    d["regex_topk"] = f"""
+WITH toks AS ({toks}),
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+pats(claim_id, pattern) AS (VALUES {regex_vals}),
+expanded AS (
+  SELECT claim_id, term
+  FROM (SELECT p.claim_id, p.pattern, d.term,
+               row_number() OVER (PARTITION BY p.claim_id, p.pattern
+                 ORDER BY d.df DESC, d.term) AS rk
+        FROM pats p JOIN dfreq d ON regexp_full_match(d.term, p.pattern))
+  WHERE rk <= {REGEX_EXP}
+),
+qterms AS (SELECT DISTINCT claim_id, term FROM expanded),
 scored AS (
   SELECT q.claim_id, p.doc_id,
          sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))

@@ -427,3 +427,45 @@ def expand_wildcards(
         "claim_id", F.col("tok").alias("term")
     )
     return literals.unionByName(expanded).distinct()
+
+
+def expand_regex(
+    stats: DataFrame,
+    patterns: DataFrame,
+    max_expansions: int = 16,
+) -> DataFrame:
+    """Regexp-query expansion (the Lucene RegexpQuery surface): each
+    pattern matches against the ENTIRE term (Lucene's anchored-automaton
+    semantics — ``eng.*`` matches "engine", ``.*ine`` matches it too, a
+    bare ``engine`` matches only itself), expanding against the term
+    DICTIONARY — never the postings — to at most ``max_expansions``
+    matching terms, highest-df first (ties term asc), exactly the
+    top-terms cut of :func:`expand_wildcards`. The expanded union scores
+    as a plain disjunction with each matched term's own idf.
+
+    ``patterns``: (claim_id, pattern) — patterns are data, not free text
+    (regex metacharacters would not survive the query tokenizer).
+    PORTABILITY CONTRACT: patterns must stay in the Java-regex / RE2
+    common subset (literals, ``.``, ``[...]`` classes, ``|``, ``*+?``,
+    ``{n,m}``, groups) so the engine and the DuckDB oracle agree; both
+    sides anchor with ^(?:...)$.
+
+    Relational shape: identical cost class to expand_wildcards — a
+    handful of patterns broadcast onto the Heaps-bounded dictionary
+    (BroadcastNestedLoopJoin over vocab x patterns); the corpus is never
+    touched. -> (claim_id, term), distinct.
+    """
+    pats = patterns.select(
+        "claim_id",
+        F.concat(F.lit("^(?:"), F.col("pattern"), F.lit(")$")).alias("_re"),
+    )
+    cand = stats.select("term", "df").join(
+        F.broadcast(pats), F.expr("term RLIKE _re"), "inner"
+    )
+    w = Window.partitionBy("claim_id", "_re").orderBy(F.desc("df"), F.asc("term"))
+    return (
+        cand.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_expansions)
+        .select("claim_id", "term")
+        .distinct()
+    )

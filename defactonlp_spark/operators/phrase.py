@@ -244,6 +244,114 @@ def score_phrase(
     )
 
 
+def span_near_matches(tokens: DataFrame, qpos: DataFrame, slop: int) -> DataFrame:
+    """Ordered span-near matching (Lucene SpanNearQuery ``in_order=true``):
+    a doc matches phrase terms t0..t(m-1) iff there exist token positions
+    p0 < p1 < ... < p(m-1) with term(p_i) = t_i and span width
+    p(m-1) - p0 + 1 <= m + slop. slop=0 degenerates to exact phrase
+    adjacency; the unordered sibling is :func:`proximity_matches`.
+
+    Relational shape — the anchor trick iterated as a GREEDY frontier:
+    anchors are occurrences of t0; at step i the frontier (claim, doc,
+    anchor, cur) extends by the EARLIEST occurrence of t_i in
+    (cur, anchor + i + slop]. Greedy-earliest is exact by the standard
+    exchange argument: any valid increasing assignment can be rewritten
+    to use the earliest valid choice at each step without shrinking the
+    remaining feasible window. Each step is a range join whose fan-out is
+    bounded by slop+1 per anchor, aggregated back to one row per anchor —
+    the frontier never exceeds |occurrences of t0| and plan depth is the
+    phrase length (bounded, ~8), so nothing is quadratic in doc length.
+    Frontier levels persist (tracked for release_cached) so the per-level
+    completion union does not recompute the prefix chain.
+
+    -> matching (claim_id, doc_id) pairs, distinct. Phrases of length 1
+    match wherever t0 occurs.
+    """
+    from defactonlp_spark.operators.dedup import _track_persist
+
+    plen = qpos.groupBy("claim_id").agg(F.count(F.lit(1)).alias("plen"))
+    lens = {r["claim_id"]: r["plen"] for r in plen.collect()}  # query-sized
+    if not lens:
+        return qpos.sparkSession.createDataFrame([], "claim_id long, doc_id long")
+    max_m = max(lens.values())
+
+    occ = _track_persist(
+        tokens.join(F.broadcast(qpos), "term", "inner").select(
+            "claim_id", "doc_id", "idx", "pos"
+        )
+    )
+    frontier = occ.filter(F.col("idx") == 0).select(
+        "claim_id", "doc_id",
+        F.col("pos").cast("long").alias("anchor"),
+        F.col("pos").cast("long").alias("cur"),
+    )
+    done = []
+    for i in range(1, max_m + 1):
+        complete_ids = [c for c, m in lens.items() if m == i]
+        if complete_ids:
+            done.append(
+                frontier.filter(F.col("claim_id").isin(complete_ids))
+                .select("claim_id", "doc_id")
+            )
+        if i == max_m:
+            break
+        nxt = occ.filter(F.col("idx") == i).select(
+            F.col("claim_id").alias("n_claim"), F.col("doc_id").alias("n_doc"),
+            F.col("pos").cast("long").alias("npos"),
+        )
+        frontier = _track_persist(
+            frontier.join(
+                nxt,
+                (F.col("claim_id") == F.col("n_claim"))
+                & (F.col("doc_id") == F.col("n_doc"))
+                & (F.col("npos") > F.col("cur"))
+                & (F.col("npos") <= F.col("anchor") + i + slop),
+                "inner",
+            )
+            .groupBy("claim_id", "doc_id", "anchor")
+            .agg(F.min("npos").alias("cur"))
+        )
+    out = done[0]
+    for d in done[1:]:
+        out = out.unionByName(d)
+    return out.distinct()
+
+
+def score_span_near(
+    postings: DataFrame,
+    stats: DataFrame,
+    tokens: DataFrame,
+    phrases: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    slop: int,
+    k: int = 5,
+    params: BM25Params = BM25Params(),
+) -> DataFrame:
+    """Top-k ordered span-near retrieval: matching via
+    :func:`span_near_matches`, then the standard BM25 sum over the
+    phrase's DISTINCT terms restricted to matching docs (stored stats —
+    scores comparable with every other query path, exactly like
+    :func:`score_phrase`). ``phrases``: (claim_id, phrase) free text."""
+    qpos = phrase_positions(phrases)
+    matches = span_near_matches(tokens, qpos, slop)
+    qterms = qpos.select("claim_id", "term").distinct()
+    q = qterms.join(stats, "term", "inner")
+    scored = (
+        postings.join(F.broadcast(q), "term", "inner")
+        .withColumn("contrib", bm25_score_expr(n_docs, avgdl, params))
+        .join(matches, ["claim_id", "doc_id"], "left_semi")
+        .groupBy("claim_id", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    w = Window.partitionBy("claim_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("claim_id", "rank", "doc_id", "score")
+    )
+
+
 def best_passage(
     tokens: DataFrame,
     qterms: DataFrame,

@@ -421,6 +421,36 @@ def main():
         must_not=["CartesianProduct", "BroadcastNestedLoopJoin"],
     )
 
+    # 28. span-near: each greedy-frontier step is a bounded range join over
+    # the persisted occurrence relation — broadcast qpos onto the token
+    # scan, per-anchor min aggregate; no cartesian, no nested loop
+    from defactonlp_spark.operators.phrase import phrase_positions, span_near_matches
+
+    sn_phrases = spark.createDataFrame(
+        [(0, "alpha beta gamma")], "claim_id long, phrase string"
+    )
+    ok &= check(
+        "span_near (bounded frontier range joins)",
+        plan_of(span_near_matches(
+            tokenize_tokens(docs), phrase_positions(sn_phrases), 2
+        )),
+        must=["HashAggregate"],
+        must_not=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    )
+
+    # 29. regex expansion: same dictionary-only shape as wildcard — the
+    # pattern relation broadcast onto the Heaps-bounded vocab, top-terms
+    # window; the corpus is never touched
+    from defactonlp_spark.operators.expansion import expand_regex
+
+    rpats = spark.createDataFrame([(0, "al.*")], "claim_id long, pattern string")
+    ok &= check(
+        "regex expansion (broadcast patterns onto dictionary)",
+        plan_of(expand_regex(st, rpats, 4)),
+        must=["BroadcastNestedLoopJoin", "Window"],
+        must_not=["CartesianProduct", "SortMergeJoin"],
+    )
+
     print("\nPLANS " + ("OK" if ok else "NOT OK"))
     spark.stop()
     sys.exit(0 if ok else 1)

@@ -137,3 +137,45 @@ def test_all_literal_claim_equals_plain_bm25(spark, corpus):
     a = sorted(map(tuple, via_wc.collect()))
     b = sorted(map(tuple, plain.collect()))
     assert a == b
+
+
+REGEX_CLAIMS = {
+    0: "d.*a",               # full-match: data (not 'document' — no trailing a)
+    1: "shuffl(es|ing)",
+    2: "zzz+",               # no match
+    3: "data",               # bare literal regex matches only itself
+}
+
+
+def test_expand_regex_full_match_semantics(spark, corpus):
+    import re
+
+    from defactonlp_spark.operators.expansion import expand_regex
+
+    p, n_docs, avgdl = corpus
+    pats = spark.createDataFrame(
+        [(i, c) for i, c in REGEX_CLAIMS.items()], "claim_id long, pattern string"
+    )
+    got = {}
+    for r in expand_regex(term_stats(p), pats, 16).collect():
+        got.setdefault(r["claim_id"], set()).add(r["term"])
+    postings, _, _, _ = build_oracle_index(TEXTS)
+    want = {}
+    for cid, pat in REGEX_CLAIMS.items():
+        hits = {t for t in postings if re.fullmatch(pat, t)}
+        if hits:
+            want[cid] = hits
+    assert got == want
+    assert "document" not in got.get(0, set())  # anchored, not substring
+
+
+def test_expand_regex_top_terms_cut(spark, corpus):
+    from defactonlp_spark.operators.expansion import expand_regex
+
+    p, n_docs, avgdl = corpus
+    pats = spark.createDataFrame([(0, "d.*")], "claim_id long, pattern string")
+    got = {r["term"] for r in expand_regex(term_stats(p), pats, 2).collect()}
+    postings, _, _, _ = build_oracle_index(TEXTS)
+    df = {t: len(ps) for t, ps in postings.items()}
+    d_terms = sorted((t for t in df if t.startswith("d")), key=lambda t: (-df[t], t))
+    assert got == set(d_terms[:2])
