@@ -130,3 +130,37 @@ def test_score_span_near_scores_match_bm25_restriction(spark, corpus):
     }
     for d, s in got.items():
         assert abs(s - full[d]) < 1e-9
+
+
+def test_span_near_randomized_bulk(spark):
+    """Seeded fuzz: 200 random docs over a 5-token alphabet x 12 random
+    phrases (len 1-4, repeats allowed) x slops {0,1,2}, every (claim, doc)
+    pair checked against the brute-force existential — the high-collision
+    alphabet maximizes repeated-term and overlapping-anchor cases the
+    planted fixtures can't enumerate."""
+    import random
+
+    rng = random.Random(42)
+    alpha = ["a", "b", "c", "d", "e"]
+    docs = {
+        i: " ".join(rng.choice(alpha) for _ in range(rng.randint(1, 30)))
+        for i in range(200)
+    }
+    phrases = [
+        (j, " ".join(rng.choice(alpha) for _ in range(rng.randint(1, 4))))
+        for j in range(12)
+    ]
+    docs_df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    toks = tokenize_tokens(docs_df).persist()
+    try:
+        for slop in (0, 1, 2):
+            got = _matches(spark, toks, phrases, slop)
+            want = {
+                (cid, did)
+                for cid, ph in phrases
+                for did, text in docs.items()
+                if brute_near(text, ph, slop)
+            }
+            assert got == want, f"slop={slop}: {got ^ want}"
+    finally:
+        toks.unpersist()
