@@ -751,6 +751,68 @@ def q_regex_topk(spark, sf_dir):
     return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
 
 
+# function_score gauss decay pinned params over n_chars (range 48-553 at
+# sf0.01, median ~300): boost 1 inside [250, 350], exactly 0.5 at distance
+# offset+scale — a length-quality prior, the ES decay-function shape
+DECAY_ORIGIN, DECAY_OFFSET, DECAY_SCALE = 300.0, 50.0, 150.0
+
+
+def q_bm25_topk_decay(spark, sf_dir):
+    """function_score retrieval (ES gauss decay,
+    operators/bm25.py::gauss_decay_expr composed with score_boosted):
+    final = bm25 * gauss(n_chars; origin, offset, scale), the multiplier
+    rounded to 6 dp before the multiply (the boost-portability device)."""
+    from defactonlp_spark.operators.bm25 import (
+        claim_terms, gauss_decay_expr, score_boosted,
+    )
+    from defactonlp_spark.operators.postings import term_stats
+
+    p = _postings_cached(spark, sf_dir)
+    n_docs, avgdl = _engine_corpus_stats(p)
+    boosts = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.round(
+            gauss_decay_expr(F.col("n_chars"), DECAY_ORIGIN, DECAY_OFFSET, DECAY_SCALE),
+            6,
+        ).alias("boost"),
+    )
+    res = score_boosted(
+        p, term_stats(p), claim_terms(_claims_df(spark)), n_docs, avgdl, boosts, k=TOPK
+    )
+    return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
+
+
+RESCORE_QW, RESCORE_RW = 0.7, 0.3
+
+
+def q_bm25_topk_rescored(spark, sf_dir):
+    """Rescore window (ES rescore semantics,
+    operators/ltr.py::rescore_topk): BM25 selects the top-10 window (the
+    ltr_features relation), Dirichlet query likelihood re-scores ONLY
+    that window, final = 0.7*bm25 + 0.3*lm_qlh — zero extra corpus scans
+    beyond the feature logger's two."""
+    from defactonlp_spark.functions.textstats import quality_features
+    from defactonlp_spark.operators.bm25 import claim_terms
+    from defactonlp_spark.operators.lm import ctf_stats
+    from defactonlp_spark.operators.ltr import ltr_features, rescore_topk
+    from defactonlp_spark.operators.postings import corpus_stats, term_stats
+
+    p = _postings_cached(spark, sf_dir)
+    cs = corpus_stats(p).collect()[0]
+    n_docs, avgdl, total = int(cs["n_docs"]), float(cs["avgdl"]), int(cs["total_tokens"])
+    qual = quality_features(_docs(spark, sf_dir)).select("doc_id", "quality")
+    feats = ltr_features(
+        p, term_stats(p), ctf_stats(p), claim_terms(_claims_df(spark)), qual,
+        n_docs, avgdl, total, k=LTR_K, mu=LTR_MU,
+    )
+    res = rescore_topk(feats, k=TOPK, query_weight=RESCORE_QW, rescore_weight=RESCORE_RW)
+    # round at 5 dp, NOT 4: 0.7*b + 0.3*l over 4-dp features is EXACT at
+    # five decimals, so 4-dp rounding would sit precisely on half-way
+    # boundaries and flip per engine float noise; at 5 dp there is no
+    # boundary to disagree on
+    return res.select("claim_id", "doc_id", F.round("score", 5).alias("score"))
+
+
 def q_bm25_topk_conjunctive(spark, sf_dir):
     """Boolean-AND retrieval: top-k docs containing ALL of a claim's terms,
     BM25-ranked (operators/bm25.py::score_conjunctive; same group-count
@@ -2672,6 +2734,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_spans": q_decontaminate_spans,
         "span_near_topk": q_span_near_topk,
         "regex_topk": q_regex_topk,
+        "bm25_topk_decay": q_bm25_topk_decay,
+        "bm25_topk_rescored": q_bm25_topk_rescored,
         # -- never driver-checked (session-3 additions) -------------------
         "mmr_topk": q_mmr_topk,
         "more_like_this": q_more_like_this,
@@ -4442,6 +4506,58 @@ FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
         ORDER BY round(score, 6) DESC, doc_id) AS rn FROM scored)
 WHERE rn <= {TOPK}
 """
+    d["bm25_topk_decay"] = f"""
+WITH toks AS ({toks}),
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+boosts AS (
+  SELECT doc_id,
+         round(exp(-pow(greatest(abs(n_chars::DOUBLE - {DECAY_ORIGIN}) - {DECAY_OFFSET}, 0.0), 2)
+               / (2.0 * (-({DECAY_SCALE} * {DECAY_SCALE}) / (2.0 * ln(0.5))))), 6) AS boost
+  FROM documents
+),
+claims(claim_id, claim) AS {_CLAIMS_SQL},
+qterms AS (
+  SELECT DISTINCT claim_id, unnest(list_filter(regexp_split_to_array(lower(claim),
+    '[^a-z0-9]+'), t -> t <> '')) AS term FROM claims
+),
+scored AS (
+  SELECT q.claim_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * p.tf * {K1 + 1.0}
+              / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)) ) AS bm25
+  FROM qterms q
+  JOIN postings p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl l ON l.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+final AS (
+  SELECT s.claim_id, s.doc_id, s.bm25 * b.boost AS score
+  FROM scored s JOIN boosts b ON b.doc_id = s.doc_id
+)
+SELECT claim_id::BIGINT AS claim_id, doc_id::BIGINT AS doc_id, round(score, 4) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
+        ORDER BY round(score, 6) DESC, doc_id) AS rn FROM final)
+WHERE rn <= {TOPK}
+"""
+    d["bm25_topk_rescored"] = f"""
+-- score rounded at 5 dp: the 0.7/0.3 combine of 4-dp features is exact at
+-- five decimals; 4 dp would round exactly-half values engine-dependently
+SELECT claim_id::BIGINT AS claim_id, doc_id::BIGINT AS doc_id, round(score, 5) AS score
+FROM (
+  SELECT claim_id, doc_id,
+         {RESCORE_QW} * bm25 + {RESCORE_RW} * coalesce(lm_qlh, 0.0) AS score,
+         row_number() OVER (PARTITION BY claim_id
+           ORDER BY round({RESCORE_QW} * bm25 + {RESCORE_RW} * coalesce(lm_qlh, 0.0), 6)
+                    DESC, doc_id) AS rn
+  FROM ({{ltr_inner}})
+)
+WHERE rn <= {TOPK}
+""".format(ltr_inner=d["ltr_features"])
     span_vals = ", ".join(f"({i}, '{p}')" for i, p in SPAN_PHRASES)
     d["span_near_topk"] = f"""
 WITH tl AS (

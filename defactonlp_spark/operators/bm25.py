@@ -580,3 +580,24 @@ def percolate_v2(
             F.col("_should_m").alias("n_should_matched"),
         )
     )
+
+
+def gauss_decay_expr(col, origin: float, offset: float, scale: float, decay: float = 0.5):
+    """The Elasticsearch function_score ``gauss`` decay multiplier:
+
+        sigma^2 = -scale^2 / (2 ln decay)
+        m(x)    = exp( - max(0, |x - origin| - offset)^2 / (2 sigma^2) )
+
+    m = 1 inside [origin-offset, origin+offset] and = ``decay`` exactly at
+    distance ``offset + scale`` — the standard recency/length/geo prior
+    shape. Pure codegen expression; compose with :func:`score_boosted`
+    (round to 6 dp first, the boost-portability device) for
+    function_score retrieval over any numeric doc field."""
+    import math
+
+    sigma2 = -(float(scale) ** 2) / (2.0 * math.log(float(decay)))
+    dist = F.greatest(
+        F.abs(col.cast("double") - F.lit(float(origin))) - F.lit(float(offset)),
+        F.lit(0.0),
+    )
+    return F.exp(-(dist * dist) / F.lit(2.0 * sigma2))

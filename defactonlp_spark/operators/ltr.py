@@ -94,3 +94,40 @@ def ltr_features(
             "claim_id", "rank", "doc_id", "bm25", "lm_qlh", "n_matched", "dl", "quality"
         )
     )
+
+
+def rescore_topk(
+    features: DataFrame,
+    k: int = 5,
+    query_weight: float = 0.7,
+    rescore_weight: float = 0.3,
+    dp: int = 4,
+) -> DataFrame:
+    """ES rescore-window semantics over an :func:`ltr_features` window:
+    the cheap ranker (BM25) selects the top-N candidates, a second scorer
+    (Dirichlet query likelihood) re-scores ONLY that window, and the
+    final order is ``query_weight * bm25 + rescore_weight * lm_qlh``
+    (the ES ``rescore.query_weight`` / ``rescore_query_weight`` combine).
+
+    Portability: both features round to ``dp`` decimals BEFORE the single
+    multiply-add, and ranking pins ties on (round(score, 6), doc_id) — the
+    same device as score_boosted, so engines agree bit-for-bit on order.
+    Docs the secondary scorer never matched keep lm_qlh = 0 (coalesce) —
+    they stay in the window rather than vanishing (ES behavior).
+
+    Cost shape: the window relation is |claims| x N rows — query-sized;
+    the rescore adds ZERO corpus scans beyond the two the feature logger
+    already made."""
+    b = F.round("bm25", dp)
+    l = F.round(F.coalesce(F.col("lm_qlh"), F.lit(0.0)), dp)
+    combined = features.withColumn(
+        "score", F.lit(float(query_weight)) * b + F.lit(float(rescore_weight)) * l
+    )
+    w = Window.partitionBy("claim_id").orderBy(
+        F.round("score", 6).desc(), F.asc("doc_id")
+    )
+    return (
+        combined.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("claim_id", "rank", "doc_id", "score")
+    )
