@@ -205,6 +205,39 @@ def facet_counts(
     return out
 
 
+def facet_top_hits(
+    scored: DataFrame,
+    doc_attrs: DataFrame,
+    facet_col: str,
+    n_hits: int = 2,
+) -> DataFrame:
+    """The ES ``terms`` aggregation with a ``top_hits`` sub-aggregation:
+    for each query and each value of one facet column, the ``n_hits``
+    best-scoring docs in the bucket. ``scored``: (claim_id, doc_id, score)
+    — any scored relation (exhaustive BM25, the top-k, a fused ranking).
+
+    Returns (claim_id, <facet_col>, hit_rank, doc_id, score) — hit_rank is
+    the position WITHIN the bucket (ES: ``top_hits.hits[i]``), ordered
+    score desc then doc_id asc (the engine-wide tie rule).
+
+    Plan: one doc_id join against the facet dim (broadcast when small —
+    Catalyst/AQE picks), one window partitioned by (claim, facet value).
+    The window's partition count is queries × facet cardinality — tiny —
+    but its INPUT is the scored relation, which at web scale is already
+    bounded by the caller (feed the top-k or a match-capped relation, not
+    the raw corpus)."""
+    w = Window.partitionBy("claim_id", facet_col).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.select("claim_id", "doc_id", "score")
+        .join(doc_attrs.select("doc_id", facet_col), "doc_id")
+        .withColumn("hit_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("hit_rank") <= n_hits)
+        .select("claim_id", facet_col, "hit_rank", "doc_id", "score")
+    )
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     k: int = 5,

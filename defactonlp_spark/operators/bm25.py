@@ -35,9 +35,15 @@ def claim_terms(claims: DataFrame, id_col: str = "claim_id", text_col: str = "cl
     )
 
 
+def idf_expr(n_docs: int):
+    """Column expression: the BM25 idf term from df (shared by the scorers
+    and :func:`explain_topk`'s breakdown rows)."""
+    return F.log1p((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+
+
 def bm25_score_expr(n_docs: int, avgdl: float, p: BM25Params):
     """Column expression: per-posting BM25 contribution from (tf, dl, df)."""
-    idf = F.log1p((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    idf = idf_expr(n_docs)
     tf = F.col("tf").cast("double")
     dl = F.col("dl").cast("double")
     denom = tf + F.lit(p.k1) * (F.lit(1.0 - p.b) + F.lit(p.b) * dl / F.lit(float(avgdl)))
@@ -77,6 +83,52 @@ def score_exhaustive(
         .filter(F.col("rank") <= k)
         .select("claim_id", "rank", "doc_id", "score")
     )
+
+def score_dismax(
+    postings: DataFrame,
+    stats: DataFrame,
+    qterms: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k: int = 5,
+    params: BM25Params = BM25Params(),
+    tie_breaker: float = 0.3,
+) -> DataFrame:
+    """Disjunction-max BM25 top-k — the Lucene ``DisjunctionMaxQuery`` /
+    ES ``dis_max`` scoring rule applied over per-term scorers:
+
+        score(claim, doc) = max_t contrib_t
+                            + tie_breaker * (sum_t contrib_t - max_t contrib_t)
+
+    ``tie_breaker=0`` is pure best-clause (a doc matching one great term
+    beats a doc matching several mediocre ones — the multi_match
+    ``best_fields`` behavior); ``tie_breaker=1`` degenerates to the plain
+    BM25 sum of :func:`score_exhaustive`. Returns
+    (claim_id, rank, doc_id, score).
+
+    Plan: identical single postings scan + broadcast term join as
+    :func:`score_exhaustive`; max and sum ride the SAME hash aggregate, so
+    dis_max costs exactly one extra agg column over the plain scorer.
+    """
+    tb = float(tie_breaker)
+    q = qterms.join(stats, "term", "inner")
+    scored = (
+        postings.join(F.broadcast(q), "term", "inner")
+        .withColumn("contrib", bm25_score_expr(n_docs, avgdl, params))
+        .groupBy("claim_id", "doc_id")
+        .agg(
+            (
+                F.max("contrib") + F.lit(tb) * (F.sum("contrib") - F.max("contrib"))
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("claim_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("claim_id", "rank", "doc_id", "score")
+    )
+
 
 def score_conjunctive(
     postings: DataFrame,
@@ -180,6 +232,7 @@ def score_boolean(
     avgdl: float,
     k: int = 5,
     params: BM25Params = BM25Params(),
+    min_should_match: int = 0,
 ) -> DataFrame:
     """Boolean BM25 top-k over (claim_id, term, pri) clause terms.
 
@@ -189,6 +242,16 @@ def score_boolean(
     Qualifying docs are ranked by the BM25 sum of their matched must+should
     contributions (score desc, doc_id asc), exactly the
     :func:`score_exhaustive` ranking rule.
+
+    ``min_should_match`` is the Lucene
+    ``BooleanQuery.setMinimumNumberShouldMatch`` / ES
+    ``minimum_should_match`` parameter: a doc must additionally match at
+    least that many DISTINCT should terms. Semantics pinned to Lucene's
+    rewrite rules: the constraint operates only on should clauses; a claim
+    with fewer (in-corpus or not) should clauses than the requirement is
+    unmatchable (Lucene rewrites to ``MatchNoDocsQuery``); with must
+    clauses present and ``min_should_match=0`` the should clauses stay
+    purely optional scorers (the default ES behavior).
 
     Plan shape: identical single postings scan + broadcast clause join as
     the other ad-hoc paths; must_not postings ride the same scan but their
@@ -221,6 +284,7 @@ def score_boolean(
             (F.col("n_not_m") == 0)
             & (F.col("n_must_m") == F.col("n_must"))
             & ((F.col("n_must") > 0) | (F.col("n_should_m") >= 1))
+            & (F.col("n_should_m") >= F.lit(int(min_should_match)))
         )
     )
     w = Window.partitionBy("claim_id").orderBy(F.desc("score"), F.asc("doc_id"))
@@ -228,6 +292,111 @@ def score_boolean(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
         .select("claim_id", "rank", "doc_id", "score")
+    )
+
+
+def score_boosting(
+    postings: DataFrame,
+    stats: DataFrame,
+    qterms: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k: int = 5,
+    params: BM25Params = BM25Params(),
+    negative_boost: float = 0.5,
+) -> DataFrame:
+    """The ES ``boosting`` query: rank by the positive clause's BM25 score,
+    demoted — not excluded — when the doc also matches the negative clause.
+
+        score = bm25(positive terms) * (negative_boost if doc matches any
+                                        negative term else 1)
+
+    ``qterms`` is (claim_id, term, pri) with pri=1 positive, pri=0
+    negative (the :func:`boolean_terms` encoding; should-pri 2 is treated
+    as positive so the same clause builder serves both operators). A doc
+    must match at least one positive term to appear at all — negative-only
+    matches never enter the result (ES: the negative query is not a
+    matching clause, only a demotion).
+
+    Plan: one postings scan, both clauses broadcast onto it; the demotion
+    flag and the positive sum ride the same hash aggregate, so boosting
+    costs the negative terms' postings and nothing else.
+    """
+    q = qterms.join(stats, "term", "inner")
+    is_neg = F.col("pri") == 0
+    scored = (
+        postings.join(F.broadcast(q), "term", "inner")
+        .withColumn(
+            "contrib",
+            F.when(is_neg, F.lit(0.0)).otherwise(bm25_score_expr(n_docs, avgdl, params)),
+        )
+        .groupBy("claim_id", "doc_id")
+        .agg(
+            F.sum("contrib").alias("pos_score"),
+            F.sum((~is_neg).cast("int")).alias("n_pos_m"),
+            F.sum(is_neg.cast("int")).alias("n_neg_m"),
+        )
+        .filter(F.col("n_pos_m") > 0)
+        .withColumn(
+            "score",
+            F.col("pos_score")
+            * F.when(F.col("n_neg_m") > 0, F.lit(float(negative_boost))).otherwise(
+                F.lit(1.0)
+            ),
+        )
+    )
+    w = Window.partitionBy("claim_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("claim_id", "rank", "doc_id", "score")
+    )
+
+
+def explain_topk(
+    postings: DataFrame,
+    stats: DataFrame,
+    qterms: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k: int = 5,
+    params: BM25Params = BM25Params(),
+    rank_dp: int | None = None,
+) -> DataFrame:
+    """The ES ``explain=true`` analog: the per-term BM25 score breakdown for
+    every (claim, doc) in the exhaustive top-k. Returns one row per matched
+    query term of each hit — (claim_id, rank, doc_id, term, tf, idf,
+    contrib, score) with score = the hit's total (every breakdown row
+    carries it, exactly like the ES response embeds the total in each
+    explanation node) and sum(contrib) over a hit's rows == score.
+
+    Plan: the scored-postings relation is built once, and the top-k cut and
+    the breakdown both derive from it — a window keeps rows of the top-k
+    (claim, doc) pairs only, so explain costs the same single scan as
+    :func:`score_exhaustive` plus one window. No second corpus pass, no
+    join back against the postings.
+    """
+    q = qterms.join(stats, "term", "inner")
+    contribs = (
+        postings.join(F.broadcast(q), "term", "inner")
+        .withColumn("idf", idf_expr(n_docs))
+        .withColumn("contrib", bm25_score_expr(n_docs, avgdl, params))
+    )
+    wdoc = Window.partitionBy("claim_id", "doc_id")
+    # rank_dp: rank on round(score, rank_dp) so near-tied docs order by
+    # doc_id instead of engine float-summation noise (same contract as
+    # score_exhaustive's rank_dp). dense_rank over the per-doc-unique
+    # (key, doc_id) pair == row_number over distinct docs, so every
+    # breakdown row of a hit carries the hit's rank.
+    rank_key = F.col("score") if rank_dp is None else F.round("score", rank_dp)
+    wtop = Window.partitionBy("claim_id").orderBy(
+        rank_key.desc(), F.asc("doc_id")
+    )
+    return (
+        contribs.withColumn("score", F.sum("contrib").over(wdoc))
+        .withColumn("rank", F.dense_rank().over(wtop).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("claim_id", "rank", "doc_id", "term", "tf", "idf", "contrib", "score")
     )
 
 

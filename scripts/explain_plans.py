@@ -451,6 +451,42 @@ def main():
         must_not=["CartesianProduct", "SortMergeJoin"],
     )
 
+    # 30. dis_max: identical envelope to exhaustive BM25 — broadcast query
+    # side, max+sum in ONE hash aggregate, windowed top-k
+    from defactonlp_spark.operators.bm25 import score_dismax
+
+    ok &= check(
+        "dis_max (one scan, max+sum in one agg)",
+        plan_of(score_dismax(postings, stats, claim_terms(claims), 500, 56.0, k=5)),
+        must=["BroadcastHashJoin", "HashAggregate", "WindowGroupLimit"],
+        must_not=["CartesianProduct", "SortMergeJoin"],
+    )
+
+    # 31. explain breakdown: the top-k cut is a WINDOW over the scored
+    # contribs relation — one broadcast join, no second corpus scan or
+    # join-back against the postings
+    from defactonlp_spark.operators.bm25 import explain_topk
+
+    explain_plan = plan_of(
+        explain_topk(postings, stats, claim_terms(claims), 500, 56.0, k=5)
+    )
+    ok &= check(
+        "explain breakdown (window cut, no join-back)",
+        explain_plan,
+        must=["BroadcastHashJoin", "Window"],
+        must_not=["CartesianProduct", "SortMergeJoin"],
+    )
+    # "no join-back" materially: explain's plan contains exactly as many
+    # tokenize-kernel subtrees as plain score_exhaustive's (the stats side
+    # re-derives from the kernel in BOTH un-executed plans; AQE reuses the
+    # exchange at runtime). A join-back formulation would add one more.
+    n_exh = plan_of(
+        score_exhaustive(postings, stats, claim_terms(claims), 500, 56.0, k=5)
+    ).count("MapInPandas")
+    n_scans = explain_plan.count("MapInPandas")
+    print(f"  [x] tokenize-kernel subtrees: explain {n_scans} vs exhaustive {n_exh} (want ==)")
+    ok &= n_scans == n_exh
+
     print("\nPLANS " + ("OK" if ok else "NOT OK"))
     spark.stop()
     sys.exit(0 if ok else 1)
