@@ -1213,6 +1213,102 @@ def q_bm25f_topk(spark, sf_dir):
     return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
 
 
+def q_combined_fields_topk(spark, sf_dir):
+    """ES combined_fields / Lucene CombinedFieldQuery (bm25f.py::
+    score_combined_fields): TERM-centric multi-field BM25 — the doc scored
+    as if lead (2x) and body were one merged field (tf and dl both
+    weight-merged), one shared b/k1. Same fixture split as bm25f_topk so
+    the two multi-field semantics are directly comparable in the record."""
+    from defactonlp_spark.operators.bm25 import claim_terms
+    from defactonlp_spark.operators.bm25f import (
+        lead_body_fields,
+        score_combined_fields,
+    )
+
+    fp = lead_body_fields(
+        None, lead_n=BM25F_LEAD_N, tokens=_tokens_cached(spark, sf_dir)
+    ).persist()
+    res = score_combined_fields(fp, claim_terms(_claims_df(spark)), k=TOPK)
+    return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
+
+
+# match_phrase_prefix fixture: multi-expansion prefix ('s' -> small/scan/
+# slow/sort/stream/spark... capped at 4), single-expansion ('sc', 'da'),
+# pure-prefix single token ('qu'), empty expansion (MatchNoDocs), and a
+# repeated fixed term ahead of the prefix
+PHRASE_PREFIX_CLAIMS = [
+    (0, "hash s"),
+    (1, "table sc"),
+    (2, "qu"),
+    (3, "big da"),
+    (4, "merge zz"),
+    (5, "a a s"),
+]
+PHRASE_PREFIX_MAX_EXP = 4
+
+
+def q_phrase_prefix_topk(spark, sf_dir):
+    """ES match_phrase_prefix (phrase.py::score_phrase_prefix): the last
+    token expands as a dictionary prefix (df desc, term asc, cap 4 — the
+    top-terms rewrite), a doc matches iff the fixed terms + ANY expansion
+    occur consecutively (multi-phrase anchor count vs the TRUE phrase
+    length), scored as the BM25 disjunction over the expanded distinct
+    term set restricted to matching docs."""
+    from defactonlp_spark.operators.phrase import score_phrase_prefix
+    from defactonlp_spark.operators.postings import term_stats
+
+    p = _postings_cached(spark, sf_dir)
+    n_docs, avgdl = _engine_corpus_stats(p)
+    phrases = spark.createDataFrame(
+        PHRASE_PREFIX_CLAIMS, "claim_id long, phrase string"
+    )
+    res = score_phrase_prefix(
+        p, term_stats(p), _tokens_cached(spark, sf_dir), phrases, n_docs, avgdl,
+        k=TOPK, max_expansions=PHRASE_PREFIX_MAX_EXP,
+    )
+    return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
+
+
+KNN_FILTER_LABEL = 1
+KNN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def q_knn_filtered(spark, sf_dir):
+    """PRE-filtered exact knn (similarity.py::cosine_topk_filtered) — the
+    ES knn-query filter clause: candidates restricted to label=1 BEFORE
+    the search, so every query still gets a full k even though the filter
+    keeps ~1/3 of the corpus; query vectors come from the unfiltered set."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    allowed = emb.filter(F.col("label") == KNN_FILTER_LABEL).select("vec_id")
+    from defactonlp_spark.operators.similarity import cosine_topk_filtered
+
+    return cosine_topk_filtered(emb, allowed, query_ids=KNN_QUERY_IDS, k=10)
+
+
+COMPOSITE_PAGE = 5
+
+
+def q_composite_page2(spark, sf_dir):
+    """ES composite aggregation, page 2 (analytics.py::composite_agg):
+    buckets of documents by (source, lang) in key order, 5 per page; the
+    after-key is page 1's last bucket, applied to the INPUT rows (exact
+    for group keys) so it reaches the scan as a pushed filter. Oracle =
+    the bucket-rank slice [6, 10] — after-key paging must equal it."""
+    from defactonlp_spark.operators.analytics import composite_agg
+
+    docs = _docs(spark, sf_dir)
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("doc_count"),
+        F.sum("n_chars").cast("long").alias("chars_sum"),
+    ]
+    page1 = composite_agg(docs, ["source", "lang"], aggs, size=COMPOSITE_PAGE)
+    last = page1.collect()[-1]  # page-sized driver read: the after cursor
+    return composite_agg(
+        docs, ["source", "lang"], aggs, size=COMPOSITE_PAGE,
+        after=(last["source"], last["lang"]),
+    )
+
+
 def q_bm25_topk_page2(spark, sf_dir):
     """search_after pagination (ES/Lucene deep-paging contract): page 2 via
     per-claim cursors — the (round(score,6), doc_id) of page 1's last row —
@@ -3015,6 +3111,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every judge sweep) slide just past the boundary.
     return {
         # -- round-4 late additions (never checked anywhere — first) ------
+        "combined_fields_topk": q_combined_fields_topk,
+        "phrase_prefix_topk": q_phrase_prefix_topk,
+        "knn_filtered": q_knn_filtered,
+        "composite_page2": q_composite_page2,
         "bm25_topk_msm": q_bm25_topk_msm,
         "dismax_topk": q_dismax_topk,
         "bm25_topk_boosting": q_bm25_topk_boosting,
@@ -3455,6 +3555,153 @@ WHERE rn <= {TOPK}
         "bm25_topk_boosting": _BOOSTING_SQL,
         "bm25_explain": _EXPLAIN_SQL,
         "facet_top_hits": _TOPHITS_SQL,
+        # combined_fields: tf and dl both weight-merged (lead 2x), one
+        # shared b/k1 BM25 over the virtual merged field; any-field df
+        "combined_fields_topk": f"""
+WITH tl AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS t FROM documents
+),
+tokpos AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS term
+  FROM tl, unnest(range(1, len(t) + 1)) AS u(i)
+),
+ftoks AS (
+  SELECT doc_id, CASE WHEN pos < {BM25F_LEAD_N} THEN 'lead' ELSE 'body' END AS field, term
+  FROM tokpos
+),
+ftf AS (SELECT doc_id, field, term, count(*)::BIGINT AS tf FROM ftoks GROUP BY 1, 2, 3),
+fdl AS (SELECT doc_id, field, count(*)::BIGINT AS dl_f FROM ftoks GROUP BY 1, 2),
+dlc AS (
+  SELECT doc_id, sum((CASE field WHEN 'lead' THEN 2.0 ELSE 1.0 END) * dl_f) AS dl_c
+  FROM fdl GROUP BY 1
+),
+cstats AS (SELECT count(*)::DOUBLE AS n, avg(dl_c) AS avgdl_c FROM dlc),
+dfreq AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM ftoks GROUP BY 1),
+claims(claim_id, claim) AS {_CLAIMS_SQL},
+qterms AS (
+  SELECT DISTINCT claim_id, unnest(list_filter(regexp_split_to_array(lower(claim),
+    '[^a-z0-9]+'), t -> t <> '')) AS term FROM claims
+),
+tfc AS (
+  SELECT q.claim_id, f.doc_id, f.term,
+         sum((CASE f.field WHEN 'lead' THEN 2.0 ELSE 1.0 END) * f.tf) AS tf_c
+  FROM qterms q JOIN ftf f ON f.term = q.term
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT t.claim_id, t.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * t.tf_c * {K1 + 1.0}
+              / (t.tf_c + {K1} * ({1.0 - B} + {B} * l.dl_c / s.avgdl_c)) ) AS score
+  FROM tfc t
+  JOIN dfreq d ON d.term = t.term
+  JOIN dlc l ON l.doc_id = t.doc_id
+  CROSS JOIN cstats s
+  GROUP BY 1, 2
+)
+SELECT claim_id::BIGINT AS claim_id, doc_id::BIGINT AS doc_id, round(score, 4) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
+        ORDER BY round(score, 6) DESC, doc_id) AS rn FROM scored)
+WHERE rn <= {TOPK}
+""",
+        # match_phrase_prefix: dictionary expansion of the last token
+        # (df desc, term asc, cap {PHRASE_PREFIX_MAX_EXP}), containment of
+        # 'fixed... expansion' over normalized token strings, BM25 over
+        # the expanded distinct set restricted to matching docs
+        "phrase_prefix_topk": f"""
+WITH toks AS ({_TOKS_SQL}),
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+claims(claim_id, phrase) AS {"(VALUES " + ", ".join(f"({i}, '{p}')" for i, p in PHRASE_PREFIX_CLAIMS) + ")"},
+ptoks AS (
+  SELECT claim_id, list_filter(regexp_split_to_array(lower(phrase), '[^a-z0-9]+'),
+                               t -> t <> '') AS t FROM claims
+),
+parts AS (
+  SELECT claim_id,
+         -- t[1:0] slices to NULL in DuckDB, not []: coalesce pins the
+         -- single-token (pure-prefix) phrase to an empty fixed part
+         coalesce(array_to_string(t[1:len(t)-1], ' '), '') AS fixed,
+         t[len(t)] AS prefix
+  FROM ptoks
+),
+exp AS (
+  SELECT claim_id, term FROM (
+    SELECT p.claim_id, d.term,
+           row_number() OVER (PARTITION BY p.claim_id
+                              ORDER BY d.df DESC, d.term) AS rk
+    FROM parts p JOIN dfreq d ON d.term LIKE p.prefix || '%'
+  ) WHERE rk <= {PHRASE_PREFIX_MAX_EXP}
+),
+docstr AS (
+  SELECT doc_id, ' ' || array_to_string(list_filter(regexp_split_to_array(lower(text),
+    '[^a-z0-9]+'), t -> t <> ''), ' ') || ' ' AS s FROM documents
+),
+matches AS (
+  SELECT DISTINCT p.claim_id, d.doc_id
+  FROM parts p
+  JOIN exp e ON e.claim_id = p.claim_id
+  JOIN docstr d ON d.s LIKE
+    '% ' || (CASE WHEN p.fixed = '' THEN '' ELSE p.fixed || ' ' END) || e.term || ' %'
+),
+qterms AS (
+  SELECT DISTINCT claim_id, term FROM (
+    SELECT claim_id, unnest(t[1:len(t)-1]) AS term FROM ptoks
+    UNION ALL
+    SELECT claim_id, term FROM exp
+  )
+),
+scored AS (
+  SELECT q.claim_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * p.tf * {K1 + 1.0}
+              / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)) ) AS score
+  FROM qterms q
+  JOIN postings p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl l ON l.doc_id = p.doc_id
+  JOIN matches m ON m.claim_id = q.claim_id AND m.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT claim_id::BIGINT AS claim_id, doc_id::BIGINT AS doc_id, round(score, 4) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
+        ORDER BY round(score, 6) DESC, doc_id) AS rn FROM scored)
+WHERE rn <= {TOPK}
+""",
+        # pre-filtered exact knn: candidates restricted to label=1 BEFORE
+        # the top-k; query vectors from the unfiltered relation
+        "knn_filtered": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+           WHERE vec_id IN ({", ".join(str(i) for i in KNN_QUERY_IDS)})),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product(q.qvec::DOUBLE[], e.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[]))
+                  * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS cos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id AND e.label = {KNN_FILTER_LABEL}
+)
+SELECT query_id::BIGINT AS query_id, rank::INTEGER AS rank, vec_id::BIGINT AS vec_id, cos
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+      FROM scored)
+WHERE rank <= 10
+""",
+        # composite agg page 2: after-key paging must equal the bucket-rank
+        # slice [{COMPOSITE_PAGE}+1, 2*{COMPOSITE_PAGE}] in key order
+        "composite_page2": f"""
+WITH buckets AS (
+  SELECT source, lang, count(*)::BIGINT AS doc_count, sum(n_chars)::BIGINT AS chars_sum
+  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+  GROUP BY 1, 2
+),
+rk AS (SELECT *, row_number() OVER (ORDER BY source, lang) AS rn FROM buckets)
+SELECT source, lang, doc_count, chars_sum
+FROM rk WHERE rn > {COMPOSITE_PAGE} AND rn <= {2 * COMPOSITE_PAGE}
+""",
         "bm25_topk_synonyms": f"""
 WITH toks AS ({_TOKS_SQL}),
 postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),

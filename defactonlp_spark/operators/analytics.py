@@ -429,3 +429,48 @@ def ranking_rbo(
         F.coalesce(F.col("overlap_k"), F.lit(0)).cast("long").alias("overlap_k"),
         F.coalesce(F.col("rbo"), F.lit(0.0)).alias("rbo"),
     )
+
+
+def composite_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: list,
+    size: int = 10,
+    after: tuple | None = None,
+) -> DataFrame:
+    """The ES ``composite`` aggregation: paginate over ALL buckets of a
+    multi-source group-by in bucket-key order, ``size`` buckets per page,
+    ``after`` = the previous page's last bucket key — the agg-side
+    search_after (ordinary terms aggs cannot page; composite exists so a
+    client can stream every bucket of a high-cardinality group-by).
+
+    ``aggs``: ready Column expressions (e.g. ``F.count(F.lit(1)).cast(
+    "long").alias("doc_count")``). Buckets order by the key columns asc
+    (nulls excluded, the ES default source behavior); ``after`` compares
+    lexicographically on the key tuple, strictly greater.
+
+    Scale shape — the reason this paginates at 10^12 rows: the after-key
+    predicate is applied to the INPUT rows, not the finished buckets
+    (groups are wholly >after or wholly <=after, so the rewrite is exact),
+    which means it reaches the parquet scan as a PushedFilter on the
+    leading key column; the per-page cost is a pruned scan + partial agg +
+    one global top-``size`` sort of surviving buckets
+    (TakeOrderedAndProject — no full bucket sort, no full bucket
+    materialization). Page N never pays for pages 1..N-1's buckets.
+    """
+    cur = df
+    for c in keys:
+        cur = cur.filter(F.col(c).isNotNull())
+    if after is not None:
+        gt = F.lit(False)
+        for i in range(len(keys) - 1, -1, -1):
+            gt = (F.col(keys[i]) > F.lit(after[i])) | (
+                (F.col(keys[i]) == F.lit(after[i])) & gt
+            )
+        cur = cur.filter(gt)
+    return (
+        cur.groupBy(*keys)
+        .agg(*aggs)
+        .orderBy(*[F.asc(c) for c in keys])
+        .limit(size)
+    )

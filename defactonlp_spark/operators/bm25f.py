@@ -130,3 +130,81 @@ def score_bm25f(
         .filter(F.col("rank") <= k)
         .select("claim_id", "rank", "doc_id", "score")
     )
+
+
+def score_combined_fields(
+    fpostings: DataFrame,
+    qterms: DataFrame,
+    k: int = 5,
+    weights: dict | None = None,
+    k1: float = BM25F_K1,
+    b: float = 0.75,
+) -> DataFrame:
+    """The ES ``combined_fields`` query (Lucene ``CombinedFieldQuery``,
+    8.0+) — TERM-centric multi-field BM25, the principled alternative to
+    per-field dis_max: the document is scored as if its fields were merged
+    into one synthetic field, with per-field boosts applied to term
+    frequencies AND lengths before ordinary BM25:
+
+        tf_c(t, d) = sum_f w_f * tf_f(t, d)
+        dl_c(d)    = sum_f w_f * dl_f(d)
+        avgdl_c    = mean over all docs of dl_c
+        idf        = ln(1 + (N - df + 0.5)/(df + 0.5)), df = any-field df
+        score      = sum_t idf * tf_c*(k1+1) / (tf_c + k1*(1-b+b*dl_c/avgdl_c))
+
+    One shared b/k1 (vs :func:`score_bm25f`'s per-field b) — exactly the
+    published CombinedFieldQuery simplification of BM25F. Ranking pinned
+    to (round(score, 6) desc, doc_id asc) like the BM25F path.
+
+    Input relation and plan envelope are identical to
+    :func:`score_bm25f`: one scan of (doc_id, field, term, tf, dl_f) with
+    the query side broadcast; the weighted-merge aggregates ride the same
+    hash-aggregate pipeline, so combined_fields costs the same single pass
+    as plain BM25 over a pre-merged corpus would — the merge is virtual.
+    """
+    w = weights or BM25F_WEIGHTS
+    w_expr = F.create_map(*[x for kk, vv in w.items() for x in (F.lit(kk), F.lit(float(vv)))])
+
+    # per-doc combined length: sum_f w_f * dl_f (one row per doc)
+    dlc = (
+        fpostings.select("doc_id", "field", "dl_f").distinct()
+        .withColumn("_w", w_expr[F.col("field")])
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("_w") * F.col("dl_f")).alias("dl_c"))
+    )
+    stats = dlc.agg(
+        F.count(F.lit(1)).cast("double").alias("n"), F.avg("dl_c").alias("avgdl_c")
+    )
+    dfreq = fpostings.select("term", "doc_id").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+
+    q = qterms.join(dfreq, "term", "inner")
+    tfc = (
+        fpostings.join(F.broadcast(q), "term", "inner")
+        .withColumn("_w", w_expr[F.col("field")])
+        .groupBy("claim_id", "doc_id", "term")
+        .agg(F.sum(F.col("_w") * F.col("tf")).alias("tf_c"), F.first("df").alias("df"))
+    )
+    scored = (
+        tfc.join(dlc, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.log1p((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * F.col("tf_c") * F.lit(k1 + 1.0)
+            / (
+                F.col("tf_c")
+                + F.lit(float(k1))
+                * (F.lit(1.0 - b) + F.lit(float(b)) * F.col("dl_c") / F.col("avgdl_c"))
+            ),
+        )
+        .groupBy("claim_id", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    win = Window.partitionBy("claim_id").orderBy(F.round("score", 6).desc(), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("claim_id", "rank", "doc_id", "score")
+    )

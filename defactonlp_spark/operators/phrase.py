@@ -406,3 +406,118 @@ def best_passage(
         .filter(F.col("_rk") == 1)
         .select("claim_id", "doc_id", "start_pos", "n_terms", "n_hits")
     )
+
+
+def prefix_expanded_positions(
+    stats: DataFrame,
+    phrases: DataFrame,
+    max_expansions: int = 16,
+) -> DataFrame:
+    """match_phrase_prefix expansion: tokenize each phrase WITH offsets and
+    expand the LAST token as a PREFIX against the term dictionary — never
+    the postings — to at most ``max_expansions`` terms, highest-df first
+    (ties term asc; the same deterministic top-terms rewrite cut as
+    expansion.py::expand_wildcards). Earlier tokens pass through literal.
+
+    -> qpos rows (claim_id, idx, term) where the last idx carries one row
+    per surviving expansion; feeding this to :func:`phrase_matches` makes
+    the anchor count exact (a doc position holds ONE token, so it matches
+    at most one expansion row — the per-anchor bijection survives).
+
+    A phrase whose prefix matches nothing in the dictionary contributes no
+    last-idx rows, so the anchor count can never reach plen — unmatchable,
+    exactly Lucene's rewrite of an empty MultiTermQuery expansion.
+
+    Scale shape: phrases (a handful) broadcast onto the Heaps-bounded
+    dictionary; a prefix is a range predicate a sorted 10^12-doc term
+    dictionary serves by range pruning (term >= p AND term < p || 'z'+1) —
+    LIKE keeps it declarative here and DuckDB-portable.
+    """
+    qpos = phrase_positions(phrases)
+    plen = qpos.groupBy("claim_id").agg(F.max("idx").alias("last_idx"))
+    qpos = qpos.join(F.broadcast(plen), "claim_id")
+    fixed = qpos.filter(F.col("idx") < F.col("last_idx")).select(
+        "claim_id", "idx", "term"
+    )
+    last = qpos.filter(F.col("idx") == F.col("last_idx")).select(
+        "claim_id", "idx", F.col("term").alias("prefix")
+    )
+    cand = stats.select("term", "df").join(
+        F.broadcast(last), F.expr("term LIKE prefix || '%'"), "inner"
+    )
+    w = Window.partitionBy("claim_id").orderBy(F.desc("df"), F.asc("term"))
+    expanded = (
+        cand.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_expansions)
+        .select("claim_id", "idx", "term")
+    )
+    return fixed.unionByName(expanded)
+
+
+def score_phrase_prefix(
+    postings: DataFrame,
+    stats: DataFrame,
+    tokens: DataFrame,
+    phrases: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k: int = 5,
+    max_expansions: int = 16,
+    params: BM25Params = BM25Params(),
+) -> DataFrame:
+    """The ES ``match_phrase_prefix`` query: the phrase's last token is a
+    PREFIX, expanded against the dictionary (:func:`prefix_expanded_
+    positions`), and a doc matches iff the fixed terms appear consecutively
+    followed by ANY expansion at the final slot — the multi-phrase anchor
+    count over the expanded qpos relation, same single
+    (claim, doc, anchor) shuffle as :func:`phrase_matches`.
+
+    Ranking pins the house rewrite rule: matching docs score the standard
+    BM25 sum over the DISTINCT expanded term set (fixed terms + all
+    expansions the doc contains) with stored stats — the ScoringBoolean
+    disjunction-over-expansions semantics expand_wildcards documents,
+    gated by the positional match. Ranking (round(score,6) desc, doc_id
+    asc) like the other multi-term rewrites.
+    """
+    qpos = prefix_expanded_positions(stats, phrases, max_expansions)
+    # anchor count vs the TRUE phrase length from the ORIGINAL phrase —
+    # NOT the expanded relation's row count (many rows share the last idx,
+    # of which a doc position can match exactly one) and NOT its max(idx)
+    # (an empty expansion drops the last-idx rows entirely; deriving plen
+    # from the expanded relation would silently demote the query to its
+    # fixed prefix instead of the MatchNoDocs rewrite).
+    plen = (
+        phrase_positions(phrases)
+        .groupBy("claim_id")
+        .agg((F.max("idx") + 1).alias("plen"))
+    )
+    hits = tokens.join(F.broadcast(qpos), "term", "inner").select(
+        "claim_id",
+        "doc_id",
+        (F.col("pos").cast("long") - F.col("idx")).alias("anchor"),
+    )
+    matches = (
+        hits.groupBy("claim_id", "doc_id", "anchor")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .join(F.broadcast(plen), "claim_id", "inner")
+        .filter(F.col("m") == F.col("plen"))
+        .select("claim_id", "doc_id")
+        .distinct()
+    )
+    qterms = qpos.select("claim_id", "term").distinct()
+    q = qterms.join(stats, "term", "inner")
+    scored = (
+        postings.join(F.broadcast(q), "term", "inner")
+        .withColumn("contrib", bm25_score_expr(n_docs, avgdl, params))
+        .join(matches, ["claim_id", "doc_id"], "left_semi")
+        .groupBy("claim_id", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    w = Window.partitionBy("claim_id").orderBy(
+        F.round("score", 6).desc(), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("claim_id", "rank", "doc_id", "score")
+    )

@@ -780,3 +780,51 @@ def sq8_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cos")
     )
+
+
+def cosine_topk_filtered(
+    embeddings: DataFrame,
+    allowed: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PRE-filtered exact knn — the ES ``knn`` query's ``filter`` clause
+    (and Lucene's ``KnnFloatVectorQuery(..., filter)``): candidates are
+    restricted to ``allowed`` (any one-column (vec_id) relation — a
+    metadata predicate, an ACL set, a dedup survivor list) BEFORE the
+    similarity search, so the top-k is exact over the filtered set —
+    unlike post-filtering a larger unfiltered top-k, which can return
+    fewer than k (or miss) when the filter is selective. Query vectors
+    are looked up from the UNFILTERED relation (the query point itself
+    need not satisfy the filter — ES semantics).
+
+    Output: (query_id, rank, vec_id, cos), cos rounded to 6 dp — the same
+    contract as :func:`cosine_topk`; self-matches excluded.
+
+    Scale shape: the filter is a left-semi join that Catalyst pushes below
+    the broadcast-nested-loop scoring join, so a selective predicate
+    shrinks the expensive kernel's input proportionally — the whole point
+    of pre-filtering at 1B vectors. The LSH/IVF tiers compose the same
+    way (semi-join the bucketed candidates before rescoring); this is the
+    exact baseline those tiers are measured against.
+    """
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    cand = embeddings.join(
+        allowed.select(F.col(allowed.columns[0]).alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    )
+    joined = (
+        cand.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+        .withColumn("cos", F.round(cosine_expr(F.col("qvec"), F.col(vec_col)), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        joined.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", F.col(id_col).alias("vec_id"), "cos")
+    )

@@ -487,6 +487,75 @@ def main():
     print(f"  [x] tokenize-kernel subtrees: explain {n_scans} vs exhaustive {n_exh} (want ==)")
     ok &= n_scans == n_exh
 
+    # 32. combined_fields: the virtual field merge is hash aggregates over
+    # ONE field-postings relation — broadcast query side, windowed top-k,
+    # no cartesian, no sort-merge
+    from defactonlp_spark.operators.bm25f import lead_body_fields, score_combined_fields
+    from defactonlp_spark.functions.tokenize import tokenize_tokens
+
+    fp = lead_body_fields(docs, lead_n=20)
+    ok &= check(
+        "combined_fields (weight-merged aggs, one relation)",
+        plan_of(score_combined_fields(fp, claim_terms(claims), k=5)),
+        must=["BroadcastHashJoin", "HashAggregate", "WindowGroupLimit"],
+        must_not=["CartesianProduct", "SortMergeJoin"],
+    )
+
+    # 33. match_phrase_prefix: the prefix expands against the DICTIONARY
+    # via a broadcast nested-loop LIKE join (patterns side tiny); corpus
+    # joins stay broadcast-hash; never a cartesian
+    from defactonlp_spark.operators.phrase import score_phrase_prefix
+
+    phrases = spark.createDataFrame([(0, "merge jo")], "claim_id long, phrase string")
+    # the match gate is a LeftSemi between two corpus-derived relations
+    # (scored postings x positional matches) — a shuffled SortMergeJoin is
+    # the CORRECT physical choice there (neither side broadcastable at
+    # scale), so only cartesians are banned; the dictionary LIKE rewrite
+    # and the query side must still broadcast
+    ok &= check(
+        "match_phrase_prefix (dictionary rewrite, anchor match)",
+        plan_of(score_phrase_prefix(
+            postings, stats, tokenize_tokens(docs), phrases, 500, 56.0, k=5
+        )),
+        must=["BroadcastHashJoin", "WindowGroupLimit", "LeftSemi"],
+        must_not=["CartesianProduct"],
+    )
+
+    # 34. filtered knn: the allowed-set pre-filter is a left-semi
+    # BroadcastHashJoin BELOW the scoring join — a selective filter
+    # shrinks the expensive kernel's input, the point of pre-filtering
+    from defactonlp_spark.operators.similarity import cosine_topk_filtered
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    knn_plan = plan_of(cosine_topk_filtered(
+        emb, emb.filter(F.col("label") == 1).select("vec_id"), [0, 1, 2], k=5
+    ))
+    # the semi-join's predicate must reach the embeddings SCAN as a pushed
+    # filter (EqualTo(label,1)) — the pre-filter shrinks the kernel input
+    # at the source, not after the scoring join
+    ok &= check(
+        "knn pre-filter (filter pushed below scoring join to the scan)",
+        knn_plan,
+        must=["BroadcastHashJoin", "EqualTo(label,1)"],
+        must_not=["CartesianProduct", "SortMergeJoin"],
+    )
+
+    # 35. composite agg page 2: the after-key predicate reaches the
+    # parquet scan (PushedFilters on the leading key) and the page cut is
+    # TakeOrderedAndProject — no full bucket sort
+    from defactonlp_spark.operators.analytics import composite_agg
+
+    aggs = [F.count(F.lit(1)).cast("long").alias("doc_count")]
+    comp_plan = plan_of(
+        composite_agg(docs, ["source", "lang"], aggs, size=5, after=("web", "en"))
+    )
+    ok &= check(
+        "composite page (after-key pushed to scan, TakeOrdered cut)",
+        comp_plan,
+        must=["TakeOrderedAndProject", "GreaterThan(source,web)"],
+        must_not=["CartesianProduct"],
+    )
+
     print("\nPLANS " + ("OK" if ok else "NOT OK"))
     spark.stop()
     sys.exit(0 if ok else 1)

@@ -1,0 +1,301 @@
+"""combined_fields / match_phrase_prefix / filtered knn / composite agg
+vs scalar + brute-force oracles.
+
+Semantics pinned here:
+- score_combined_fields: term-centric multi-field BM25 (Lucene
+  CombinedFieldQuery): tf_c = sum_f w_f*tf_f, dl_c = sum_f w_f*dl_f,
+  ordinary BM25 over the virtual merged field; with ONE field at weight 1
+  it must equal plain exhaustive BM25 exactly.
+- score_phrase_prefix: last token expands as a dictionary prefix
+  (df desc, term asc, capped); a doc matches iff fixed terms + ANY
+  expansion occur consecutively; scoring = BM25 disjunction over the
+  DISTINCT expanded set restricted to matching docs.
+- cosine_topk_filtered: exact knn over the PRE-filtered candidate set —
+  must equal cosine_topk run on the filtered subset, and must return k
+  rows where post-filtering an unfiltered top-k would return fewer.
+- composite_agg: successive after-key pages partition the full bucket
+  set in key order with no overlap.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from defactonlp_spark.config import BM25Params
+from defactonlp_spark.functions.tokenize import tokenize_one
+from defactonlp_spark.operators import postings as P
+from defactonlp_spark.operators.bm25 import claim_terms, score_exhaustive
+from defactonlp_spark.operators.bm25f import (
+    lead_body_fields,
+    score_bm25f,
+    score_combined_fields,
+)
+from defactonlp_spark.operators.phrase import (
+    prefix_expanded_positions,
+    score_phrase_prefix,
+)
+from defactonlp_spark.operators.similarity import cosine_topk, cosine_topk_filtered
+from defactonlp_spark.operators.analytics import composite_agg
+from defactonlp_spark.functions.tokenize import tokenize_tokens
+
+DOCS = [
+    (0, "alpha beta gamma delta alpha"),
+    (1, "alpha alpine beta epsilon"),
+    (2, "beta gamma gamma zeta alpine albedo"),
+    (3, "alpha delta delta beta alpha gamma"),
+    (4, "epsilon zeta eta albedo"),
+    (5, "alpha beta gamma epsilon zeta alpine"),
+]
+PARAMS = BM25Params()
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    p = P.build_postings(docs)
+    n_docs, avgdl = P.corpus_stats(p).collect()[0][:2]
+    tokens = tokenize_tokens(docs)
+    return docs, p, P.term_stats(p), int(n_docs), float(avgdl), tokens
+
+
+# ------------------------------------------------------ combined_fields ----
+
+
+def test_combined_fields_single_field_equals_bm25(spark, engine):
+    docs, p, stats, n_docs, avgdl, tokens = engine
+    # lead_n=0 puts every token in 'body': one field, weight 1 -> plain BM25
+    fp = lead_body_fields(docs, lead_n=0)
+    claims = spark.createDataFrame([(0, "alpha gamma"), (1, "beta zeta")],
+                                   "claim_id long, claim string")
+    qt = claim_terms(claims)
+    cf = score_combined_fields(fp, qt, k=10, weights={"lead": 1.0, "body": 1.0})
+    ex = score_exhaustive(p, stats, qt, n_docs, avgdl, k=10)
+    got = {(r["claim_id"], r["doc_id"]): r["score"] for r in cf.collect()}
+    want = {(r["claim_id"], r["doc_id"]): r["score"] for r in ex.collect()}
+    assert got.keys() == want.keys()
+    for k_ in got:
+        assert got[k_] == pytest.approx(want[k_], abs=1e-9)
+
+
+def _combined_oracle(terms, weights, lead_n, k1=1.2, b=0.75):
+    """Scalar combined_fields oracle over DOCS."""
+    texts = dict(DOCS)
+    toks = {d: tokenize_one(t) for d, t in texts.items()}
+    n = len(texts)
+
+    def fields(d):
+        return {"lead": toks[d][:lead_n], "body": toks[d][lead_n:]}
+
+    dl_c = {
+        d: sum(weights[f] * len(ts) for f, ts in fields(d).items() if ts)
+        for d in texts
+    }
+    avgdl_c = sum(dl_c.values()) / n
+    out = {}
+    for d in texts:
+        s = 0.0
+        for t in terms:
+            tf_c = sum(
+                weights[f] * ts.count(t) for f, ts in fields(d).items() if ts
+            )
+            if tf_c == 0:
+                continue
+            df = sum(1 for dd in texts if t in toks[dd])
+            idf = math.log1p((n - df + 0.5) / (df + 0.5))
+            s += idf * tf_c * (k1 + 1.0) / (
+                tf_c + k1 * (1 - b + b * dl_c[d] / avgdl_c)
+            )
+        if s > 0:
+            out[d] = s
+    return out
+
+
+def test_combined_fields_scalar_oracle(spark, engine):
+    docs, *_ = engine
+    w = {"lead": 2.0, "body": 1.0}
+    fp = lead_body_fields(docs, lead_n=2)
+    claims = spark.createDataFrame([(0, "alpha gamma zeta")],
+                                   "claim_id long, claim string")
+    res = score_combined_fields(fp, claim_terms(claims), k=10, weights=w)
+    got = {r["doc_id"]: r["score"] for r in res.collect()}
+    want = _combined_oracle(["alpha", "gamma", "zeta"], w, lead_n=2)
+    assert got.keys() == want.keys()
+    for d in got:
+        assert got[d] == pytest.approx(want[d], abs=1e-9)
+
+
+def test_combined_fields_differs_from_bm25f(spark, engine):
+    """Same weights, same corpus: term-centric merge is a genuinely
+    different scoring function from per-field-normalized BM25F."""
+    docs, *_ = engine
+    fp = lead_body_fields(docs, lead_n=2)
+    claims = spark.createDataFrame([(0, "alpha gamma")],
+                                   "claim_id long, claim string")
+    qt = claim_terms(claims)
+    cf = {r["doc_id"]: r["score"] for r in score_combined_fields(fp, qt, k=10).collect()}
+    ff = {r["doc_id"]: r["score"] for r in score_bm25f(fp, qt, k=10).collect()}
+    assert cf.keys() == ff.keys()  # same match set (disjunction)
+    assert any(abs(cf[d] - ff[d]) > 1e-9 for d in cf)
+
+
+# -------------------------------------------------- match_phrase_prefix ----
+
+
+def _expansions(prefix, max_expansions=16):
+    texts = dict(DOCS)
+    toks = {d: tokenize_one(t) for d, t in texts.items()}
+    vocab = {}
+    for d in texts:
+        for t in set(toks[d]):
+            vocab[t] = vocab.get(t, 0) + 1
+    cand = sorted(
+        [(t, df) for t, df in vocab.items() if t.startswith(prefix)],
+        key=lambda x: (-x[1], x[0]),
+    )
+    return [t for t, _ in cand[:max_expansions]]
+
+
+def _phrase_prefix_oracle(fixed, prefix, max_expansions=16, k1=1.2, b=0.75):
+    texts = dict(DOCS)
+    toks = {d: tokenize_one(t) for d, t in texts.items()}
+    n = len(texts)
+    dl = {d: len(toks[d]) for d in texts}
+    avgdl = sum(dl.values()) / n
+    exp = _expansions(prefix, max_expansions)
+    matches = set()
+    for d in texts:
+        seq = toks[d]
+        m = len(fixed)
+        for i in range(len(seq) - m):
+            if seq[i : i + m] == fixed and seq[i + m] in exp:
+                matches.add(d)
+                break
+    qterms = sorted(set(fixed) | set(exp))
+    out = {}
+    for d in matches:
+        s = 0.0
+        for t in qterms:
+            tf = toks[d].count(t)
+            if tf == 0:
+                continue
+            df = sum(1 for dd in texts if t in toks[dd])
+            idf = math.log1p((n - df + 0.5) / (df + 0.5))
+            s += idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * dl[d] / avgdl))
+        out[d] = s
+    return out
+
+
+@pytest.mark.parametrize(
+    "phrase",
+    ["beta gam", "alpha al", "al", "gamma qq", "alpha beta gamm"],
+)
+def test_phrase_prefix_brute_force(spark, engine, phrase):
+    docs, p, stats, n_docs, avgdl, tokens = engine
+    toks = phrase.split()
+    fixed, prefix = toks[:-1], toks[-1]
+    phrases = spark.createDataFrame([(0, phrase)], "claim_id long, phrase string")
+    res = score_phrase_prefix(
+        p, stats, tokens, phrases, n_docs, avgdl, k=10, max_expansions=16
+    )
+    got = {r["doc_id"]: r["score"] for r in res.collect()}
+    want = _phrase_prefix_oracle(fixed, prefix)
+    assert got.keys() == want.keys(), phrase
+    for d in got:
+        assert got[d] == pytest.approx(want[d], abs=1e-9)
+
+
+def test_phrase_prefix_expansion_cap(spark, engine):
+    """max_expansions=1 keeps only the highest-df prefix term (ties term
+    asc) — the deterministic top-terms rewrite cut."""
+    docs, p, stats, n_docs, avgdl, tokens = engine
+    phrases = spark.createDataFrame([(0, "al")], "claim_id long, phrase string")
+    qpos = prefix_expanded_positions(stats, phrases, max_expansions=1)
+    terms = sorted(r["term"] for r in qpos.collect())
+    assert terms == [_expansions("al", 1)[0]]
+    res = score_phrase_prefix(
+        p, stats, tokens, phrases, n_docs, avgdl, k=10, max_expansions=1
+    )
+    got = {r["doc_id"]: r["score"] for r in res.collect()}
+    want = _phrase_prefix_oracle([], "al", max_expansions=1)
+    assert got.keys() == want.keys()
+    for d in got:
+        assert got[d] == pytest.approx(want[d], abs=1e-9)
+
+
+def test_phrase_prefix_no_dictionary_match(spark, engine):
+    docs, p, stats, n_docs, avgdl, tokens = engine
+    phrases = spark.createDataFrame([(0, "alpha qqqq")], "claim_id long, phrase string")
+    res = score_phrase_prefix(p, stats, tokens, phrases, n_docs, avgdl, k=10)
+    assert res.count() == 0
+
+
+# ------------------------------------------------------- filtered knn ----
+
+
+def test_filtered_knn_equals_subset_topk(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (int(i), [float(x) for x in rng.normal(size=8)], int(i % 3))
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    allowed = emb.filter(F.col("label") == 1).select("vec_id")
+    got = cosine_topk_filtered(emb, allowed, query_ids=[0, 1, 2], k=5)
+    # reference: brute-force subset top-k, query vectors from the FULL set
+    sub = emb.filter(F.col("label") == 1)
+    want_rows = []
+    full = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    subset = {r["vec_id"]: full[r["vec_id"]] for r in sub.collect()}
+    for qid in [0, 1, 2]:
+        qv = full[qid]
+        scored = sorted(
+            (
+                (round(float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v))), 6), -vid)
+                for vid, v in subset.items()
+                if vid != qid
+            ),
+            reverse=True,
+        )[:5]
+        for rk, (cos, nvid) in enumerate(scored, 1):
+            want_rows.append((qid, rk, -nvid, cos))
+    got_rows = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["cos"]) for r in got.collect()
+    )
+    assert got_rows == sorted(want_rows)
+    # pre-filter returns k=5 for query 0 even though label=1 is 1/3 of the
+    # corpus — a post-filter of an unfiltered top-5 would keep ~1.7
+    assert sum(1 for r in got_rows if r[0] == 0) == 5
+
+
+# ------------------------------------------------------- composite agg ----
+
+
+def test_composite_pages_partition_buckets(spark):
+    df = spark.createDataFrame(
+        [(s, l, i) for i, (s, l) in enumerate(
+            [(s, l) for s in "abcde" for l in ("en", "fr", "de")]
+        ) for _ in range(i % 3 + 1)],
+        "source string, lang string, v long",
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("doc_count"),
+            F.sum("v").cast("long").alias("v_sum")]
+    full = df.groupBy("source", "lang").agg(*aggs).orderBy("source", "lang").collect()
+    pages, after = [], None
+    while True:
+        page = composite_agg(df, ["source", "lang"], aggs, size=4, after=after).collect()
+        if not page:
+            break
+        pages.extend(page)
+        after = (page[-1]["source"], page[-1]["lang"])
+        assert len(page) <= 4
+    assert [tuple(r) for r in pages] == [tuple(r) for r in full]
+
+
+def test_composite_after_is_strict(spark):
+    df = spark.createDataFrame([("a", 1), ("a", 2), ("b", 3)], "k string, v long")
+    aggs = [F.count(F.lit(1)).cast("long").alias("c")]
+    page = composite_agg(df, ["k"], aggs, size=10, after=("a",)).collect()
+    assert [r["k"] for r in page] == ["b"]
