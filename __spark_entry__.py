@@ -1309,6 +1309,40 @@ def q_composite_page2(spark, sf_dir):
     )
 
 
+def q_terms_set_topk(spark, sf_dir):
+    """ES terms_set query (bm25.py::score_terms_set): per-doc
+    minimum_should_match read from a doc field — here required =
+    doc_id % 3 + 1, a deterministic stand-in for the
+    minimum_should_match_field column; docs match iff they contain at
+    least their own required count of the claim's terms, scored by the
+    standard BM25 sum over matched terms."""
+    from defactonlp_spark.operators.bm25 import claim_terms, score_terms_set
+    from defactonlp_spark.operators.postings import term_stats
+
+    p = _postings_cached(spark, sf_dir)
+    n_docs, avgdl = _engine_corpus_stats(p)
+    thresholds = _docs(spark, sf_dir).select(
+        "doc_id", (F.col("doc_id") % 3 + 1).cast("int").alias("required")
+    )
+    res = score_terms_set(
+        p, term_stats(p), claim_terms(_claims_df(spark)), n_docs, avgdl,
+        thresholds, k=TOPK,
+    )
+    return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
+
+
+def q_cardinality_by_type(spark, sf_dir):
+    """ES cardinality agg, exact tier (analytics.py::cardinality_agg):
+    distinct users per event type via the two-phase dedup-then-count —
+    the re-aggregable shape that survives 10^12 rows (no per-group hash
+    set of the whole value domain). The HLL tier is pytest-bounded
+    against this one (sketch estimates aren't cross-engine twinnable)."""
+    from defactonlp_spark.operators.analytics import cardinality_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cardinality_agg(ev, ["event_type"], "user_id")
+
+
 def q_bm25_topk_page2(spark, sf_dir):
     """search_after pagination (ES/Lucene deep-paging contract): page 2 via
     per-claim cursors — the (round(score,6), doc_id) of page 1's last row —
@@ -3115,6 +3149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_prefix_topk": q_phrase_prefix_topk,
         "knn_filtered": q_knn_filtered,
         "composite_page2": q_composite_page2,
+        "terms_set_topk": q_terms_set_topk,
+        "cardinality_by_type": q_cardinality_by_type,
         "bm25_topk_msm": q_bm25_topk_msm,
         "dismax_topk": q_dismax_topk,
         "bm25_topk_boosting": q_bm25_topk_boosting,
@@ -3689,6 +3725,47 @@ SELECT query_id::BIGINT AS query_id, rank::INTEGER AS rank, vec_id::BIGINT AS ve
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
       FROM scored)
 WHERE rank <= 10
+""",
+        # terms_set: per-doc minimum_should_match (required = doc_id%3+1,
+        # floored at 1), distinct matched terms vs threshold, BM25 sum
+        "terms_set_topk": f"""
+WITH toks AS ({_TOKS_SQL}),
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+claims(claim_id, claim) AS {_CLAIMS_SQL},
+qterms AS (
+  SELECT DISTINCT claim_id, unnest(list_filter(regexp_split_to_array(lower(claim),
+    '[^a-z0-9]+'), t -> t <> '')) AS term FROM claims
+),
+scored AS (
+  SELECT q.claim_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * p.tf * {K1 + 1.0}
+              / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)) ) AS score,
+         count(*)::BIGINT AS n_matched
+  FROM qterms q
+  JOIN postings p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl l ON l.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ok AS (
+  SELECT s.claim_id, s.doc_id, s.score
+  FROM scored s JOIN documents dd ON dd.doc_id = s.doc_id
+  WHERE s.n_matched >= greatest(dd.doc_id % 3 + 1, 1)
+)
+SELECT claim_id::BIGINT AS claim_id, doc_id::BIGINT AS doc_id, round(score, 4) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
+        ORDER BY round(score, 6) DESC, doc_id) AS rn FROM ok)
+WHERE rn <= {TOPK}
+""",
+        # cardinality, exact tier: two-phase distinct-then-count
+        "cardinality_by_type": """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS distinct_count
+FROM events GROUP BY 1
 """,
         # composite agg page 2: after-key paging must equal the bucket-rank
         # slice [{COMPOSITE_PAGE}+1, 2*{COMPOSITE_PAGE}] in key order

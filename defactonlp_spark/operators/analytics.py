@@ -474,3 +474,40 @@ def composite_agg(
         .orderBy(*[F.asc(c) for c in keys])
         .limit(size)
     )
+
+
+def cardinality_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    mode: str = "exact",
+    rsd: float = 0.05,
+) -> DataFrame:
+    """The ES ``cardinality`` aggregation: distinct count of ``value_col``
+    per group. Two tiers:
+
+    - ``mode="exact"``: TWO-PHASE exact distinct — dedup on
+      (group, value) first, then count per group. At 10^12 rows this is
+      the shape that survives: the dedup is a re-aggregable partial
+      (map-side combine shrinks each partition to its local distincts
+      before the shuffle), and no executor ever holds a per-group hash set
+      of the whole value domain — unlike countDistinct inside a single
+      aggregate, which builds exactly that. This tier is the oracle twin.
+    - ``mode="approx"``: HyperLogLog++ (``approx_count_distinct``, the
+      same sketch family ES uses) at relative standard deviation ``rsd`` —
+      constant memory per group, mergeable, the 10^12-row default. Bounded
+      against the exact tier in pytest (no cross-engine twin: sketch
+      estimates are implementation-specific).
+
+    -> (group_cols..., distinct_count long).
+    """
+    if mode == "approx":
+        return df.groupBy(*group_cols).agg(
+            F.approx_count_distinct(value_col, rsd).alias("distinct_count")
+        )
+    return (
+        df.select(*group_cols, value_col)
+        .distinct()
+        .groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).cast("long").alias("distinct_count"))
+    )

@@ -770,3 +770,54 @@ def gauss_decay_expr(col, origin: float, offset: float, scale: float, decay: flo
         F.lit(0.0),
     )
     return F.exp(-(dist * dist) / F.lit(2.0 * sigma2))
+
+
+def score_terms_set(
+    postings: DataFrame,
+    stats: DataFrame,
+    qterms: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    thresholds: DataFrame,
+    k: int = 5,
+    params: BM25Params = BM25Params(),
+) -> DataFrame:
+    """The ES ``terms_set`` query: a doc matches iff it contains at least
+    its OWN required number of the query's terms — minimum_should_match
+    with a PER-DOC threshold read from a doc field
+    (``minimum_should_match_field``), the canonical "job posting lists how
+    many of the required skills a candidate must have" query.
+
+    ``thresholds``: (doc_id, required int). Docs absent from the relation
+    never match (ES: a missing minimum_should_match_field value makes the
+    doc unmatchable). ``required <= 0`` matches on any single term (the
+    Lucene CoveringQuery lower bound: at least one scorer must match for
+    the doc to surface at all). Matching docs score the standard BM25 sum
+    over their matched terms — CoveringQuery sums its matched scorers.
+
+    Plan: the exhaustive-BM25 scan + hash aggregate (n_matched rides the
+    same agg as the score), then ONE doc-keyed join against the
+    |corpus|-sized thresholds relation — identical envelope to
+    :func:`score_boosted`'s prior join; never broadcast, the small scored
+    side shuffles onto it.
+    """
+    q = qterms.join(stats, "term", "inner")
+    scored = (
+        postings.join(F.broadcast(q), "term", "inner")
+        .withColumn("contrib", bm25_score_expr(n_docs, avgdl, params))
+        .groupBy("claim_id", "doc_id")
+        .agg(
+            F.sum("contrib").alias("score"),
+            F.count(F.lit(1)).alias("n_matched"),
+        )
+        .join(thresholds.select("doc_id", "required"), "doc_id", "inner")
+        .filter(F.col("n_matched") >= F.greatest(F.col("required"), F.lit(1)))
+    )
+    w = Window.partitionBy("claim_id").orderBy(
+        F.round("score", 6).desc(), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("claim_id", "rank", "doc_id", "score")
+    )

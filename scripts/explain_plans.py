@@ -556,6 +556,36 @@ def main():
         must_not=["CartesianProduct"],
     )
 
+    # 36. terms_set: n_matched rides the SAME hash aggregate as the score;
+    # the |corpus|-sized thresholds relation joins doc-keyed (shuffle, not
+    # broadcast — same envelope as score_boosted's prior join)
+    from defactonlp_spark.operators.bm25 import score_terms_set
+
+    th = docs.select("doc_id", (F.col("doc_id") % 3 + 1).cast("int").alias("required"))
+    ok &= check(
+        "terms_set (count+score in one agg, doc-keyed threshold join)",
+        plan_of(score_terms_set(postings, stats, claim_terms(claims), 500, 56.0, th, k=5)),
+        must=["BroadcastHashJoin", "HashAggregate", "WindowGroupLimit"],
+        must_not=["CartesianProduct"],
+    )
+
+    # 37. cardinality exact: two-phase — the dedup aggregate has a PARTIAL
+    # before the exchange (map-side combine shrinks each partition to its
+    # local distincts), then the count per group; no expand/single giant agg
+    from defactonlp_spark.operators.analytics import cardinality_agg
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    card_plan = plan_of(cardinality_agg(ev, ["event_type"], "user_id"))
+    ok &= check(
+        "cardinality exact (re-aggregable two-phase distinct)",
+        card_plan,
+        must=["HashAggregate"],
+        must_not=["CartesianProduct", "SortMergeJoin"],
+    )
+    n_aggs = card_plan.count("HashAggregate")
+    print(f"  [x] HashAggregate stages: {n_aggs} (want >= 3: partial dedup + final dedup + count)")
+    ok &= n_aggs >= 3
+
     print("\nPLANS " + ("OK" if ok else "NOT OK"))
     spark.stop()
     sys.exit(0 if ok else 1)

@@ -299,3 +299,173 @@ def test_composite_after_is_strict(spark):
     aggs = [F.count(F.lit(1)).cast("long").alias("c")]
     page = composite_agg(df, ["k"], aggs, size=10, after=("a",)).collect()
     assert [r["k"] for r in page] == ["b"]
+
+
+# ---------------------------------------------------------- terms_set ----
+
+
+def test_terms_set_per_doc_threshold(spark, engine):
+    from defactonlp_spark.operators.bm25 import claim_terms, score_terms_set
+
+    docs, p, stats, n_docs, avgdl, tokens = engine
+    claims = spark.createDataFrame(
+        [(0, "alpha beta gamma zeta")], "claim_id long, claim string"
+    )
+    # doc 5 contains all 4 query terms, doc 0 three, doc 4 one
+    th = spark.createDataFrame(
+        [(0, 3), (1, 3), (2, 2), (3, 4), (4, 1), (5, 4)], "doc_id long, required int"
+    )
+    res = score_terms_set(
+        p, stats, claim_terms(claims), n_docs, avgdl, th, k=10
+    )
+    got = {r["doc_id"] for r in res.collect()}
+    # matched counts: d0={a,b,g}=3>=3 ok; d1={a,b}=2<3; d2={b,g,z}=3>=2 ok;
+    # d3={a}..: d3 has alpha,delta,beta,gamma -> {a,b,g}=3<4; d4={z}=1>=1 ok;
+    # d5={a,b,g,z}=4>=4 ok
+    assert got == {0, 2, 4, 5}
+
+
+def test_terms_set_missing_doc_and_zero_floor(spark, engine):
+    from defactonlp_spark.operators.bm25 import (
+        claim_terms,
+        score_exhaustive,
+        score_terms_set,
+    )
+
+    docs, p, stats, n_docs, avgdl, tokens = engine
+    claims = spark.createDataFrame([(0, "alpha zeta")], "claim_id long, claim string")
+    # doc 5 absent -> never matches even though it contains both terms;
+    # required=0 floors to 1 (CoveringQuery: >=1 scorer must match)
+    th = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 0), (4, 0)], "doc_id long, required int"
+    )
+    res = score_terms_set(p, stats, claim_terms(claims), n_docs, avgdl, th, k=10)
+    got = {r["doc_id"]: r["score"] for r in res.collect()}
+    assert 5 not in got
+    ex = {
+        r["doc_id"]: r["score"]
+        for r in score_exhaustive(
+            p, stats, claim_terms(claims), n_docs, avgdl, k=10
+        ).collect()
+    }
+    for d, s in got.items():
+        assert s == pytest.approx(ex[d], abs=1e-9)
+
+
+# -------------------------------------------------------- cardinality ----
+
+
+def test_cardinality_exact_two_phase(spark):
+    from defactonlp_spark.operators.analytics import cardinality_agg
+
+    rows = [(f"s{i % 3}", i % 7) for i in range(200)]
+    df = spark.createDataFrame(rows, "source string, uid int")
+    got = {
+        r["source"]: r["distinct_count"]
+        for r in cardinality_agg(df, ["source"], "uid").collect()
+    }
+    want = {
+        r["source"]: r["c"]
+        for r in df.groupBy("source")
+        .agg(F.countDistinct("uid").alias("c"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_cardinality_approx_within_rsd(spark):
+    from defactonlp_spark.operators.analytics import cardinality_agg
+
+    rows = [("g", i) for i in range(5000)]
+    df = spark.createDataFrame(rows, "g string, uid int")
+    exact = cardinality_agg(df, ["g"], "uid").collect()[0]["distinct_count"]
+    approx = cardinality_agg(df, ["g"], "uid", mode="approx", rsd=0.02).collect()[0][
+        "distinct_count"
+    ]
+    assert abs(approx - exact) / exact < 0.06  # 3 sigma of rsd=0.02
+
+
+def test_phrase_prefix_randomized_bulk(spark):
+    """Seeded fuzz: 150 random docs over a prefix-colliding alphabet
+    (aa/ab/abc/b/ba/bac) x 12 random phrase-prefixes, engine vs the
+    brute-force oracle on BOTH the match set and the scores — repeated
+    terms, overlapping anchors, shared-prefix expansions, and empty
+    expansions all arise naturally."""
+    import random
+
+    from defactonlp_spark.operators.postings import (
+        build_postings,
+        corpus_stats,
+        term_stats,
+    )
+
+    rng = random.Random(7)
+    alpha = ["aa", "ab", "abc", "b", "ba", "bac"]
+    docs = {
+        i: " ".join(rng.choice(alpha) for _ in range(rng.randint(1, 25)))
+        for i in range(150)
+    }
+    queries = []
+    for j in range(12):
+        n = rng.randint(1, 3)
+        toks = [rng.choice(alpha) for _ in range(n)]
+        # truncate the last token to a 1-2 char prefix
+        last = toks[-1][: rng.randint(1, 2)]
+        queries.append((j, " ".join(toks[:-1] + [last])))
+
+    docs_df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    p = build_postings(docs_df).persist()
+    n_docs, avgdl = corpus_stats(p).collect()[0][:2]
+    toks_df = tokenize_tokens(docs_df).persist()
+    max_exp = 3
+    try:
+        phrases = spark.createDataFrame(queries, "claim_id long, phrase string")
+        res = score_phrase_prefix(
+            p, term_stats(p), toks_df, phrases, int(n_docs), float(avgdl),
+            k=1000, max_expansions=max_exp,
+        )
+        got = {(r["claim_id"], r["doc_id"]): r["score"] for r in res.collect()}
+
+        # brute-force oracle over the same corpus
+        toks = {d: t.split() for d, t in docs.items()}
+        vocab = {}
+        for d in docs:
+            for t in set(toks[d]):
+                vocab[t] = vocab.get(t, 0) + 1
+        n = len(docs)
+        dl = {d: len(toks[d]) for d in docs}
+        av = sum(dl.values()) / n
+        want = {}
+        for cid, phrase in queries:
+            q = phrase.split()
+            fixed, prefix = q[:-1], q[-1]
+            exp = [
+                t for t, _ in sorted(
+                    ((t, df) for t, df in vocab.items() if t.startswith(prefix)),
+                    key=lambda x: (-x[1], x[0]),
+                )[:max_exp]
+            ]
+            qterms = set(fixed) | set(exp)
+            m = len(fixed)
+            for d in docs:
+                seq = toks[d]
+                if not any(
+                    seq[i : i + m] == fixed and seq[i + m] in exp
+                    for i in range(len(seq) - m)
+                ):
+                    continue
+                s = 0.0
+                for t in qterms:
+                    tf = seq.count(t)
+                    if tf == 0:
+                        continue
+                    df = vocab[t]
+                    idf = math.log1p((n - df + 0.5) / (df + 0.5))
+                    s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl[d] / av))
+                want[(cid, d)] = s
+        assert got.keys() == want.keys()
+        for key in got:
+            assert got[key] == pytest.approx(want[key], abs=1e-9)
+    finally:
+        p.unpersist()
+        toks_df.unpersist()
