@@ -1331,6 +1331,38 @@ def q_terms_set_topk(spark, sf_dir):
     return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
 
 
+N_FRAGMENTS = 2
+
+
+def q_top_fragments(spark, sf_dir):
+    """Multi-fragment highlighting (ES unified highlighter
+    number_of_fragments=2; phrase.py::top_fragments): for each claim's
+    BM25 top-3 docs, the 2 best NON-OVERLAPPING 16-token passages by
+    greedy selection (distinct terms desc, hits desc, earliest start) —
+    frag 1 is exactly best_passage; frag 2 is the best window at least a
+    window-width away."""
+    from defactonlp_spark.operators.bm25 import claim_terms, score_exhaustive
+    from defactonlp_spark.operators.phrase import top_fragments
+    from defactonlp_spark.operators.postings import term_stats
+
+    p = _postings_cached(spark, sf_dir)
+    n_docs, avgdl = _engine_corpus_stats(p)
+    qt = claim_terms(_claims_df(spark))
+    scope = score_exhaustive(
+        p, term_stats(p), qt, n_docs, avgdl, k=PASSAGE_SCOPE_K
+    ).select("claim_id", "doc_id")
+    res = top_fragments(
+        _tokens_cached(spark, sf_dir), qt, scope,
+        window=PASSAGE_W, n_fragments=N_FRAGMENTS,
+    )
+    return res.select(
+        "claim_id", "doc_id", "frag",
+        F.col("start_pos").cast("long").alias("start_pos"),
+        F.col("n_terms").cast("long").alias("n_terms"),
+        "n_hits",
+    )
+
+
 def q_cardinality_by_type(spark, sf_dir):
     """ES cardinality agg, exact tier (analytics.py::cardinality_agg):
     distinct users per event type via the two-phase dedup-then-count —
@@ -3151,6 +3183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_page2": q_composite_page2,
         "terms_set_topk": q_terms_set_topk,
         "cardinality_by_type": q_cardinality_by_type,
+        "top_fragments": q_top_fragments,
         "bm25_topk_msm": q_bm25_topk_msm,
         "dismax_topk": q_dismax_topk,
         "bm25_topk_boosting": q_bm25_topk_boosting,
@@ -3761,6 +3794,79 @@ SELECT claim_id::BIGINT AS claim_id, doc_id::BIGINT AS doc_id, round(score, 4) A
 FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
         ORDER BY round(score, 6) DESC, doc_id) AS rn FROM ok)
 WHERE rn <= {TOPK}
+""",
+        # multi-fragment highlighter: frag1 = best window, frag2 = best
+        # window >= a window-width away (greedy, same tie rule)
+        "top_fragments": f"""
+WITH tl AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS t FROM documents
+),
+tokpos AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS term
+  FROM tl, unnest(range(1, len(t) + 1)) AS u(i)
+),
+toks AS (SELECT doc_id, term FROM tokpos),
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+claims(claim_id, claim) AS {_CLAIMS_SQL},
+qterms AS (
+  SELECT DISTINCT claim_id, unnest(list_filter(regexp_split_to_array(lower(claim),
+    '[^a-z0-9]+'), t -> t <> '')) AS term FROM claims
+),
+scored AS (
+  SELECT q.claim_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * p.tf * {K1 + 1.0}
+              / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)) ) AS score
+  FROM qterms q
+  JOIN postings p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl l ON l.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+scope AS (
+  SELECT claim_id, doc_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
+          ORDER BY score DESC, doc_id) AS rn FROM scored)
+  WHERE rn <= {PASSAGE_SCOPE_K}
+),
+occ AS (
+  SELECT q.claim_id, tk.doc_id, tk.pos, tk.term
+  FROM qterms q
+  JOIN tokpos tk USING (term)
+  JOIN scope s ON s.claim_id = q.claim_id AND s.doc_id = tk.doc_id
+),
+wins AS (
+  SELECT a.claim_id, a.doc_id, a.pos AS start_pos,
+         count(DISTINCT b.term)::BIGINT AS n_terms, count(*)::BIGINT AS n_hits
+  FROM occ a JOIN occ b
+    ON b.claim_id = a.claim_id AND b.doc_id = a.doc_id
+   AND b.pos BETWEEN a.pos AND a.pos + {PASSAGE_W - 1}
+  GROUP BY 1, 2, 3
+),
+f1 AS (
+  SELECT claim_id, doc_id, start_pos, n_terms, n_hits
+  FROM (SELECT *, row_number() OVER (PARTITION BY claim_id, doc_id
+          ORDER BY n_terms DESC, n_hits DESC, start_pos) AS rk FROM wins)
+  WHERE rk = 1
+),
+f2 AS (
+  SELECT claim_id, doc_id, start_pos, n_terms, n_hits
+  FROM (SELECT w.*, row_number() OVER (PARTITION BY w.claim_id, w.doc_id
+          ORDER BY w.n_terms DESC, w.n_hits DESC, w.start_pos) AS rk
+        FROM wins w JOIN f1 ON f1.claim_id = w.claim_id AND f1.doc_id = w.doc_id
+        WHERE abs(w.start_pos - f1.start_pos) >= {PASSAGE_W})
+  WHERE rk = 1
+)
+SELECT claim_id::BIGINT AS claim_id, doc_id::BIGINT AS doc_id, 1 AS frag,
+       start_pos::BIGINT AS start_pos, n_terms, n_hits FROM f1
+UNION ALL
+SELECT claim_id::BIGINT AS claim_id, doc_id::BIGINT AS doc_id, 2 AS frag,
+       start_pos::BIGINT AS start_pos, n_terms, n_hits FROM f2
 """,
         # cardinality, exact tier: two-phase distinct-then-count
         "cardinality_by_type": """

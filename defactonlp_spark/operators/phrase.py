@@ -521,3 +521,84 @@ def score_phrase_prefix(
         .filter(F.col("rank") <= k)
         .select("claim_id", "rank", "doc_id", "score")
     )
+
+
+def top_fragments(
+    tokens: DataFrame,
+    qterms: DataFrame,
+    scope: DataFrame,
+    window: int = 20,
+    n_fragments: int = 2,
+) -> DataFrame:
+    """Multi-fragment highlighting (the ES unified highlighter's
+    ``number_of_fragments``): for each scoped (claim, doc), the
+    ``n_fragments`` best NON-OVERLAPPING ``window``-token passages, ranked
+    like :func:`best_passage` (distinct query terms desc, total hits desc,
+    earliest start) — greedy selection, the same rule Lucene's passage
+    formatter applies to its scored passage queue.
+
+    Output: (claim_id, doc_id, frag, start_pos, n_terms, n_hits), frag =
+    1..n_fragments; a pair emits fewer rows when no non-overlapping window
+    remains. Greedy = pick best, drop every candidate window overlapping
+    it, repeat — ``n_fragments`` bounded window+filter rounds over the
+    anchor-candidate relation (persisted once; |hits| x window fan-out,
+    never quadratic in doc length), exactly the span-near frontier
+    discipline. Plan depth is n_fragments (small by contract).
+    """
+    from defactonlp_spark.operators.dedup import _track_persist
+
+    occ = (
+        tokens.join(F.broadcast(qterms), "term", "inner")
+        .join(F.broadcast(scope.select("claim_id", "doc_id")), ["claim_id", "doc_id"], "left_semi")
+        .select("claim_id", "doc_id", "pos", "term")
+    )
+    a = occ.select("claim_id", "doc_id", F.col("pos").alias("start_pos"))
+    b = occ.select(
+        F.col("claim_id").alias("b_claim"), F.col("doc_id").alias("b_doc"),
+        F.col("pos").alias("bpos"), F.col("term").alias("b_term"),
+    )
+    remaining = _track_persist(
+        a.join(
+            b,
+            (F.col("claim_id") == F.col("b_claim"))
+            & (F.col("doc_id") == F.col("b_doc"))
+            & (F.col("bpos") >= F.col("start_pos"))
+            & (F.col("bpos") <= F.col("start_pos") + window - 1),
+            "inner",
+        )
+        .groupBy("claim_id", "doc_id", "start_pos")
+        .agg(
+            F.countDistinct("b_term").alias("n_terms"),
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+        )
+    )
+    w = Window.partitionBy("claim_id", "doc_id").orderBy(
+        F.desc("n_terms"), F.desc("n_hits"), F.asc("start_pos")
+    )
+    chosen = []
+    for i in range(1, n_fragments + 1):
+        best = _track_persist(
+            remaining.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select(
+                "claim_id", "doc_id",
+                F.lit(i).cast("int").alias("frag"),
+                "start_pos", "n_terms", "n_hits",
+            )
+        )
+        chosen.append(best)
+        if i == n_fragments:
+            break
+        # drop candidates overlapping the pick: |start - best_start| < window
+        picked = best.select(
+            "claim_id", "doc_id", F.col("start_pos").alias("_picked")
+        )
+        remaining = (
+            remaining.join(picked, ["claim_id", "doc_id"], "inner")
+            .filter(F.abs(F.col("start_pos") - F.col("_picked")) >= window)
+            .drop("_picked")
+        )
+    out = chosen[0]
+    for c in chosen[1:]:
+        out = out.unionByName(c)
+    return out

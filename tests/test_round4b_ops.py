@@ -469,3 +469,77 @@ def test_phrase_prefix_randomized_bulk(spark):
     finally:
         p.unpersist()
         toks_df.unpersist()
+
+
+# ------------------------------------------------------ top_fragments ----
+
+
+def _greedy_fragments_oracle(docs, qterms_by_claim, scope, window, n_frags):
+    """Greedy non-overlapping passage selection, brute force."""
+    toks = {d: t.split() for d, t in docs.items()}
+    out = []
+    for cid, did in scope:
+        terms = qterms_by_claim[cid]
+        hits = [i for i, t in enumerate(toks[did]) if t in terms]
+        cands = {}
+        for s in hits:
+            span = toks[did][s : s + window]
+            # candidate windows anchor at hit positions
+            in_win = [
+                (i, t) for i, t in enumerate(toks[did])
+                if s <= i <= s + window - 1 and t in terms
+            ]
+            cands[s] = (len({t for _, t in in_win}), len(in_win))
+        picked = []
+        for frag in range(1, n_frags + 1):
+            avail = [
+                (s, nt, nh) for s, (nt, nh) in cands.items()
+                if all(abs(s - p) >= window for p in picked)
+            ]
+            if not avail:
+                break
+            s, nt, nh = sorted(avail, key=lambda x: (-x[1], -x[2], x[0]))[0]
+            picked.append(s)
+            out.append((cid, did, frag, s, nt, nh))
+    return set(out)
+
+
+def test_top_fragments_greedy_oracle(spark):
+    import random
+
+    from defactonlp_spark.operators.phrase import best_passage, top_fragments
+
+    rng = random.Random(11)
+    alpha = ["x", "y", "z", "q", "r", "s"]
+    docs = {
+        i: " ".join(rng.choice(alpha) for _ in range(rng.randint(5, 60)))
+        for i in range(60)
+    }
+    qterms_by_claim = {0: {"x", "y"}, 1: {"q", "z", "r"}}
+    scope = [(c, d) for c in qterms_by_claim for d in range(0, 60, 7)]
+
+    docs_df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    toks_df = tokenize_tokens(docs_df)
+    qt = spark.createDataFrame(
+        [(c, t) for c, ts in qterms_by_claim.items() for t in ts],
+        "claim_id long, term string",
+    )
+    scope_df = spark.createDataFrame(scope, "claim_id long, doc_id long")
+    window, n_frags = 6, 3
+    res = top_fragments(toks_df, qt, scope_df, window=window, n_fragments=n_frags)
+    got = {
+        (r["claim_id"], r["doc_id"], r["frag"], r["start_pos"], r["n_terms"], r["n_hits"])
+        for r in res.collect()
+    }
+    want = _greedy_fragments_oracle(docs, qterms_by_claim, scope, window, n_frags)
+    assert got == want
+
+    # frag 1 must equal best_passage exactly
+    bp = {
+        (r["claim_id"], r["doc_id"], r["start_pos"], r["n_terms"], r["n_hits"])
+        for r in best_passage(toks_df, qt, scope_df, window=window).collect()
+    }
+    frag1 = {
+        (c, d, s, nt, nh) for (c, d, f, s, nt, nh) in got if f == 1
+    }
+    assert frag1 == bp
