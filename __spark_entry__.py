@@ -1331,6 +1331,30 @@ def q_terms_set_topk(spark, sf_dir):
     return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
 
 
+MM_TIE_BREAKER = 0.3
+
+
+def q_multi_match_best_fields(spark, sf_dir):
+    """ES multi_match, default best_fields mode (bm25f.py::
+    score_multi_match_best_fields): each field scored as its OWN BM25
+    index (per-field df/N/avgdl), per-doc dis_max combine with
+    tie_breaker 0.3 and lead boosted 2x — the third multi-field semantics
+    over the same field relation (vs BM25F and combined_fields)."""
+    from defactonlp_spark.operators.bm25 import claim_terms
+    from defactonlp_spark.operators.bm25f import (
+        lead_body_fields,
+        score_multi_match_best_fields,
+    )
+
+    fp = lead_body_fields(
+        None, lead_n=BM25F_LEAD_N, tokens=_tokens_cached(spark, sf_dir)
+    ).persist()
+    res = score_multi_match_best_fields(
+        fp, claim_terms(_claims_df(spark)), k=TOPK, tie_breaker=MM_TIE_BREAKER
+    )
+    return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
+
+
 N_FRAGMENTS = 2
 
 
@@ -3184,6 +3208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_set_topk": q_terms_set_topk,
         "cardinality_by_type": q_cardinality_by_type,
         "top_fragments": q_top_fragments,
+        "multi_match_best_fields": q_multi_match_best_fields,
         "bm25_topk_msm": q_bm25_topk_msm,
         "dismax_topk": q_dismax_topk,
         "bm25_topk_boosting": q_bm25_topk_boosting,
@@ -3793,6 +3818,53 @@ ok AS (
 SELECT claim_id::BIGINT AS claim_id, doc_id::BIGINT AS doc_id, round(score, 4) AS score
 FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
         ORDER BY round(score, 6) DESC, doc_id) AS rn FROM ok)
+WHERE rn <= {TOPK}
+""",
+        # multi_match best_fields: each field its own BM25 index (per-field
+        # df/N/avgdl), boosted, dis_max-combined per doc with tie_breaker
+        "multi_match_best_fields": f"""
+WITH tl AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS t FROM documents
+),
+tokpos AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS term
+  FROM tl, unnest(range(1, len(t) + 1)) AS u(i)
+),
+ftoks AS (
+  SELECT doc_id, CASE WHEN pos < {BM25F_LEAD_N} THEN 'lead' ELSE 'body' END AS field, term
+  FROM tokpos
+),
+ftf AS (SELECT doc_id, field, term, count(*)::BIGINT AS tf FROM ftoks GROUP BY 1, 2, 3),
+fdl AS (SELECT doc_id, field, count(*)::BIGINT AS dl_f FROM ftoks GROUP BY 1, 2),
+fstats AS (SELECT field, count(*)::DOUBLE AS n_f, avg(dl_f) AS avgdl_f FROM fdl GROUP BY 1),
+fdf AS (SELECT field, term, count(DISTINCT doc_id)::DOUBLE AS df_f FROM ftoks GROUP BY 1, 2),
+claims(claim_id, claim) AS {_CLAIMS_SQL},
+qterms AS (
+  SELECT DISTINCT claim_id, unnest(list_filter(regexp_split_to_array(lower(claim),
+    '[^a-z0-9]+'), t -> t <> '')) AS term FROM claims
+),
+per_field AS (
+  SELECT q.claim_id, f.doc_id, f.field,
+         (CASE f.field WHEN 'lead' THEN 2.0 ELSE 1.0 END)
+         * sum( ln(1 + (s.n_f - d.df_f + 0.5) / (d.df_f + 0.5))
+                * f.tf * {K1 + 1.0}
+                / (f.tf + {K1} * ({1.0 - B} + {B} * l.dl_f / s.avgdl_f)) ) AS fscore
+  FROM qterms q
+  JOIN ftf f ON f.term = q.term
+  JOIN fdf d ON d.term = q.term AND d.field = f.field
+  JOIN fdl l ON l.doc_id = f.doc_id AND l.field = f.field
+  JOIN fstats s ON s.field = f.field
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT claim_id, doc_id,
+         max(fscore) + {MM_TIE_BREAKER} * (sum(fscore) - max(fscore)) AS score
+  FROM per_field GROUP BY 1, 2
+)
+SELECT claim_id::BIGINT AS claim_id, doc_id::BIGINT AS doc_id, round(score, 4) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
+        ORDER BY round(score, 6) DESC, doc_id) AS rn FROM scored)
 WHERE rn <= {TOPK}
 """,
         # multi-fragment highlighter: frag1 = best window, frag2 = best

@@ -208,3 +208,76 @@ def score_combined_fields(
         .filter(F.col("rank") <= k)
         .select("claim_id", "rank", "doc_id", "score")
     )
+
+
+def score_multi_match_best_fields(
+    fpostings: DataFrame,
+    qterms: DataFrame,
+    k: int = 5,
+    boosts: dict | None = None,
+    k1: float = BM25F_K1,
+    b: float = 0.75,
+    tie_breaker: float = 0.0,
+) -> DataFrame:
+    """The ES ``multi_match`` query in its DEFAULT ``best_fields`` mode:
+    each field is scored as its OWN independent BM25 index (per-field df,
+    per-field avgdl over docs having the field, per-field length norm),
+    then per (claim, doc) the field scores combine dis_max-style:
+
+        score = max_f boost_f*bm25_f + tie_breaker * (sum_f - max_f)
+
+    ``tie_breaker=0`` (the ES default) is pure best-field — a doc whose
+    TITLE matches the whole query beats a doc with the terms scattered
+    across fields; contrast :func:`score_combined_fields` (term-centric
+    merge) and :func:`score_bm25f` (per-field normalized sum). All three
+    published multi-field semantics over the SAME (doc_id, field, term,
+    tf, dl_f) relation.
+
+    Per-field df and N (docs having the field) make each field a
+    self-contained index exactly like an ES sub-query per field; idf uses
+    the field's own doc count. One scan, broadcast query side; the
+    per-field aggregate and the dis_max combine ride consecutive hash
+    aggregates — same envelope class as the other multi-field scorers.
+    """
+    w = boosts or BM25F_WEIGHTS
+    w_expr = F.create_map(*[x for kk, vv in w.items() for x in (F.lit(kk), F.lit(float(vv)))])
+
+    fdocs = fpostings.select("doc_id", "field", "dl_f").distinct()
+    fstats = fdocs.groupBy("field").agg(
+        F.count(F.lit(1)).cast("double").alias("n_f"),
+        F.avg("dl_f").alias("avgdl_f"),
+    )
+    fdf = fpostings.select("field", "term", "doc_id").distinct().groupBy(
+        "field", "term"
+    ).agg(F.count(F.lit(1)).cast("double").alias("df_f"))
+
+    q = qterms.join(fdf, "term", "inner")  # (claim, term, field, df_f)
+    per_field = (
+        fpostings.join(F.broadcast(q), ["field", "term"], "inner")
+        .join(F.broadcast(fstats), "field", "inner")
+        .withColumn(
+            "contrib",
+            F.log1p((F.col("n_f") - F.col("df_f") + 0.5) / (F.col("df_f") + 0.5))
+            * F.col("tf").cast("double") * F.lit(k1 + 1.0)
+            / (
+                F.col("tf").cast("double")
+                + F.lit(float(k1))
+                * (F.lit(1.0 - b) + F.lit(float(b)) * F.col("dl_f") / F.col("avgdl_f"))
+            ),
+        )
+        .groupBy("claim_id", "doc_id", "field")
+        .agg(F.sum("contrib").alias("fscore"))
+        .withColumn("fscore", F.col("fscore") * w_expr[F.col("field")])
+    )
+    tb = float(tie_breaker)
+    scored = per_field.groupBy("claim_id", "doc_id").agg(
+        (
+            F.max("fscore") + F.lit(tb) * (F.sum("fscore") - F.max("fscore"))
+        ).alias("score")
+    )
+    win = Window.partitionBy("claim_id").orderBy(F.round("score", 6).desc(), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("claim_id", "rank", "doc_id", "score")
+    )

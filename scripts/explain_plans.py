@@ -586,6 +586,18 @@ def main():
     print(f"  [x] HashAggregate stages: {n_aggs} (want >= 3: partial dedup + final dedup + count)")
     ok &= n_aggs >= 3
 
+    # 38. multi_match best_fields: per-field BM25 + dis_max combine are
+    # consecutive hash aggregates over the single field-postings scan;
+    # query/stats sides broadcast
+    from defactonlp_spark.operators.bm25f import score_multi_match_best_fields
+
+    ok &= check(
+        "multi_match best_fields (per-field aggs + dis_max, one scan)",
+        plan_of(score_multi_match_best_fields(fp, claim_terms(claims), k=5)),
+        must=["BroadcastHashJoin", "HashAggregate", "WindowGroupLimit"],
+        must_not=["CartesianProduct", "SortMergeJoin"],
+    )
+
     print("\nPLANS " + ("OK" if ok else "NOT OK"))
     spark.stop()
     sys.exit(0 if ok else 1)

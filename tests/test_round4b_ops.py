@@ -543,3 +543,85 @@ def test_top_fragments_greedy_oracle(spark):
         (c, d, s, nt, nh) for (c, d, f, s, nt, nh) in got if f == 1
     }
     assert frag1 == bp
+
+
+# ------------------------------------------- multi_match best_fields ----
+
+
+def _best_fields_oracle(terms, boosts, lead_n, tb=0.0, k1=1.2, b=0.75):
+    """Scalar best_fields oracle over DOCS: each field its own BM25 index."""
+    texts = dict(DOCS)
+    toks = {d: tokenize_one(t) for d, t in texts.items()}
+
+    def fields(d):
+        out = {}
+        if toks[d][:lead_n]:
+            out["lead"] = toks[d][:lead_n]
+        if toks[d][lead_n:]:
+            out["body"] = toks[d][lead_n:]
+        return out
+
+    havers = {f: [d for d in texts if f in fields(d)] for f in ("lead", "body")}
+    out = {}
+    for d in texts:
+        fscores = {}
+        for f, ts in fields(d).items():
+            n_f = len(havers[f])
+            avgdl_f = sum(len(fields(dd)[f]) for dd in havers[f]) / n_f
+            s = 0.0
+            for t in terms:
+                tf = ts.count(t)
+                if tf == 0:
+                    continue
+                df_f = sum(1 for dd in havers[f] if t in fields(dd)[f])
+                idf = math.log1p((n_f - df_f + 0.5) / (df_f + 0.5))
+                s += idf * tf * (k1 + 1.0) / (
+                    tf + k1 * (1 - b + b * len(ts) / avgdl_f)
+                )
+            if s > 0:
+                fscores[f] = boosts[f] * s
+        if fscores:
+            mx, sm = max(fscores.values()), sum(fscores.values())
+            out[d] = mx + tb * (sm - mx)
+    return out
+
+
+@pytest.mark.parametrize("tb", [0.0, 0.4])
+def test_best_fields_scalar_oracle(spark, engine, tb):
+    from defactonlp_spark.operators.bm25f import score_multi_match_best_fields
+
+    docs, *_ = engine
+    w = {"lead": 2.0, "body": 1.0}
+    fp = lead_body_fields(docs, lead_n=2)
+    claims = spark.createDataFrame([(0, "alpha gamma zeta")],
+                                   "claim_id long, claim string")
+    res = score_multi_match_best_fields(
+        fp, claim_terms(claims), k=10, boosts=w, tie_breaker=tb
+    )
+    got = {r["doc_id"]: r["score"] for r in res.collect()}
+    want = _best_fields_oracle(["alpha", "gamma", "zeta"], w, lead_n=2, tb=tb)
+    assert got.keys() == want.keys()
+    for d in got:
+        assert got[d] == pytest.approx(want[d], abs=1e-9)
+
+
+def test_best_fields_single_field_equals_bm25(spark, engine):
+    from defactonlp_spark.operators.bm25f import score_multi_match_best_fields
+
+    docs, p, stats, n_docs, avgdl, tokens = engine
+    fp = lead_body_fields(docs, lead_n=0)  # one field (body), boost 1
+    claims = spark.createDataFrame([(0, "alpha zeta")], "claim_id long, claim string")
+    qt = claim_terms(claims)
+    bf = {
+        r["doc_id"]: r["score"]
+        for r in score_multi_match_best_fields(
+            fp, qt, k=10, boosts={"lead": 1.0, "body": 1.0}
+        ).collect()
+    }
+    ex = {
+        r["doc_id"]: r["score"]
+        for r in score_exhaustive(p, stats, qt, n_docs, avgdl, k=10).collect()
+    }
+    assert bf.keys() == ex.keys()
+    for d in bf:
+        assert bf[d] == pytest.approx(ex[d], abs=1e-9)
