@@ -2936,9 +2936,11 @@ def q_simhash_pairs(spark, sf_dir):
 
 def q_lsh_ann_topk(spark, sf_dir):
     """Approximate nearest neighbors via random-hyperplane LSH with
-    multi-probe (no SQL oracle BY DESIGN: the candidate set is
-    probabilistic; correctness is established in pytest against the exact
-    brute-force baseline on recall)."""
+    multi-probe. FULLY twinned since round 4 (was rows-only): the
+    8 deterministic hyperplanes inline into SQL (sign-portability
+    re-verified: 0 bucket mismatches at sf0.01, min margin ~9.6e-4), so
+    buckets, Hamming-1 probes, and the exact in-bucket rescore are all
+    recomputed in DuckDB; pytest additionally pins recall vs brute force."""
     from defactonlp_spark.operators.similarity import lsh_ann_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -3072,16 +3074,21 @@ def q_ivf_ann_topk(spark, sf_dir):
     )
 
 
+LSH_DUP_THRESHOLD = 0.35
+LSH_DUP_BITS = 4
+
+
 def q_lsh_dup_pairs(spark, sf_dir):
     """LSH-bucketed embedding near-dup pairs — the scale path for
-    embedding_dup_pairs (no SQL oracle BY DESIGN: the candidate set is
-    probabilistic; pytest proves recall vs the exact baseline and every
-    returned pair carries the exact rounded cosine, i.e. rows are a subset
-    of embedding_dup_pairs' oracle-checked output)."""
+    embedding_dup_pairs. FULLY twinned since round 4 (was rows-only): the
+    deterministic hyperplanes inline into SQL, buckets verified sign-
+    portable, and the candidate generation + exact rounded rescore are
+    recomputed end-to-end in DuckDB; pytest additionally proves recall vs
+    the exact baseline."""
     from defactonlp_spark.operators.similarity import lsh_dup_pairs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return lsh_dup_pairs(emb, threshold=0.35, n_bits=4).select(
+    return lsh_dup_pairs(emb, threshold=LSH_DUP_THRESHOLD, n_bits=LSH_DUP_BITS).select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
         "cos",
@@ -3265,9 +3272,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_event_per_user": q_latest_event_per_user,
         "event_sessions": q_event_sessions,
         "value_percentiles": q_value_percentiles,
-        # -- rows-only by design (murmur3/LSH/IVF — no DuckDB twin) -------
+        # -- fully twinned since r4 (inlined deterministic hyperplanes) ---
         "lsh_ann_topk": q_lsh_ann_topk,
         "lsh_dup_pairs": q_lsh_dup_pairs,
+        # -- rows-only by design (learned k-means / murmur3 — no twin) ----
         "ivf_ann_topk": q_ivf_ann_topk,
         "drqa_tfidf_topk_hashed": q_drqa_tfidf_topk_hashed,
         # ==== 50-entry window boundary lands inside the stale block ======
@@ -5732,6 +5740,64 @@ WHERE p.n_not_m = 0 AND p.n_must_m = qs.n_must
         " / (sqrt(list_dot_product(qvec::DOUBLE[], qvec::DOUBLE[]))"
         " * sqrt(list_dot_product({e}::DOUBLE[], {e}::DOUBLE[]))), 6)"
     )
+    # lsh_ann_topk twin (was rows-only until round 4): the SAME inlined-
+    # hyperplane mechanics at the operator's real defaults (n_bits=8,
+    # Hamming-1 multi-probe, k=10). Sign-test portability re-verified at
+    # 8 planes over sf0.01: 0 bucket mismatches, min |dot| margin ~9.6e-4.
+    from defactonlp_spark.operators.similarity import N_LSH_BITS
+
+    _planes8 = [_hyperplane(64, b) for b in range(N_LSH_BITS)]
+    _plane8_lits = ["[" + ",".join(repr(c) for c in p) + "]::DOUBLE[]" for p in _planes8]
+    _bucket8_expr = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {_plane8_lits[b]}) > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(N_LSH_BITS)
+    )
+    _probe8_list = "[qb" + "".join(
+        f", xor(qb, {1 << b})" for b in range(N_LSH_BITS)
+    ) + "]"
+    d["lsh_ann_topk"] = f"""
+WITH b AS (SELECT vec_id, embedding, ({_bucket8_expr})::INT AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket AS qb FROM b
+      WHERE vec_id IN ({_qids})),
+probes AS (SELECT query_id, qvec, unnest({_probe8_list}) AS probe FROM q),
+cand AS (
+  SELECT DISTINCT p.query_id, p.qvec, e.vec_id, e.embedding
+  FROM probes p JOIN b e ON e.bucket = p.probe AND e.vec_id <> p.query_id
+),
+ascored AS (SELECT query_id, vec_id, {_cos.format(e="embedding")} AS cos FROM cand)
+SELECT query_id::BIGINT AS query_id, rn::BIGINT AS rank,
+       vec_id::BIGINT AS vec_id, cos
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cos DESC, vec_id) AS rn FROM ascored)
+WHERE rn <= {ANN_EVAL_K}
+"""
+    # lsh_dup_pairs twin (was rows-only until round 4): 4-bit buckets (the
+    # SAME _plane_lits constants as ann_method_eval), one-sided Hamming<=1
+    # probing with id_a < id_b (a pair meets on exactly one probe value —
+    # XOR deltas are unique — so no dedup), exact rounded cosine rescore,
+    # threshold filter. The engine's numpy rescore accumulates per-dimension
+    # left-to-right, the exact list_dot_product order.
+    d["lsh_dup_pairs"] = f"""
+WITH b AS (SELECT vec_id, embedding, ({_bucket_expr})::INT AS bucket FROM embeddings),
+a AS (
+  SELECT vec_id AS id_a, embedding AS va,
+         unnest([bucket{"".join(f", xor(bucket, {1 << bb})" for bb in range(ANN_EVAL_BITS))}]) AS probe
+  FROM b
+),
+cand AS (
+  SELECT a.id_a, a.va, e.vec_id AS id_b, e.embedding AS vb
+  FROM a JOIN b e ON e.bucket = a.probe AND a.id_a < e.vec_id
+),
+scored AS (
+  SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
+         round(list_dot_product(va::DOUBLE[], vb::DOUBLE[])
+               / (sqrt(list_dot_product(va::DOUBLE[], va::DOUBLE[]))
+                  * sqrt(list_dot_product(vb::DOUBLE[], vb::DOUBLE[]))), 6) AS cos
+  FROM cand
+)
+SELECT id_a, id_b, cos FROM scored WHERE cos >= {LSH_DUP_THRESHOLD}
+"""
     d["ann_method_eval"] = f"""
 WITH b AS (SELECT vec_id, embedding, ({_bucket_expr})::INT AS bucket FROM embeddings),
 q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket AS qb FROM b
