@@ -688,6 +688,22 @@ def _tokens_cached(spark, sf_dir):
     return _MEMO[key]
 
 
+def _fields_cached(spark, sf_dir):
+    """(doc_id, field, term, tf, dl_f) lead/body relation, split once per
+    session from the shared tokens fixture — shared by all THREE
+    multi-field scorers (BM25F, combined_fields, multi_match best_fields).
+    Replaces the per-query bare .persist() each scorer used to take, which
+    release_cached() never dropped (three leaked copies per session)."""
+    key = (spark, "fields", sf_dir)
+    if key not in _MEMO:
+        from defactonlp_spark.operators.bm25f import lead_body_fields
+
+        _MEMO[key] = lead_body_fields(
+            None, lead_n=BM25F_LEAD_N, tokens=_tokens_cached(spark, sf_dir)
+        ).persist()
+    return _MEMO[key]
+
+
 def _segments_cached(spark, sf_dir):
     """Delta+varbyte segment table (8 buckets), encoded ONCE per session —
     the harness analog of a deployment's stored index. Serves the WAND and
@@ -1201,15 +1217,10 @@ def q_bm25f_topk(spark, sf_dir):
     (first 20 tokens, the title proxy) weighted 2x over body, per-field
     length norms, any-field df (operators/bm25f.py)."""
     from defactonlp_spark.operators.bm25 import claim_terms
-    from defactonlp_spark.operators.bm25f import lead_body_fields, score_bm25f
+    from defactonlp_spark.operators.bm25f import score_bm25f
 
-    # field split from the session's shared positional-tokens fixture —
-    # pure JVM expressions over the cached relation, no second tokenize
-    # kernel (VERDICT r3 #3: this query was rebuild-dominated)
-    fp = lead_body_fields(
-        None, lead_n=BM25F_LEAD_N, tokens=_tokens_cached(spark, sf_dir)
-    ).persist()
-    res = score_bm25f(fp, claim_terms(_claims_df(spark)), k=TOPK)
+    # session-shared field relation (split once from the tokens fixture)
+    res = score_bm25f(_fields_cached(spark, sf_dir), claim_terms(_claims_df(spark)), k=TOPK)
     return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
 
 
@@ -1220,15 +1231,11 @@ def q_combined_fields_topk(spark, sf_dir):
     weight-merged), one shared b/k1. Same fixture split as bm25f_topk so
     the two multi-field semantics are directly comparable in the record."""
     from defactonlp_spark.operators.bm25 import claim_terms
-    from defactonlp_spark.operators.bm25f import (
-        lead_body_fields,
-        score_combined_fields,
-    )
+    from defactonlp_spark.operators.bm25f import score_combined_fields
 
-    fp = lead_body_fields(
-        None, lead_n=BM25F_LEAD_N, tokens=_tokens_cached(spark, sf_dir)
-    ).persist()
-    res = score_combined_fields(fp, claim_terms(_claims_df(spark)), k=TOPK)
+    res = score_combined_fields(
+        _fields_cached(spark, sf_dir), claim_terms(_claims_df(spark)), k=TOPK
+    )
     return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
 
 
@@ -1341,16 +1348,11 @@ def q_multi_match_best_fields(spark, sf_dir):
     tie_breaker 0.3 and lead boosted 2x — the third multi-field semantics
     over the same field relation (vs BM25F and combined_fields)."""
     from defactonlp_spark.operators.bm25 import claim_terms
-    from defactonlp_spark.operators.bm25f import (
-        lead_body_fields,
-        score_multi_match_best_fields,
-    )
+    from defactonlp_spark.operators.bm25f import score_multi_match_best_fields
 
-    fp = lead_body_fields(
-        None, lead_n=BM25F_LEAD_N, tokens=_tokens_cached(spark, sf_dir)
-    ).persist()
     res = score_multi_match_best_fields(
-        fp, claim_terms(_claims_df(spark)), k=TOPK, tie_breaker=MM_TIE_BREAKER
+        _fields_cached(spark, sf_dir), claim_terms(_claims_df(spark)),
+        k=TOPK, tie_breaker=MM_TIE_BREAKER,
     )
     return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
 
