@@ -879,7 +879,50 @@ def _emit(results: dict) -> None:
             compact[f"serve_{key}"] = ss[key]
     if "fixtures_warmup_sec" in results:
         compact["fixtures_warmup_sec"] = results["fixtures_warmup_sec"]
-    print(json.dumps(compact))
+    print(json.dumps(_fit_line(compact)))
+
+
+# The driver records only the LAST 2000 characters of stdout (BENCH_r0*.json
+# "tail" is exactly 2000 chars across all rounds); a final line longer than
+# that gets its head sheared off and parses to null — round 3 lost its bench
+# record this way, and with 114 queries even the 2-dp compact dict is ~2.9 KB.
+_MAX_LINE = 1900
+
+
+def _fit_line(compact: dict) -> dict:
+    """Hard-cap the summary line at _MAX_LINE bytes.
+
+    If the full per-query dict does not fit, keep the SLOWEST queries (the
+    informative tail) and replace the rest with queries_shown/queries_total
+    counters plus queries_omitted_sec (their summed wall, so the shown walls
+    + omitted total still reconcile with `value`). The complete per-query
+    dict always lives in the full-results file."""
+    if len(json.dumps(compact)) <= _MAX_LINE:
+        return compact
+    qs = compact.get("queries", {})
+    by_slow = sorted(qs.items(), key=lambda kv: -(kv[1] if kv[1] > 0 else 1e9))
+    # -1.0 failure sentinels sort first so a failed query is never hidden
+    lo, hi = 0, len(by_slow)
+    while lo < hi:  # largest K that fits
+        mid = (lo + hi + 1) // 2
+        trial = dict(compact)
+        kept = dict(by_slow[:mid])
+        trial["queries"] = kept
+        trial["queries_shown"] = mid
+        trial["queries_total"] = len(by_slow)
+        trial["queries_omitted_sec"] = 9999.99
+        if len(json.dumps(trial)) <= _MAX_LINE:
+            lo = mid
+        else:
+            hi = mid - 1
+    kept = dict(by_slow[:lo])
+    compact = dict(compact)
+    compact["queries"] = kept
+    compact["queries_shown"] = lo
+    compact["queries_total"] = len(by_slow)
+    compact["queries_omitted_sec"] = round(
+        sum(v for k, v in by_slow[lo:] if v > 0), 2)
+    return compact
 
 
 if __name__ == "__main__":

@@ -511,3 +511,61 @@ def cardinality_agg(
         .groupBy(*group_cols)
         .agg(F.count(F.lit(1)).cast("long").alias("distinct_count"))
     )
+
+
+def date_histogram_pipeline(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    mov_window: int = 3,
+) -> DataFrame:
+    """The ES pipeline-aggregation family over a ``date_histogram``:
+    per-hour buckets with gap filling (``min_doc_count: 0``), then
+
+    - ``derivative``     — bucket count minus the previous bucket's count
+      (null for the first bucket, ES semantics);
+    - ``cumulative_sum`` — running total of the bucket counts;
+    - ``moving_fn avg``  — trailing mean of the bucket counts over the
+      last ``mov_window`` buckets INCLUDING the current one.
+
+    -> (bucket, n_events, sum_value, derivative, cumulative, moving_avg)
+    ordered by bucket.
+
+    Scale shape: the only data-scale pass is the groupBy(date_trunc) —
+    partial-aggregated map-side, one shuffle on the bucket key. Everything
+    after operates on the BUCKET relation, whose size is the time range in
+    hours (metadata-scale: a year is 8,760 rows at 10^12 input rows), so
+    the gap-filling grid (one 1-row bounds agg + sequence/explode) and the
+    single-partition ordered window are driver-bounded by construction,
+    not by data volume. Empty buckets get n_events=0 and sum_value=0.0
+    (the ES ``sum`` aggregation's empty-bucket value).
+    """
+    bucket = F.date_trunc("hour", F.col(ts_col))
+    buckets = events.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(value_col).alias("sum_value"),
+    )
+    bounds = buckets.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("bucket")
+    )
+    dense = (
+        grid.join(buckets, "bucket", "left")
+        .withColumn("n_events", F.coalesce(F.col("n_events"), F.lit(0)).cast("long"))
+        .withColumn("sum_value", F.coalesce(F.col("sum_value"), F.lit(0.0)))
+    )
+    w = Window.orderBy("bucket")  # bucket relation: metadata-scale (see above)
+    return (
+        dense.withColumn(
+            "derivative", F.col("n_events") - F.lag("n_events").over(w)
+        )
+        .withColumn(
+            "cumulative",
+            F.sum("n_events").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn(
+            "moving_avg",
+            F.avg("n_events").over(w.rowsBetween(-(mov_window - 1), 0)),
+        )
+        .orderBy("bucket")
+    )

@@ -50,6 +50,33 @@ def bm25_score_expr(n_docs: int, avgdl: float, p: BM25Params):
     return idf * tf * F.lit(p.k1 + 1.0) / denom
 
 
+def score_all(
+    postings: DataFrame,
+    stats: DataFrame,
+    qterms: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    params: BM25Params = BM25Params(),
+) -> DataFrame:
+    """Every matching (claim_id, doc_id, score) pair — the un-truncated
+    half of :func:`score_exhaustive`, exposed for consumers that aggregate
+    over ALL matches instead of taking a top-k (block join's has_child
+    aggregates child scores per parent; truncating first would change the
+    parent score for score_mode in {sum, avg, min}).
+
+    Plan: broadcast the (tiny) query-term table and per-term df onto the
+    postings scan -> contribution expr (whole-stage codegen) -> hash agg on
+    (claim_id, doc_id). One wide scan, one narrow shuffle.
+    """
+    q = qterms.join(stats, "term", "inner")  # (claim_id, term, df)
+    return (
+        postings.join(F.broadcast(q), "term", "inner")
+        .withColumn("contrib", bm25_score_expr(n_docs, avgdl, params))
+        .groupBy("claim_id", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+
+
 def score_exhaustive(
     postings: DataFrame,
     stats: DataFrame,
@@ -62,17 +89,9 @@ def score_exhaustive(
 ) -> DataFrame:
     """postings_long x (claim_id, term) -> top-k (claim_id, doc_id, score, rank).
 
-    Plan: broadcast the (tiny) query-term table and per-term df onto the
-    postings scan -> contribution expr (whole-stage codegen) -> hash agg on
-    (claim_id, doc_id) -> window top-k. One wide scan, one narrow shuffle.
+    :func:`score_all` (one scan + one shuffle) followed by a window top-k.
     """
-    q = qterms.join(stats, "term", "inner")  # (claim_id, term, df)
-    scored = (
-        postings.join(F.broadcast(q), "term", "inner")
-        .withColumn("contrib", bm25_score_expr(n_docs, avgdl, params))
-        .groupBy("claim_id", "doc_id")
-        .agg(F.sum("contrib").alias("score"))
-    )
+    scored = score_all(postings, stats, qterms, n_docs, avgdl, params)
     # rank_dp: rank on round(score, rank_dp) so mathematically-tied docs
     # order by doc_id instead of engine summation noise (RM3's fb-doc
     # cutoff needs this; None preserves the raw contract everywhere else)
@@ -513,6 +532,61 @@ def score_boosted(
         .agg(F.sum("contrib").alias("bm25"))
         .join(boosts.select("doc_id", boost_col), "doc_id", "inner")
         .withColumn("score", F.col("bm25") * F.col(boost_col))
+    )
+    w = Window.partitionBy("claim_id").orderBy(
+        F.round("score", 6).desc(), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("claim_id", "rank", "doc_id", "bm25", "score")
+    )
+
+
+def score_rank_feature(
+    postings: DataFrame,
+    stats: DataFrame,
+    qterms: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    features: DataFrame,
+    pivot: float,
+    boost: float = 1.0,
+    k: int = 5,
+    params: BM25Params = BM25Params(),
+    feature_col: str = "feature",
+) -> DataFrame:
+    """ES ``rank_feature`` query (saturation function) composed with a text
+    clause, as in the canonical ``bool: {must: match, should: rank_feature}``:
+
+        final = bm25 + boost * f / (f + pivot)
+
+    The saturation pump is ADDITIVE (a should-clause), unlike
+    :func:`score_boosted`'s multiplicative doc prior — a doc with a huge
+    static feature can pad a weak text match by at most ``boost`` (the
+    saturation asymptote), which is exactly why ES recommends rank_feature
+    over multiplicative function_score for popularity/pagerank signals.
+    Docs missing the feature row get zero contribution (left join), same as
+    ES docs without the rank_feature field.
+
+    Plan: identical to :func:`score_boosted` — one postings scan, one hash
+    aggregate, one doc-keyed join against the |corpus|-sized feature table
+    (never broadcast). Ties rank on (round(final, 6), doc_id) since the
+    saturation arithmetic is one IEEE divide over 6-dp inputs per row.
+    """
+    scored = (
+        score_all(postings, stats, qterms, n_docs, avgdl, params)
+        .withColumnRenamed("score", "bm25")
+        .join(features.select("doc_id", feature_col), "doc_id", "left")
+        .withColumn(
+            "score",
+            F.col("bm25")
+            + F.lit(float(boost))
+            * F.coalesce(
+                F.col(feature_col) / (F.col(feature_col) + F.lit(float(pivot))),
+                F.lit(0.0),
+            ),
+        )
     )
     w = Window.partitionBy("claim_id").orderBy(
         F.round("score", 6).desc(), F.asc("doc_id")

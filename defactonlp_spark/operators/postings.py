@@ -130,6 +130,29 @@ def corpus_stats(postings: DataFrame) -> DataFrame:
     )
 
 
+def term_vectors(postings: DataFrame, stats: DataFrame, doc_ids: list[int]) -> DataFrame:
+    """ES ``_termvectors`` API (with ``term_statistics=true``): for each
+    requested doc, every term with its in-doc frequency plus the
+    dictionary's corpus statistics —
+    (doc_id, term, tf, dl, df, ttf).
+
+    Plan: the doc_id IN-list filter lands on the postings scan (partition/
+    row-group pruning on a doc-partitioned store), so the per-request cost
+    is the requested docs' postings only; the dictionary join is term-keyed
+    against the (Heaps-bounded) stats relation. The request side is a
+    handful of ids — an API lookup, not an analytics scan — which is why
+    the list is a plain literal filter rather than a join."""
+    ids = [int(d) for d in doc_ids]
+    return (
+        postings.filter(F.col("doc_id").isin(ids))
+        .join(stats, "term", "inner")
+        .select(
+            "doc_id", "term", "tf", "dl", "df",
+            F.col("ctf").alias("ttf"),
+        )
+    )
+
+
 def suggest_terms(stats: DataFrame, prefixes: DataFrame, k: int = 5) -> DataFrame:
     """Search-box term suggester: for each prefix, the top-k dictionary
     terms by document frequency (ties broken lexicographically).
