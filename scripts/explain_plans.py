@@ -598,6 +598,58 @@ def main():
         must_not=["CartesianProduct", "SortMergeJoin"],
     )
 
+    # 39. has_child block join: all-match child scoring (broadcast query
+    # side) + ONE extra hash aggregate for the parent rollup + window top-k;
+    # never a cartesian, never a sort-merge join on the child relation
+    from defactonlp_spark.operators.blockjoin import score_has_child
+    from defactonlp_spark.operators.bm25 import score_all
+
+    child_scores = score_all(
+        postings, P.term_stats(postings), claim_terms(claims), 1000, 10.0
+    ).withColumnRenamed("doc_id", "child_id")
+    ok &= check(
+        "has_child (child score agg + parent rollup agg + top-k window)",
+        plan_of(
+            score_has_child(
+                child_scores, (F.col("child_id") / 1024).cast("long"),
+                score_mode="max", min_children=2, k=5,
+            )
+        ),
+        must=["BroadcastHashJoin", "HashAggregate", "WindowGroupLimit"],
+        must_not=["CartesianProduct", "SortMergeJoin"],
+    )
+
+    # 40. rank_feature: the corpus-sized feature table joins doc-keyed and
+    # must NOT be broadcast (only the query side is); saturation is plain
+    # codegen arithmetic, no Python stage
+    from defactonlp_spark.operators.bm25 import score_rank_feature
+
+    feats = docs.select("doc_id", (F.col("n_chars") / 1000.0).alias("feature"))
+    rf_plan = plan_of(
+        score_rank_feature(
+            postings, P.term_stats(postings), claim_terms(claims),
+            1000, 10.0, feats, pivot=0.5, boost=2.0, k=5,
+        )
+    )
+    ok &= check(
+        "rank_feature (doc-keyed feature join, saturation in codegen)",
+        rf_plan,
+        must=["HashAggregate", "WindowGroupLimit"],
+        must_not=["CartesianProduct"],
+    )
+
+    # 41. date_histogram pipeline aggs: ONE data-scale aggregate (partial +
+    # final over the date_trunc key); everything downstream (grid, window
+    # functions) runs on the metadata-scale bucket relation
+    from defactonlp_spark.operators.analytics import date_histogram_pipeline
+
+    ok &= check(
+        "date_histogram pipeline (bucket agg + metadata-scale window)",
+        plan_of(date_histogram_pipeline(ev)),
+        must=["HashAggregate", "Window"],
+        must_not=["CartesianProduct"],
+    )
+
     print("\nPLANS " + ("OK" if ok else "NOT OK"))
     spark.stop()
     sys.exit(0 if ok else 1)
