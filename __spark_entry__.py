@@ -3337,6 +3337,27 @@ def q_term_vectors(spark, sf_dir):
     )
 
 
+def q_extended_stats(spark, sf_dir):
+    """ES extended_stats aggregation per event_type: the full moment set
+    (count/min/max/sum/avg/sum_of_squares/variance/std) from re-aggregable
+    partials in one shuffle (operators/analytics.py::extended_stats)."""
+    from defactonlp_spark.operators.analytics import extended_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    res = extended_stats(ev, ["event_type"], "value")
+    return res.select(
+        "event_type",
+        F.col("count").cast("long").alias("count"),
+        F.round("min", 6).alias("min"),
+        F.round("max", 6).alias("max"),
+        F.round("sum", 4).alias("sum"),
+        F.round("avg", 6).alias("avg"),
+        F.round("sum_of_squares", 2).alias("sum_of_squares"),
+        F.round("variance", 4).alias("variance"),
+        F.round("std_deviation", 6).alias("std_deviation"),
+    )
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -3367,6 +3388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_feature_topk": q_rank_feature_topk,
         "events_pipeline_aggs": q_events_pipeline_aggs,
         "term_vectors": q_term_vectors,
+        "extended_stats_by_type": q_extended_stats,
         "combined_fields_topk": q_combined_fields_topk,
         "phrase_prefix_topk": q_phrase_prefix_topk,
         "knn_filtered": q_knn_filtered,
@@ -6139,5 +6161,21 @@ FROM postings p
 JOIN dl l USING (doc_id)
 JOIN tstats s USING (term)
 WHERE p.doc_id IN ({", ".join(str(i) for i in TERM_VECTOR_DOCS)})
+"""
+    # -- ES extended_stats (moment set from re-aggregable partials) ----------
+    d["extended_stats_by_type"] = """
+WITH agg AS (
+  SELECT event_type, count(value)::BIGINT AS count,
+         min(value) AS min, max(value) AS max,
+         sum(value) AS sum, sum(value * value) AS sum_of_squares
+  FROM events GROUP BY 1
+)
+SELECT event_type, count, round(min, 6) AS min, round(max, 6) AS max,
+       round(sum, 4) AS sum,
+       round(sum / count, 6) AS avg,
+       round(sum_of_squares, 2) AS sum_of_squares,
+       round(sum_of_squares / count - (sum / count) * (sum / count), 4) AS variance,
+       round(sqrt(sum_of_squares / count - (sum / count) * (sum / count)), 6) AS std_deviation
+FROM agg
 """
     return d

@@ -569,3 +569,42 @@ def date_histogram_pipeline(
         )
         .orderBy("bucket")
     )
+
+
+def extended_stats(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """The ES ``extended_stats`` aggregation: count, min, max, sum, avg,
+    sum_of_squares, population variance and standard deviation per group.
+
+    Everything derives from the re-aggregable partials
+    (count, sum, sum_sq, min, max) — ONE shuffle with map-side combine, the
+    same merge tree ES uses across shards. Variance uses the
+    sum-of-squares identity var = sum_sq/n - (sum/n)^2 with explicit
+    association so the arithmetic is portable across engines (the
+    streaming/Welford formulations are implementation-specific).
+
+    -> (group_cols..., count, min, max, sum, avg, sum_of_squares,
+        variance, std_deviation).
+    """
+    v = F.col(value_col).cast("double")
+    agg = df.groupBy(*group_cols).agg(
+        F.count(v).alias("count"),
+        F.min(v).alias("min"),
+        F.max(v).alias("max"),
+        F.sum(v).alias("sum"),
+        F.sum(v * v).alias("sum_of_squares"),
+    )
+    n = F.col("count").cast("double")
+    mean = F.col("sum") / n
+    var = F.col("sum_of_squares") / n - mean * mean
+    return agg.select(
+        *group_cols,
+        "count", "min", "max", "sum",
+        mean.alias("avg"),
+        "sum_of_squares",
+        var.alias("variance"),
+        F.sqrt(var).alias("std_deviation"),
+    )

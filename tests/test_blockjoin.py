@@ -137,3 +137,19 @@ def test_term_vectors_lookup(spark):
     assert (r["tf"], r["dl"], r["df"], r["ttf"]) == (2, 3, 2, 3)
     r = out[(3, "b")]
     assert (r["tf"], r["dl"], r["df"], r["ttf"]) == (2, 2, 2, 3)
+
+
+def test_extended_stats_moments(spark):
+    from defactonlp_spark.operators.analytics import extended_stats
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 5.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = {r["k"]: r for r in extended_stats(df, ["k"], "v").collect()}
+    a = out["a"]
+    assert (a["count"], a["min"], a["max"], a["sum"]) == (3, 1.0, 3.0, 6.0)
+    assert a["avg"] == pytest.approx(2.0)
+    assert a["sum_of_squares"] == pytest.approx(14.0)
+    assert a["variance"] == pytest.approx(2.0 / 3.0)  # population variance
+    assert a["std_deviation"] == pytest.approx((2.0 / 3.0) ** 0.5)
+    b = out["b"]
+    assert b["variance"] == pytest.approx(0.0) and b["count"] == 1
