@@ -3358,6 +3358,169 @@ def q_extended_stats(spark, sf_dir):
     )
 
 
+LM_LAMBDA = 0.1
+GEO_QLAT, GEO_QLON, GEO_RADIUS_KM, GEO_K = 37.5, -122.0, 6000.0, 10
+GEO_ZOOM, GEO_GRID_TOP = 4, 25
+GEO_BBOX = (-30.0, 40.0, -90.0, 60.0)  # lat_lo, lat_hi, lon_lo, lon_hi
+PCTRANK_VALUES = [25.0, 250.0]
+BUCKET_MIN_AVG = 49.0
+ADJ_FILTERS = {"a": "merge", "b": "table", "c": "spark"}
+
+
+def q_lm_jm_topk(spark, sf_dir):
+    """Jelinek-Mercer-smoothed query likelihood (Lucene
+    LMJelinekMercerSimilarity; Zhai & Lafferty 2001) — the third smoothing
+    family next to Dirichlet and BM25 (operators/lm.py)."""
+    from defactonlp_spark.operators.bm25 import claim_terms
+    from defactonlp_spark.operators.lm import ctf_stats, score_lm_jelinek_mercer
+    from defactonlp_spark.operators.postings import corpus_stats
+
+    p = _postings_cached(spark, sf_dir)
+    total = int(corpus_stats(p).collect()[0]["total_tokens"])
+    res = score_lm_jelinek_mercer(
+        p, ctf_stats(p), claim_terms(_claims_df(spark)), total, lam=LM_LAMBDA, k=TOPK
+    )
+    return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
+
+
+def q_dfr_inl2_topk(spark, sf_dir):
+    """DFR I(n)L2 retrieval (Amati & van Rijsbergen 2002; Lucene
+    DFRSimilarity In/L/H2) — completes the Lucene similarity families:
+    BM25 / TF-IDF / LMDirichlet / LMJelinekMercer / DFR
+    (operators/lm.py::score_dfr_inl2)."""
+    from defactonlp_spark.operators.bm25 import claim_terms
+    from defactonlp_spark.operators.lm import score_dfr_inl2
+    from defactonlp_spark.operators.postings import term_stats
+
+    p = _postings_cached(spark, sf_dir)
+    n_docs, avgdl = _engine_corpus_stats(p)
+    res = score_dfr_inl2(
+        p, term_stats(p), claim_terms(_claims_df(spark)), n_docs, avgdl, c=1.0, k=TOPK
+    )
+    return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
+
+
+def _geo_docs(spark, sf_dir):
+    from defactonlp_spark.operators.geo import with_coords
+
+    return with_coords(_docs(spark, sf_dir))
+
+
+def q_geo_distance_topk(spark, sf_dir):
+    """ES geo_distance query + distance sort: k nearest docs within a
+    radius of the query point. Coordinates are the deterministic md5
+    synthetic geo_point (operators/geo.py — engine-portable stand-in for a
+    real lat/lon column); a sargable bounding-box pre-filter fronts the
+    haversine so file pruning can bite on a Z-ordered table."""
+    from defactonlp_spark.operators.geo import geo_distance_topk
+
+    res = geo_distance_topk(
+        _geo_docs(spark, sf_dir), GEO_QLAT, GEO_QLON, GEO_RADIUS_KM, k=GEO_K
+    )
+    return res.select(
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("lat", 6).alias("lat"),
+        F.round("lon", 6).alias("lon"),
+        F.round("dist_km", 4).alias("dist_km"),
+    )
+
+
+def q_geo_grid_agg(spark, sf_dir):
+    """Geo-grid bucketing (the ES geohash_grid/geotile_grid role): top
+    cells of a rectangular lat/lon grid by doc count. Cell assignment is
+    pure +*/floor arithmetic — bit-identical across engines — which is why
+    THIS grid is the oracle-twinned one; the web-mercator geotile_grid
+    variant (tan/ln) is pinned by pytest (operators/geo.py::geo_grid)."""
+    from defactonlp_spark.operators.geo import geo_grid
+
+    res = geo_grid(_geo_docs(spark, sf_dir), GEO_ZOOM, top=GEO_GRID_TOP)
+    return res.select(
+        F.col("rank").cast("long").alias("rank"),
+        "cell_x",
+        "cell_y",
+        "n_docs",
+        F.round("avg_chars", 6).alias("avg_chars"),
+    )
+
+
+def q_geo_bbox_stats(spark, sf_dir):
+    """ES geo_bounding_box filter + terms facet over the survivors — the
+    box predicate is map-only and pushes to the scan
+    (operators/geo.py::geo_bbox_stats)."""
+    from defactonlp_spark.operators.geo import geo_bbox_stats
+
+    res = geo_bbox_stats(_geo_docs(spark, sf_dir), *GEO_BBOX)
+    return res.select(
+        "group",
+        "n_docs",
+        F.round("avg_chars", 6).alias("avg_chars"),
+    )
+
+
+def q_percentile_ranks(spark, sf_dir):
+    """ES percentile_ranks aggregation (exact tier): % of observed values
+    <= each requested value, per event_type — one broadcast fan-out + one
+    hash aggregate (operators/analytics.py::percentile_ranks)."""
+    from defactonlp_spark.operators.analytics import percentile_ranks
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    res = percentile_ranks(ev, ["event_type"], "value", PCTRANK_VALUES)
+    return res.select(
+        "event_type",
+        F.round("value", 6).alias("value"),
+        F.round("pct", 6).alias("pct"),
+    )
+
+
+def q_matrix_stats(spark, sf_dir):
+    """ES matrix_stats aggregation: per-returnflag covariance/correlation
+    matrix over (l_quantity, l_discount, l_tax), from re-aggregable
+    partials in one shuffle (operators/analytics.py::matrix_stats)."""
+    from defactonlp_spark.operators.analytics import matrix_stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    res = matrix_stats(li, ["l_returnflag"], ["l_quantity", "l_discount", "l_tax"])
+    return res.select(
+        "l_returnflag",
+        "field_x",
+        "field_y",
+        "count",
+        F.round("mean_x", 6).alias("mean_x"),
+        F.round("mean_y", 6).alias("mean_y"),
+        F.round("covariance", 6).alias("covariance"),
+        F.round("correlation", 6).alias("correlation"),
+    )
+
+
+def q_bucket_pipeline(spark, sf_dir):
+    """The ES sibling-pipeline trio over a terms agg: bucket_script
+    (avg_value), bucket_selector (HAVING avg > threshold), bucket_sort
+    (order + size) — all on the metadata-scale bucket relation
+    (operators/analytics.py::terms_bucket_pipeline)."""
+    from defactonlp_spark.operators.analytics import terms_bucket_pipeline
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    res = terms_bucket_pipeline(ev, "event_type", "value", min_avg=BUCKET_MIN_AVG, size=10)
+    return res.select(
+        "bucket",
+        "n_rows",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round("avg_value", 6).alias("avg_value"),
+    )
+
+
+def q_adjacency_matrix(spark, sf_dir):
+    """ES adjacency_matrix aggregation: named term filters -> doc counts
+    for every filter and pairwise intersection ("a", "a&b", ...), empty
+    buckets dropped — one map-side flag projection + ONE global aggregate
+    (operators/analytics.py::adjacency_matrix)."""
+    from defactonlp_spark.operators.analytics import adjacency_matrix
+
+    res = adjacency_matrix(_docs(spark, sf_dir), ADJ_FILTERS)
+    return res.select("key", "doc_count")
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -3462,6 +3625,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- rows-only by design (learned k-means / murmur3 — no twin) ----
         "ivf_ann_topk": q_ivf_ann_topk,
         "drqa_tfidf_topk_hashed": q_drqa_tfidf_topk_hashed,
+        # -- round-4 FINAL wave (added after the r04 window was frozen;
+        #    deliberately placed PAST the 50-entry boundary so the 45
+        #    never-checked entries above keep their slots — promote these
+        #    into the round-5 window) ---------------------------------------
+        "geo_distance_topk": q_geo_distance_topk,
+        "geo_grid_agg": q_geo_grid_agg,
+        "geo_bbox_stats": q_geo_bbox_stats,
+        "lm_jm_topk": q_lm_jm_topk,
+        "dfr_inl2_topk": q_dfr_inl2_topk,
+        "percentile_ranks": q_percentile_ranks,
+        "matrix_stats": q_matrix_stats,
+        "bucket_pipeline": q_bucket_pipeline,
+        "adjacency_matrix": q_adjacency_matrix,
         # ==== 50-entry window boundary lands inside the stale block ======
         # (event_sessions / value_percentiles slide past it; see header)
         # -- fresh green rows in CORRECTNESS_r03 --------------------------
@@ -6177,5 +6353,190 @@ SELECT event_type, count, round(min, 6) AS min, round(max, 6) AS max,
        round(sum_of_squares / count - (sum / count) * (sum / count), 4) AS variance,
        round(sqrt(sum_of_squares / count - (sum / count) * (sum / count)), 6) AS std_deviation
 FROM agg
+"""
+    # -- round-4 FINAL wave ---------------------------------------------------
+    from defactonlp_spark.operators.geo import EARTH_RADIUS_KM, PI_OVER_180
+
+    RAD = PI_OVER_180
+    TWO_R = 2.0 * EARTH_RADIUS_KM
+    # synthetic geo_point derivation — mirrors operators/geo.py::with_coords
+    # op-for-op (md5 prefix -> uint32 -> scale), bit-identical doubles
+    _COORDS_SQL = """
+  SELECT doc_id, n_chars, source,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+            / 4294967296.0) * 180.0 - 90.0 AS lat,
+         (('0x' || substr(md5(doc_id::VARCHAR), 9, 8))::BIGINT
+            / 4294967296.0) * 360.0 - 180.0 AS lon
+  FROM documents"""
+    # haversine mirrored op-for-op (shared literals for rad and 2R; libm
+    # sin/cos/asin may differ by an ulp -> rank on round(dist, 6))
+    _DIST_SQL = (
+        f"{TWO_R!r} * asin(sqrt("
+        f"sin((({GEO_QLAT!r} - lat) * {RAD!r}) / 2.0)"
+        f" * sin((({GEO_QLAT!r} - lat) * {RAD!r}) / 2.0)"
+        f" + cos(lat * {RAD!r}) * cos({GEO_QLAT!r} * {RAD!r})"
+        f" * sin((({GEO_QLON!r} - lon) * {RAD!r}) / 2.0)"
+        f" * sin((({GEO_QLON!r} - lon) * {RAD!r}) / 2.0)))"
+    )
+    d["geo_distance_topk"] = f"""
+WITH coords AS ({_COORDS_SQL}),
+dist AS (SELECT doc_id, lat, lon, {_DIST_SQL} AS dist_km FROM coords),
+within AS (SELECT * FROM dist WHERE round(dist_km, 6) <= {GEO_RADIUS_KM!r})
+SELECT row_number() OVER (ORDER BY round(dist_km, 6), doc_id)::BIGINT AS rank,
+       doc_id::BIGINT AS doc_id, round(lat, 6) AS lat, round(lon, 6) AS lon,
+       round(dist_km, 4) AS dist_km
+FROM within ORDER BY round(dist_km, 6), doc_id LIMIT {GEO_K}
+"""
+    _GN = float(1 << GEO_ZOOM)
+    _GHI = (1 << GEO_ZOOM) - 1
+    d["geo_grid_agg"] = f"""
+WITH coords AS ({_COORDS_SQL}),
+cells AS (
+  SELECT least(greatest(floor((lon + 180.0) / 360.0 * {_GN!r}), 0), {_GHI})::BIGINT AS cell_x,
+         least(greatest(floor((lat + 90.0) / 180.0 * {_GN!r}), 0), {_GHI})::BIGINT AS cell_y,
+         n_chars::DOUBLE AS n_chars
+  FROM coords
+),
+agg AS (SELECT cell_x, cell_y, count(*)::BIGINT AS n_docs, avg(n_chars) AS avg_chars
+        FROM cells GROUP BY 1, 2)
+SELECT row_number() OVER (ORDER BY n_docs DESC, cell_x, cell_y)::BIGINT AS rank,
+       cell_x, cell_y, n_docs, round(avg_chars, 6) AS avg_chars
+FROM agg ORDER BY n_docs DESC, cell_x, cell_y LIMIT {GEO_GRID_TOP}
+"""
+    d["geo_bbox_stats"] = f"""
+WITH coords AS ({_COORDS_SQL})
+SELECT source AS "group", count(*)::BIGINT AS n_docs,
+       round(avg(n_chars::DOUBLE), 6) AS avg_chars
+FROM coords
+WHERE lat >= {GEO_BBOX[0]!r} AND lat <= {GEO_BBOX[1]!r}
+  AND lon >= {GEO_BBOX[2]!r} AND lon <= {GEO_BBOX[3]!r}
+GROUP BY 1
+"""
+    _JM_RATIO = (1.0 - LM_LAMBDA) / LM_LAMBDA
+    d["lm_jm_topk"] = f"""
+WITH toks AS ({_TOKS_SQL}),
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+tot AS (SELECT sum(dl) AS t FROM dl),
+ctf AS (SELECT term, sum(tf)::DOUBLE AS ctf FROM postings GROUP BY 1),
+claims(claim_id, claim) AS {_CLAIMS_SQL},
+qterms AS (
+  SELECT DISTINCT claim_id, unnest(list_filter(regexp_split_to_array(lower(claim),
+    '[^a-z0-9]+'), t -> t <> '')) AS term FROM claims
+),
+q AS (SELECT qt.claim_id, qt.term, c.ctf FROM qterms qt JOIN ctf c ON c.term = qt.term),
+scored AS (
+  SELECT q.claim_id, p.doc_id,
+         sum(ln(1 + {_JM_RATIO!r} * (p.tf / l.dl) / (q.ctf / t.t))) AS score
+  FROM q JOIN postings p ON p.term = q.term
+  JOIN dl l ON l.doc_id = p.doc_id
+  CROSS JOIN tot t
+  GROUP BY 1, 2
+)
+SELECT claim_id::BIGINT AS claim_id, doc_id::BIGINT AS doc_id, round(score, 4) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
+        ORDER BY round(score, 6) DESC, doc_id) AS rn FROM scored)
+WHERE rn <= {TOPK}
+"""
+    _INV_LN2 = 1.4426950408889634
+    d["dfr_inl2_topk"] = f"""
+WITH toks AS ({_TOKS_SQL}),
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+claims(claim_id, claim) AS {_CLAIMS_SQL},
+qterms AS (
+  SELECT DISTINCT claim_id, unnest(list_filter(regexp_split_to_array(lower(claim),
+    '[^a-z0-9]+'), t -> t <> '')) AS term FROM claims
+),
+scored AS (
+  SELECT q.claim_id, p.doc_id,
+         sum( (1.0 / (p.tf * (ln(1.0 + s.avgdl / l.dl) * {_INV_LN2!r}) + 1.0))
+              * (p.tf * (ln(1.0 + s.avgdl / l.dl) * {_INV_LN2!r}))
+              * (ln((s.n + 1.0) / (d.df + 0.5)) * {_INV_LN2!r}) ) AS score
+  FROM qterms q
+  JOIN postings p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl l ON l.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT claim_id::BIGINT AS claim_id, doc_id::BIGINT AS doc_id, round(score, 4) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
+        ORDER BY round(score, 6) DESC, doc_id) AS rn FROM scored)
+WHERE rn <= {TOPK}
+"""
+    _PCT_VALS = ", ".join(f"({v!r})" for v in PCTRANK_VALUES)
+    d["percentile_ranks"] = f"""
+SELECT e.event_type, round(v.value, 6) AS value,
+       round(avg(CASE WHEN e.value <= v.value THEN 1.0 ELSE 0.0 END) * 100.0, 6) AS pct
+FROM events e CROSS JOIN (VALUES {_PCT_VALS}) AS v(value)
+GROUP BY 1, 2
+"""
+    # matrix_stats: identities mirrored with explicit association
+    # (cov = sxy/n - (sx/n)*(sy/n)); fields chosen small-magnitude
+    # (quantity/discount/tax) so order-dependent double summation stays far
+    # inside the 6dp rounding
+    _MS_PAIRS = [("l_quantity", "l_discount"), ("l_quantity", "l_tax"), ("l_discount", "l_tax")]
+    _ms_sel = " UNION ALL ".join(
+        f"""SELECT l_returnflag, '{a}' AS field_x, '{b}' AS field_y, n::BIGINT AS count,
+  round(s_{a} / n, 6) AS mean_x, round(s_{b} / n, 6) AS mean_y,
+  round(sx_{a}_{b} / n - (s_{a} / n) * (s_{b} / n), 6) AS covariance,
+  round((sx_{a}_{b} / n - (s_{a} / n) * (s_{b} / n))
+        / sqrt((ss_{a} / n - (s_{a} / n) * (s_{a} / n))
+               * (ss_{b} / n - (s_{b} / n) * (s_{b} / n))), 6) AS correlation
+FROM agg"""
+        for a, b in _MS_PAIRS
+    )
+    d["matrix_stats"] = f"""
+WITH agg AS (
+  SELECT l_returnflag, count(*)::DOUBLE AS n,
+         sum(l_quantity::DOUBLE) AS s_l_quantity,
+         sum(l_quantity::DOUBLE * l_quantity::DOUBLE) AS ss_l_quantity,
+         sum(l_discount::DOUBLE) AS s_l_discount,
+         sum(l_discount::DOUBLE * l_discount::DOUBLE) AS ss_l_discount,
+         sum(l_tax::DOUBLE) AS s_l_tax,
+         sum(l_tax::DOUBLE * l_tax::DOUBLE) AS ss_l_tax,
+         sum(l_quantity::DOUBLE * l_discount::DOUBLE) AS sx_l_quantity_l_discount,
+         sum(l_quantity::DOUBLE * l_tax::DOUBLE) AS sx_l_quantity_l_tax,
+         sum(l_discount::DOUBLE * l_tax::DOUBLE) AS sx_l_discount_l_tax
+  FROM lineitem GROUP BY 1
+)
+{_ms_sel}
+"""
+    d["bucket_pipeline"] = f"""
+WITH b AS (
+  SELECT event_type AS bucket, count(*)::BIGINT AS n_rows, sum(value) AS sum_value
+  FROM events GROUP BY 1
+),
+s AS (SELECT bucket, n_rows, sum_value, sum_value / n_rows AS avg_value FROM b)
+SELECT bucket, n_rows, round(sum_value, 4) AS sum_value, round(avg_value, 6) AS avg_value
+FROM s WHERE round(avg_value, 6) > {BUCKET_MIN_AVG!r}
+ORDER BY round(avg_value, 6) DESC, bucket LIMIT 10
+"""
+    _adj_names = sorted(ADJ_FILTERS)
+    _adj_flags = ", ".join(
+        f"CASE WHEN list_contains(ts, '{ADJ_FILTERS[nm]}') THEN 1 ELSE 0 END AS f_{nm}"
+        for nm in _adj_names
+    )
+    _adj_keys = [(nm, f"f_{nm}") for nm in _adj_names] + [
+        (f"{a}&{b}", f"f_{a} * f_{b}")
+        for i, a in enumerate(_adj_names)
+        for b in _adj_names[i + 1 :]
+    ]
+    _adj_sums = ", ".join(f"sum({expr})::BIGINT AS k_{j}" for j, (_, expr) in enumerate(_adj_keys))
+    _adj_rows = " UNION ALL ".join(
+        f"SELECT '{nm}' AS key, k_{j} AS doc_count FROM sums" for j, (nm, _) in enumerate(_adj_keys)
+    )
+    d["adjacency_matrix"] = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS ts
+  FROM documents
+),
+flags AS (SELECT {_adj_flags} FROM toks),
+sums AS (SELECT {_adj_sums} FROM flags)
+SELECT key, doc_count FROM ({_adj_rows}) WHERE doc_count > 0
 """
     return d

@@ -608,3 +608,178 @@ def extended_stats(
         var.alias("variance"),
         F.sqrt(var).alias("std_deviation"),
     )
+
+
+def percentile_ranks(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    values: list[float],
+) -> DataFrame:
+    """ES ``percentile_ranks`` aggregation, exact tier: for each requested
+    value v, the percentage of observed values <= v per group (ES's
+    TDigest approximates this; like ``value_percentiles`` this repo's
+    small-SF tier is exact, and the approximate tier at 10^12 rows is the
+    same relational shape over a sketch column).
+
+    Plan: broadcast the (tiny, literal) values relation onto the scan —
+    each input row fans out to len(values) rows map-side — then ONE hash
+    aggregate with map-side combine on (group, value).  No window, no
+    sort of data-scale rows.
+
+    -> (group_cols..., value, pct) with pct = 100 * count(<=v) / count.
+    """
+    spark = df.sparkSession
+    # probe column named to avoid colliding with the input's own columns
+    vals = spark.createDataFrame([(float(v),) for v in values], "__pr_value double")
+    le = (F.col(value_col).cast("double") <= F.col("__pr_value")).cast("double")
+    return (
+        df.crossJoin(F.broadcast(vals))
+        .groupBy(*group_cols, "__pr_value")
+        .agg((F.avg(le) * F.lit(100.0)).alias("pct"))
+        .withColumnRenamed("__pr_value", "value")
+    )
+
+
+MATRIX_FIELD_PAIRS = None  # sentinel: all i<j pairs
+
+
+def matrix_stats(
+    df: DataFrame,
+    group_cols: list[str],
+    fields: list[str],
+) -> DataFrame:
+    """ES ``matrix_stats`` aggregation: per group and field pair (i < j),
+    count, means, POPULATION covariance and Pearson correlation.
+
+    Everything derives from re-aggregable partials (n, sum_i, sum_ii,
+    sum_ij) — ONE shuffle with map-side combine, then a metadata-scale
+    unpivot of the pair grid (|fields| choose 2 rows per group).  The
+    identities are written with explicit association so the DuckDB twin
+    reproduces them bit-for-bit:
+      cov(i,j)  = sum_ij/n - (sum_i/n)*(sum_j/n)
+      corr(i,j) = cov(i,j) / sqrt(var_i * var_j)
+    (ES computes the sample covariance; the population form is pinned
+    here because it composes from the same partials without the n/(n-1)
+    correction — documented divergence.)
+
+    -> (group_cols..., field_x, field_y, count, mean_x, mean_y,
+        covariance, correlation).
+    """
+    cols = {f: F.col(f).cast("double") for f in fields}
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for f in fields:
+        aggs.append(F.sum(cols[f]).alias(f"s_{f}"))
+        aggs.append(F.sum(cols[f] * cols[f]).alias(f"ss_{f}"))
+    pairs = [(a, b) for i, a in enumerate(fields) for b in fields[i + 1 :]]
+    for a, b in pairs:
+        aggs.append(F.sum(cols[a] * cols[b]).alias(f"sx_{a}_{b}"))
+    g = df.groupBy(*group_cols).agg(*aggs)
+    n = F.col("n")
+    rows = []
+    for a, b in pairs:
+        mean_a, mean_b = F.col(f"s_{a}") / n, F.col(f"s_{b}") / n
+        var_a = F.col(f"ss_{a}") / n - mean_a * mean_a
+        var_b = F.col(f"ss_{b}") / n - mean_b * mean_b
+        cov = F.col(f"sx_{a}_{b}") / n - mean_a * mean_b
+        corr = cov / F.sqrt(var_a * var_b)
+        rows.append(
+            F.struct(
+                F.lit(a).alias("field_x"),
+                F.lit(b).alias("field_y"),
+                mean_a.alias("mean_x"),
+                mean_b.alias("mean_y"),
+                cov.alias("covariance"),
+                corr.alias("correlation"),
+            )
+        )
+    return g.select(
+        *group_cols,
+        n.cast("long").alias("count"),
+        F.explode(F.array(*rows)).alias("p"),
+    ).select(
+        *group_cols,
+        F.col("p.field_x").alias("field_x"),
+        F.col("p.field_y").alias("field_y"),
+        "count",
+        F.col("p.mean_x").alias("mean_x"),
+        F.col("p.mean_y").alias("mean_y"),
+        F.col("p.covariance").alias("covariance"),
+        F.col("p.correlation").alias("correlation"),
+    )
+
+
+def terms_bucket_pipeline(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    min_avg: float,
+    size: int = 10,
+) -> DataFrame:
+    """The ES sibling-pipeline trio over a ``terms`` aggregation:
+    ``bucket_script`` (derive avg_value = sum/count per bucket),
+    ``bucket_selector`` (keep buckets with avg_value > min_avg — the
+    HAVING clause ES spells as a painless script), and ``bucket_sort``
+    (order by avg_value desc, truncate to ``size``).
+
+    Plan: ONE hash aggregate on the bucket key (map-side combine); the
+    script/selector/sort all run on the BUCKET relation (metadata-scale
+    = key cardinality), expressed as projection + filter + distributed
+    top-k (TakeOrderedAndProject) — never a second pass over input rows.
+
+    -> (bucket, n_rows, sum_value, avg_value) sorted by avg desc.
+    """
+    v = F.col(value_col).cast("double")
+    buckets = df.groupBy(F.col(group_col).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(v).alias("sum_value"),
+    )
+    scripted = buckets.withColumn(
+        "avg_value", F.col("sum_value") / F.col("n_rows").cast("double")
+    )
+    selected = scripted.filter(F.round("avg_value", 6) > F.lit(float(min_avg)))
+    return selected.orderBy(
+        F.round("avg_value", 6).desc(), F.asc("bucket")
+    ).limit(size)
+
+
+def adjacency_matrix(
+    docs: DataFrame,
+    filters: dict[str, str],
+    text_col: str = "text",
+) -> DataFrame:
+    """ES ``adjacency_matrix`` aggregation: named term filters A, B, C...
+    -> doc counts for every filter and every pairwise intersection,
+    keyed "a", "a&b", ... (ES's separator), empty buckets dropped.
+
+    Filter semantics: the named term occurs in the doc's token stream
+    (the engine tokenizer — same normalization as the index).  Per-doc
+    flags are ONE map-side projection over the scan (array_contains on
+    the token array); the matrix is ONE global aggregate of flag
+    products (a single row), unpivoted to (key, doc_count) at
+    metadata-scale.  No join, no shuffle of doc-proportional data.
+    """
+    names = sorted(filters)
+    t = tokens_col(text_col)
+    flags = docs.select(
+        *[
+            F.array_contains(t, filters[nm]).cast("long").alias(f"f_{nm}")
+            for nm in names
+        ]
+    )
+    keys = [(nm, F.col(f"f_{nm}")) for nm in names]
+    keys += [
+        (f"{a}&{b}", F.col(f"f_{a}") * F.col(f"f_{b}"))
+        for i, a in enumerate(names)
+        for b in names[i + 1 :]
+    ]
+    agg = flags.agg(*[F.sum(expr).alias(f"k_{j}") for j, (_, expr) in enumerate(keys)])
+    rows = [
+        F.struct(F.lit(nm).alias("key"), F.col(f"k_{j}").alias("doc_count"))
+        for j, (nm, _) in enumerate(keys)
+    ]
+    return (
+        agg.select(F.explode(F.array(*rows)).alias("p"))
+        .select(F.col("p.key").alias("key"), F.col("p.doc_count").cast("long").alias("doc_count"))
+        .filter(F.col("doc_count") > 0)
+    )

@@ -1,5 +1,8 @@
-"""Unigram language-model operators: Dirichlet-smoothed query-likelihood
-retrieval and corpus-LM document perplexity.
+"""Alternative-similarity operators: Dirichlet- and Jelinek-Mercer-
+smoothed query likelihood, DFR I(n)L2, and corpus-LM document perplexity
+(with BM25 and classic TF-IDF elsewhere, this completes the similarity
+families Lucene ships: BM25 / LMDirichlet / LMJelinekMercer / DFR /
+TFIDF).
 
 Public refs: Zhai & Lafferty 2001 (Dirichlet-prior smoothing; the formula
 Lucene ships as ``LMDirichletSimilarity``); CCNet (Wenzek et al. 2020) uses
@@ -93,6 +96,91 @@ def score_lm_dirichlet(
             F.col("tsum")
             + F.col("n_q_in") * F.log(F.lit(float(mu)) / (F.col("dl") + F.lit(float(mu)))),
         )
+    )
+    w = Window.partitionBy("claim_id").orderBy(F.round("score", 6).desc(), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("claim_id", "rank", "doc_id", "score")
+    )
+
+
+def score_lm_jelinek_mercer(
+    postings: DataFrame,
+    cstats: DataFrame,
+    qterms: DataFrame,
+    total_tokens: int,
+    lam: float = 0.1,
+    k: int = 5,
+) -> DataFrame:
+    """Jelinek-Mercer-smoothed query likelihood (Lucene
+    ``LMJelinekMercerSimilarity``; Zhai & Lafferty 2001 recommend
+    lambda ~ 0.1 for short/title queries).
+
+    Rank-equivalent scoring form (per matched in-collection term):
+      score = sum ln(1 + ((1-lambda)/lambda) * (tf/dl) / p_c(t))
+    Unlike Dirichlet there is NO per-doc length normalizer outside the
+    sum — unmatched terms contribute exactly 0 — so the plan is one
+    broadcast of (query terms x ctf) onto the postings scan + one hash
+    aggregate: strictly simpler than :func:`score_lm_dirichlet`.
+    Ranking pinned: round(score, 6) desc, doc_id asc.
+    """
+    T = float(total_tokens)
+    ratio = (1.0 - float(lam)) / float(lam)
+    q = qterms.join(cstats, "term", "inner")  # in-collection terms only
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    p_c = F.col("ctf").cast("double") / F.lit(T)
+    contrib = F.log1p(F.lit(ratio) * (tf / dl) / p_c)
+    scored = (
+        postings.join(F.broadcast(q), "term", "inner")
+        .withColumn("contrib", contrib)
+        .groupBy("claim_id", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    w = Window.partitionBy("claim_id").orderBy(F.round("score", 6).desc(), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("claim_id", "rank", "doc_id", "score")
+    )
+
+
+def score_dfr_inl2(
+    postings: DataFrame,
+    dstats: DataFrame,
+    qterms: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    c: float = 1.0,
+    k: int = 5,
+) -> DataFrame:
+    """DFR I(n)L2 similarity (Amati & van Rijsbergen 2002; Lucene
+    ``DFRSimilarity(BasicModelIn, AfterEffectL, NormalizationH2)``):
+
+      tfn    = tf * log2(1 + c * avgdl / dl)          (H2 normalization)
+      score  = sum over matched terms of
+               (1 / (tfn + 1)) * tfn * log2((N + 1) / (df + 0.5))
+
+    log2 is pinned as ln(x) * INV_LN2 with a shared Python literal so
+    both engines build the identical expression tree (their native
+    log2() builtins are separate libm entry points).  ``dstats`` is the
+    dictionary relation (term, df).  Same one-broadcast one-aggregate
+    envelope as the other similarities; ranking pinned round(score,6)
+    desc, doc_id asc.
+    """
+    INV_LN2 = 1.4426950408889634
+    q = qterms.join(dstats.select("term", "df"), "term", "inner")
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    tfn = tf * (F.log(F.lit(1.0) + F.lit(float(c) * float(avgdl)) / dl) * F.lit(INV_LN2))
+    inf = F.log(F.lit(float(n_docs) + 1.0) / (F.col("df").cast("double") + F.lit(0.5))) * F.lit(INV_LN2)
+    contrib = (F.lit(1.0) / (tfn + F.lit(1.0))) * tfn * inf
+    scored = (
+        postings.join(F.broadcast(q), "term", "inner")
+        .withColumn("contrib", contrib)
+        .groupBy("claim_id", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
     )
     w = Window.partitionBy("claim_id").orderBy(F.round("score", 6).desc(), F.asc("doc_id"))
     return (

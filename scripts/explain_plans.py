@@ -650,6 +650,80 @@ def main():
         must_not=["CartesianProduct"],
     )
 
+    # 42. geo_distance: no join at all (query point is a literal); the
+    # top-k compiles to TakeOrderedAndProject (per-partition heaps), never
+    # a single-partition window over every in-radius doc
+    from defactonlp_spark.operators.geo import geo_distance_topk, geo_grid, with_coords
+
+    geo = with_coords(docs)
+    ok &= check(
+        "geo_distance (literal point, distributed top-k)",
+        plan_of(geo_distance_topk(geo, 37.5, -122.0, 6000.0, k=10)),
+        must=["TakeOrderedAndProject"],
+        must_not=["CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin"],
+    )
+
+    # 43. geo_grid: ONE data-scale hash aggregate on the cell key +
+    # distributed top-N over the metadata-scale cell relation
+    ok &= check(
+        "geo_grid (cell agg + TakeOrdered)",
+        plan_of(geo_grid(geo, 4, top=25)),
+        must=["HashAggregate", "TakeOrderedAndProject"],
+        must_not=["CartesianProduct", "SortMergeJoin"],
+    )
+
+    # 44. percentile_ranks: the probe values fan out via a BROADCAST
+    # nested-loop (right side is len(values) literal rows), then one hash
+    # aggregate with map-side combine — no shuffle-side cross product
+    from defactonlp_spark.operators.analytics import (
+        adjacency_matrix,
+        matrix_stats,
+        percentile_ranks,
+    )
+
+    ok &= check(
+        "percentile_ranks (broadcast probe fan-out + agg)",
+        plan_of(percentile_ranks(ev, ["event_type"], "value", [25.0, 250.0])),
+        must=["HashAggregate", "Broadcast"],
+        must_not=["CartesianProduct", "SortMergeJoin"],
+    )
+
+    # 45. matrix_stats: re-aggregable partials -> ONE hash aggregate; the
+    # pair unpivot (Generate/explode) runs on the group relation, no join
+    li_like = ev.select(
+        "event_type", F.col("value").alias("x"), (F.col("value") * 2).alias("y")
+    )
+    ok &= check(
+        "matrix_stats (one agg, pair unpivot, no join)",
+        plan_of(matrix_stats(li_like, ["event_type"], ["x", "y"])),
+        must=["HashAggregate", "Generate"],
+        must_not=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"],
+    )
+
+    # 46. adjacency_matrix: map-side flag projection + ONE global aggregate;
+    # no join anywhere (the matrix is sums of flag products)
+    ok &= check(
+        "adjacency_matrix (flags + single global agg)",
+        plan_of(adjacency_matrix(docs, {"a": "merge", "b": "table"})),
+        must=["HashAggregate"],
+        must_not=["Join", "CartesianProduct"],
+    )
+
+    # 47. Jelinek-Mercer: same envelope as Dirichlet — query terms broadcast
+    # onto the postings scan, one hash aggregate, top-k via WindowGroupLimit
+    from defactonlp_spark.operators.lm import ctf_stats, score_lm_jelinek_mercer
+
+    ok &= check(
+        "lm_jelinek_mercer (broadcast qterms + agg)",
+        plan_of(
+            score_lm_jelinek_mercer(
+                postings, ctf_stats(postings), claim_terms(claims), 30000, k=5
+            )
+        ),
+        must=["BroadcastHashJoin", "HashAggregate", "WindowGroupLimit"],
+        must_not=["CartesianProduct", "SortMergeJoin"],
+    )
+
     print("\nPLANS " + ("OK" if ok else "NOT OK"))
     spark.stop()
     sys.exit(0 if ok else 1)
