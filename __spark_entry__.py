@@ -3510,6 +3510,60 @@ def q_bucket_pipeline(spark, sf_dir):
     )
 
 
+GEO_RING_EDGES = [2000.0, 6000.0, 12000.0]
+SAYT_PREFIXES = [(0, "merge", "t"), (1, "data", "s"), (2, "the", "q")]
+SAYT_K = 5
+
+
+def q_geo_distance_rings(spark, sf_dir):
+    """ES geo_distance AGGREGATION: concentric distance rings around the
+    query point -> per-ring doc count + avg size; ring assignment on
+    round(dist, 6) so a libm ulp can never flip a boundary doc
+    (operators/geo.py::geo_distance_rings)."""
+    from defactonlp_spark.operators.geo import geo_distance_rings
+
+    res = geo_distance_rings(_geo_docs(spark, sf_dir), GEO_QLAT, GEO_QLON, GEO_RING_EDGES)
+    return res.select(
+        "ring",
+        "from_km",
+        "to_km",
+        "n_docs",
+        F.round("avg_chars", 6).alias("avg_chars"),
+    )
+
+
+def q_weighted_avg(spark, sf_dir):
+    """ES weighted_avg aggregation: per returnflag, discount weighted by
+    quantity — two re-aggregable sums, one shuffle
+    (operators/analytics.py::weighted_avg)."""
+    from defactonlp_spark.operators.analytics import weighted_avg
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    res = weighted_avg(li, ["l_returnflag"], "l_discount", "l_quantity")
+    return res.select(
+        "l_returnflag", "n_rows", F.round("weighted_avg", 6).alias("weighted_avg")
+    )
+
+
+def q_search_as_you_type(spark, sf_dir):
+    """ES search_as_you_type / match_bool_prefix at bigram granularity:
+    fully-typed first word + partial second word -> top-k corpus bigram
+    completions by frequency
+    (operators/analytics.py::bigram_completion)."""
+    from defactonlp_spark.operators.analytics import bigram_completion
+
+    prefixes = spark.createDataFrame(
+        SAYT_PREFIXES, "sugg_id long, first string, prefix string"
+    )
+    res = bigram_completion(_docs(spark, sf_dir), prefixes, k=SAYT_K)
+    return res.select(
+        "sugg_id",
+        F.col("rank").cast("long").alias("rank"),
+        "completion",
+        "n_occurrences",
+    )
+
+
 def q_adjacency_matrix(spark, sf_dir):
     """ES adjacency_matrix aggregation: named term filters -> doc counts
     for every filter and pairwise intersection ("a", "a&b", ...), empty
@@ -3638,6 +3692,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matrix_stats": q_matrix_stats,
         "bucket_pipeline": q_bucket_pipeline,
         "adjacency_matrix": q_adjacency_matrix,
+        "geo_distance_rings": q_geo_distance_rings,
+        "weighted_avg_agg": q_weighted_avg,
+        "search_as_you_type": q_search_as_you_type,
         # ==== 50-entry window boundary lands inside the stale block ======
         # (event_sessions / value_percentiles slide past it; see header)
         # -- fresh green rows in CORRECTNESS_r03 --------------------------
@@ -6538,5 +6595,61 @@ WITH toks AS (
 flags AS (SELECT {_adj_flags} FROM toks),
 sums AS (SELECT {_adj_sums} FROM flags)
 SELECT key, doc_count FROM ({_adj_rows}) WHERE doc_count > 0
+"""
+    # geo_distance rings: ring labels generated from the same Python floats
+    # as the operator so the strings match byte-for-byte
+    _edges = GEO_RING_EDGES
+    _ring_rows = [(f"*-{_edges[0]}", 0.0, _edges[0])] + [
+        (f"{lo}-{hi}", lo, hi) for lo, hi in zip(_edges, _edges[1:])
+    ] + [(f"{_edges[-1]}-*", _edges[-1], None)]
+    _ring_case = f"CASE WHEN d < {_edges[0]!r} THEN '*-{_edges[0]}'"
+    for lo, hi in zip(_edges, _edges[1:]):
+        _ring_case += f" WHEN d < {hi!r} THEN '{lo}-{hi}'"
+    _ring_case += f" ELSE '{_edges[-1]}-*' END"
+    _ring_bounds = " UNION ALL ".join(
+        f"SELECT '{k}' AS ring, {lo!r} AS from_km, "
+        + (f"{hi!r}" if hi is not None else "CAST(NULL AS DOUBLE)")
+        + " AS to_km"
+        for k, lo, hi in _ring_rows
+    )
+    d["geo_distance_rings"] = f"""
+WITH coords AS ({_COORDS_SQL}),
+dist AS (SELECT n_chars, round({_DIST_SQL}, 6) AS d FROM coords),
+ringed AS (SELECT {_ring_case} AS ring, n_chars FROM dist),
+agg AS (SELECT ring, count(*)::BIGINT AS n_docs,
+               round(avg(n_chars::DOUBLE), 6) AS avg_chars
+        FROM ringed GROUP BY 1),
+bounds AS ({_ring_bounds})
+SELECT a.ring, b.from_km, b.to_km, a.n_docs, a.avg_chars
+FROM agg a JOIN bounds b ON b.ring = a.ring
+"""
+    d["weighted_avg_agg"] = """
+SELECT l_returnflag, count(*)::BIGINT AS n_rows,
+       round(sum(l_discount::DOUBLE * l_quantity::DOUBLE)
+             / sum(l_quantity::DOUBLE), 6) AS weighted_avg
+FROM lineitem
+WHERE l_discount IS NOT NULL AND l_quantity IS NOT NULL
+GROUP BY 1
+"""
+    _sayt_vals = ", ".join(f"({i}, '{f}', '{p}')" for i, f, p in SAYT_PREFIXES)
+    d["search_as_you_type"] = f"""
+WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+                '[^a-z0-9]+'), t -> t <> '') AS tl FROM documents),
+big AS (
+  SELECT tl[i] AS w1, tl[i+1] AS w2
+  FROM toks, unnest(generate_series(1, len(tl) - 1)) AS t(i)
+  WHERE len(tl) >= 2
+),
+bigc AS (SELECT w1, w2, count(*)::BIGINT AS n FROM big GROUP BY 1, 2),
+pref(sugg_id, first, prefix) AS (VALUES {_sayt_vals}),
+cand AS (
+  SELECT p.sugg_id, b.w1, b.w2, b.n
+  FROM bigc b JOIN pref p ON b.w1 = p.first AND b.w2 LIKE p.prefix || '%'
+)
+SELECT sugg_id::BIGINT AS sugg_id, rank::BIGINT AS rank,
+       w1 || ' ' || w2 AS completion, n AS n_occurrences
+FROM (SELECT *, row_number() OVER (PARTITION BY sugg_id
+        ORDER BY n DESC, w2) AS rank FROM cand)
+WHERE rank <= {SAYT_K}
 """
     return d

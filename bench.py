@@ -805,6 +805,7 @@ def main():
         entrymod._tokens_cached(spark, SF_DIR).count()
         seg = entrymod._segments_cached(spark, SF_DIR)[0]
         seg.count()
+        entrymod._child_postings(spark, SF_DIR).count()
         results["fixtures_warmup_sec"] = round(time.time() - t0, 2)
         for name, fn in entrymod.queries().items():
             t0 = time.time()

@@ -783,3 +783,80 @@ def adjacency_matrix(
         .select(F.col("p.key").alias("key"), F.col("p.doc_count").cast("long").alias("doc_count"))
         .filter(F.col("doc_count") > 0)
     )
+
+
+def weighted_avg(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """ES ``weighted_avg`` aggregation: sum(value*weight)/sum(weight) per
+    group, from two re-aggregable partial sums — ONE shuffle with map-side
+    combine.  Rows with a NULL value or weight are skipped entirely (the
+    ES default: no value_missing/weight_missing substitution).
+
+    -> (group_cols..., n_rows, weighted_avg).
+    """
+    v = F.col(value_col).cast("double")
+    w = F.col(weight_col).cast("double")
+    ok = v.isNotNull() & w.isNotNull()
+    return (
+        df.filter(ok)
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(v * w).alias("_swv"),
+            F.sum(w).alias("_sw"),
+        )
+        .select(
+            *group_cols,
+            "n_rows",
+            (F.col("_swv") / F.col("_sw")).alias("weighted_avg"),
+        )
+    )
+
+
+def bigram_completion(
+    docs: DataFrame,
+    prefixes: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """The ES ``search_as_you_type`` / ``match_bool_prefix`` completion
+    shape at bigram granularity: given (sugg_id, first, prefix) rows —
+    a fully-typed first word and a partial second word — return the top-k
+    corpus bigram completions "first prefix..." ranked by bigram frequency
+    (count desc, completion asc; pinned total order, count ties break on
+    the string).
+
+    Plan: the corpus bigram relation (one map-side explode) -> ONE hash
+    aggregate on (w1, w2); the tiny prefix relation broadcasts onto it
+    (equi-join on w1 = first + a startswith residual — never a cartesian);
+    per-sugg_id top-k via window over matched candidates only.  At 10^12
+    docs the bigram dictionary is the Heaps-law-bounded relation the
+    suggester family already serves from.
+
+    -> (sugg_id, rank, completion, n_occurrences).
+    """
+    big = token_bigrams(docs, text_col=text_col).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    cand = big.join(
+        F.broadcast(prefixes),
+        (F.col("w1") == F.col("first")) & F.col("w2").startswith(F.col("prefix")),
+        "inner",
+    )
+    w = Window.partitionBy("sugg_id").orderBy(
+        F.desc("n_occurrences"), F.asc("w2")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "sugg_id",
+            "rank",
+            F.concat_ws(" ", "w1", "w2").alias("completion"),
+            "n_occurrences",
+        )
+    )

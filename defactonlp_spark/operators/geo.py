@@ -228,3 +228,55 @@ def geotile_grid(
         F.concat_ws("/", F.lit(str(zoom)), clamp(x), clamp(y)).alias("tile")
     )
     return tiles.groupBy("tile").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+
+def geo_distance_rings(
+    docs: DataFrame,
+    qlat: float,
+    qlon: float,
+    edges_km: list,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """ES ``geo_distance`` AGGREGATION: concentric distance rings around a
+    query point -> per-ring doc count + avg n_chars.  ``edges_km`` are the
+    ring boundaries; rings are [0,e1), [e1,e2), ..., [eN,inf) — ES's
+    from-inclusive / to-exclusive convention.  Ring assignment compares
+    round(dist, 6) so an engine-ulp in libm sin/cos can never flip a
+    boundary doc across rings differently in two engines.
+
+    Plan: map-only distance + ring label over the scan, ONE hash aggregate
+    on the ring key (ring cardinality = len(edges)+1, metadata-scale).
+    -> (ring, from_km, to_km, n_docs, avg_chars).
+    """
+    d = F.round(
+        haversine_km(F.col(lat_col), F.col(lon_col), F.lit(float(qlat)), F.lit(float(qlon))),
+        6,
+    )
+    edges = [float(e) for e in edges_km]
+    bounds = [(0.0, edges[0])] + list(zip(edges, edges[1:])) + [(edges[-1], None)]
+    ring = F.when(d < F.lit(edges[0]), F.lit(f"*-{edges[0]}"))
+    for lo, hi in bounds[1:-1]:
+        ring = ring.when(d < F.lit(hi), F.lit(f"{lo}-{hi}"))
+    ring = ring.otherwise(F.lit(f"{edges[-1]}-*"))
+    lookup = {
+        (f"*-{edges[0]}"): (0.0, edges[0]),
+        **{f"{lo}-{hi}": (lo, hi) for lo, hi in bounds[1:-1]},
+        (f"{edges[-1]}-*"): (edges[-1], None),
+    }
+    agg = (
+        docs.select(ring.alias("ring"), F.col("n_chars").cast("double").alias("n_chars"))
+        .groupBy("ring")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.avg("n_chars").alias("avg_chars"),
+        )
+    )
+    spark = docs.sparkSession
+    bdf = spark.createDataFrame(
+        [(k, lo, hi) for k, (lo, hi) in lookup.items()],
+        "ring string, from_km double, to_km double",
+    )
+    return agg.join(F.broadcast(bdf), "ring", "inner").select(
+        "ring", "from_km", "to_km", "n_docs", "avg_chars"
+    )

@@ -380,3 +380,69 @@ def test_adjacency_matrix_matches_replay(spark):
         ).collect()
     }
     assert res == {"a": 3, "b": 3, "c": 2, "a&b": 2, "a&c": 1, "b&c": 2}
+
+
+def test_geo_distance_rings_matches_replay(geo_docs):
+    from defactonlp_spark.operators.geo import geo_distance_rings
+
+    qlat, qlon, edges = 37.5, -122.0, [3000.0, 9000.0]
+    rings = {}
+    for r in geo_docs.collect():
+        d = round(py_haversine(r["lat"], r["lon"], qlat, qlon), 6)
+        if d < edges[0]:
+            key = f"*-{edges[0]}"
+        elif d < edges[1]:
+            key = f"{edges[0]}-{edges[1]}"
+        else:
+            key = f"{edges[1]}-*"
+        rings.setdefault(key, []).append(r["n_chars"])
+    got = {
+        r["ring"]: r for r in geo_distance_rings(geo_docs, qlat, qlon, edges).collect()
+    }
+    assert set(got) == set(rings)
+    for key, vals in rings.items():
+        assert got[key]["n_docs"] == len(vals)
+        assert got[key]["avg_chars"] == pytest.approx(sum(vals) / len(vals))
+    assert got[f"*-{edges[0]}"]["from_km"] == 0.0
+    assert got[f"{edges[1]}-*"]["to_km"] is None
+
+
+def test_weighted_avg_skips_nulls(spark):
+    from defactonlp_spark.operators.analytics import weighted_avg
+
+    rows = [
+        ("g", 1.0, 2.0),
+        ("g", 3.0, 6.0),
+        ("g", None, 5.0),   # null value skipped
+        ("g", 9.0, None),   # null weight skipped
+        ("h", 4.0, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "grp string, v double, w double")
+    got = {r["grp"]: r for r in weighted_avg(df, ["grp"], "v", "w").collect()}
+    assert got["g"]["n_rows"] == 2
+    assert got["g"]["weighted_avg"] == pytest.approx((1 * 2 + 3 * 6) / 8.0)
+    assert got["h"]["weighted_avg"] == pytest.approx(4.0)
+
+
+def test_bigram_completion_ranks_by_frequency(spark):
+    from defactonlp_spark.operators.analytics import bigram_completion
+
+    docs = spark.createDataFrame(
+        [
+            (0, "merge table fast merge table slow merge tree"),
+            (1, "merge table wins merge tree loses"),
+            (2, "data spark here"),
+        ],
+        "doc_id long, text string",
+    )
+    pref = spark.createDataFrame(
+        [(0, "merge", "t"), (1, "data", "s"), (2, "merge", "zz")],
+        "sugg_id long, first string, prefix string",
+    )
+    res = bigram_completion(docs, pref, k=2).collect()
+    by = {}
+    for r in sorted(res, key=lambda r: (r["sugg_id"], r["rank"])):
+        by.setdefault(r["sugg_id"], []).append((r["completion"], r["n_occurrences"]))
+    assert by[0] == [("merge table", 3), ("merge tree", 2)]
+    assert by[1] == [("data spark", 1)]
+    assert 2 not in by  # no bigram matches the 'zz' prefix -> NO rows
