@@ -3650,6 +3650,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    the twins are NEW, so they need a driver hash-check slot ------
         "lsh_ann_topk": q_lsh_ann_topk,
         "lsh_dup_pairs": q_lsh_dup_pairs,
+        # -- round-4 final wave, promoted into the window: one per family
+        #    (LM similarity x2, geo top-k, completion, pipeline aggs) — the
+        #    r02-green entries they displace keep their r02 records --------
+        "lm_jm_topk": q_lm_jm_topk,
+        "dfr_inl2_topk": q_dfr_inl2_topk,
+        "geo_distance_topk": q_geo_distance_topk,
+        "search_as_you_type": q_search_as_you_type,
+        "bucket_pipeline": q_bucket_pipeline,
+        # ==== 50-entry window boundary: everything below keeps an older
+        # driver record or waits for the round-5 window ====================
         # -- stale (last green in r02) ------------------------------------
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
@@ -3679,24 +3689,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- rows-only by design (learned k-means / murmur3 — no twin) ----
         "ivf_ann_topk": q_ivf_ann_topk,
         "drqa_tfidf_topk_hashed": q_drqa_tfidf_topk_hashed,
-        # -- round-4 FINAL wave (added after the r04 window was frozen;
-        #    deliberately placed PAST the 50-entry boundary so the 45
-        #    never-checked entries above keep their slots — promote these
+        # -- round-4 FINAL wave remainder (past the 50-entry boundary; the
+        #    window's slots all hold never-checked entries — promote these
         #    into the round-5 window) ---------------------------------------
-        "geo_distance_topk": q_geo_distance_topk,
         "geo_grid_agg": q_geo_grid_agg,
         "geo_bbox_stats": q_geo_bbox_stats,
-        "lm_jm_topk": q_lm_jm_topk,
-        "dfr_inl2_topk": q_dfr_inl2_topk,
         "percentile_ranks": q_percentile_ranks,
         "matrix_stats": q_matrix_stats,
-        "bucket_pipeline": q_bucket_pipeline,
         "adjacency_matrix": q_adjacency_matrix,
         "geo_distance_rings": q_geo_distance_rings,
         "weighted_avg_agg": q_weighted_avg,
-        "search_as_you_type": q_search_as_you_type,
-        # ==== 50-entry window boundary lands inside the stale block ======
-        # (event_sessions / value_percentiles slide past it; see header)
         # -- fresh green rows in CORRECTNESS_r03 --------------------------
         "term_tf_totals": q_term_tf_totals,
         "bm25_topk": q_bm25_topk,
