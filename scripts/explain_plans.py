@@ -724,6 +724,42 @@ def main():
         must_not=["CartesianProduct", "SortMergeJoin"],
     )
 
+    # 48. geo_distance_rings: map-only distance + ring label over the scan,
+    # ONE data-scale hash aggregate on the ring key; the bounds lookup
+    # joins BROADCAST onto the metadata-scale ring relation
+    from defactonlp_spark.operators.geo import geo_distance_rings
+
+    ok &= check(
+        "geo_distance_rings (map-only label + one agg + broadcast bounds)",
+        plan_of(geo_distance_rings(geo, 37.5, -122.0, [2000.0, 6000.0])),
+        must=["HashAggregate", "BroadcastHashJoin"],
+        must_not=["CartesianProduct", "SortMergeJoin"],
+    )
+
+    # 49. weighted_avg: two re-aggregable sums in ONE hash aggregate with
+    # map-side combine; no join, no window
+    from defactonlp_spark.operators.analytics import bigram_completion, weighted_avg
+
+    ok &= check(
+        "weighted_avg (single agg, no join)",
+        plan_of(weighted_avg(ev, ["event_type"], "value", "value")),
+        must=["HashAggregate"],
+        must_not=["Join", "Window", "CartesianProduct"],
+    )
+
+    # 50. bigram_completion: ONE data-scale bigram aggregate; the prefix
+    # relation BROADCASTs onto it (equi-join on w1 + startswith residual —
+    # never a nested loop); per-suggestion top-k is WindowGroupLimit
+    pref = spark.createDataFrame(
+        [(0, "the", "a")], "sugg_id long, first string, prefix string"
+    )
+    ok &= check(
+        "bigram_completion (bigram agg + broadcast prefix + group limit)",
+        plan_of(bigram_completion(docs, pref, k=5)),
+        must=["HashAggregate", "BroadcastHashJoin", "WindowGroupLimit"],
+        must_not=["CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin"],
+    )
+
     print("\nPLANS " + ("OK" if ok else "NOT OK"))
     spark.stop()
     sys.exit(0 if ok else 1)
