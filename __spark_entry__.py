@@ -3359,6 +3359,7 @@ def q_extended_stats(spark, sf_dir):
 
 
 LM_LAMBDA = 0.1
+RRF_WINDOW, RRF_K, RRF_CONST = 20, 10, 60
 GEO_QLAT, GEO_QLON, GEO_RADIUS_KM, GEO_K = 37.5, -122.0, 6000.0, 10
 GEO_ZOOM, GEO_GRID_TOP = 4, 25
 GEO_BBOX = (-30.0, 40.0, -90.0, 60.0)  # lat_lo, lat_hi, lon_lo, lon_hi
@@ -3398,6 +3399,78 @@ def q_dfr_inl2_topk(spark, sf_dir):
         p, term_stats(p), claim_terms(_claims_df(spark)), n_docs, avgdl, c=1.0, k=TOPK
     )
     return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
+
+
+def q_dfi_topk(spark, sf_dir):
+    """DFI chi-squared retrieval (Kocabas et al. 2014; Lucene DFISimilarity
+    IndependenceChiSquared) — nonparametric divergence-from-independence
+    scoring; terms at/below expected frequency contribute exactly 0
+    (operators/lm.py::score_dfi_chisq)."""
+    from defactonlp_spark.operators.bm25 import claim_terms
+    from defactonlp_spark.operators.lm import ctf_stats, score_dfi_chisq
+    from defactonlp_spark.operators.postings import corpus_stats
+
+    p = _postings_cached(spark, sf_dir)
+    total = int(corpus_stats(p).collect()[0]["total_tokens"])
+    res = score_dfi_chisq(p, ctf_stats(p), claim_terms(_claims_df(spark)), total, k=TOPK)
+    return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
+
+
+def q_ib_spl_topk(spark, sf_dir):
+    """Information-Based SPL retrieval (Clinchant & Gaussier 2010; Lucene
+    IBSimilarity SPL/DF/H2) (operators/lm.py::score_ib_spl)."""
+    from defactonlp_spark.operators.bm25 import claim_terms
+    from defactonlp_spark.operators.lm import score_ib_spl
+    from defactonlp_spark.operators.postings import term_stats
+
+    p = _postings_cached(spark, sf_dir)
+    n_docs, avgdl = _engine_corpus_stats(p)
+    res = score_ib_spl(
+        p, term_stats(p), claim_terms(_claims_df(spark)), n_docs, avgdl, c=1.0, k=TOPK
+    )
+    return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
+
+
+def q_axiomatic_topk(spark, sf_dir):
+    """Axiomatic F2EXP retrieval (Fang & Zhai 2005; Lucene AxiomaticF2EXP,
+    shipped defaults s=0.5 k=0.35) — with DFI and IB this completes every
+    similarity family Lucene ships as a named class
+    (operators/lm.py::score_axiomatic_f2exp)."""
+    from defactonlp_spark.operators.bm25 import claim_terms
+    from defactonlp_spark.operators.lm import score_axiomatic_f2exp
+    from defactonlp_spark.operators.postings import term_stats
+
+    p = _postings_cached(spark, sf_dir)
+    n_docs, avgdl = _engine_corpus_stats(p)
+    res = score_axiomatic_f2exp(
+        p, term_stats(p), claim_terms(_claims_df(spark)), n_docs, avgdl, k=TOPK
+    )
+    return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
+
+
+def q_rrf_fusion_topk(spark, sf_dir):
+    """ES 8.x `rrf` retriever (Cormack et al. 2009): reciprocal-rank fusion
+    of two retrievers' top-{RRF_WINDOW} lists — LM Dirichlet and DFR InL2,
+    both rank-pinned on (round(score,6) DESC, doc_id) so the input ranks
+    are bit-identical cross-engine. rrf = sum 1/(60 + rank)
+    (operators/fusion.py::rrf_fuse)."""
+    from defactonlp_spark.operators.bm25 import claim_terms
+    from defactonlp_spark.operators.fusion import rrf_fuse
+    from defactonlp_spark.operators.lm import (
+        ctf_stats,
+        score_dfr_inl2,
+        score_lm_dirichlet,
+    )
+    from defactonlp_spark.operators.postings import corpus_stats, term_stats
+
+    p = _postings_cached(spark, sf_dir)
+    st = corpus_stats(p).collect()[0]
+    n_docs, avgdl, total = int(st["n_docs"]), float(st["avgdl"]), int(st["total_tokens"])
+    qt = claim_terms(_claims_df(spark))
+    lmd = score_lm_dirichlet(p, ctf_stats(p), qt, total, mu=LM_MU, k=RRF_WINDOW)
+    dfr = score_dfr_inl2(p, term_stats(p), qt, n_docs, avgdl, c=1.0, k=RRF_WINDOW)
+    res = rrf_fuse([lmd, dfr], k=RRF_K, rank_constant=RRF_CONST)
+    return res.select("claim_id", "doc_id", F.round("rrf_score", 6).alias("rrf"))
 
 
 def _geo_docs(spark, sf_dir):
@@ -3658,6 +3731,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_distance_topk": q_geo_distance_topk,
         "search_as_you_type": q_search_as_you_type,
         "bucket_pipeline": q_bucket_pipeline,
+        # --- round-4 continuation wave (post-window: round-5 candidates) ---
+        "dfi_topk": q_dfi_topk,
+        "ib_spl_topk": q_ib_spl_topk,
+        "axiomatic_topk": q_axiomatic_topk,
+        "rrf_fusion_topk": q_rrf_fusion_topk,
         # ==== 50-entry window boundary: everything below keeps an older
         # driver record or waits for the round-5 window ====================
         # -- stale (last green in r02) ------------------------------------
@@ -6573,6 +6651,161 @@ s AS (SELECT bucket, n_rows, sum_value, sum_value / n_rows AS avg_value FROM b)
 SELECT bucket, n_rows, round(sum_value, 4) AS sum_value, round(avg_value, 6) AS avg_value
 FROM s WHERE round(avg_value, 6) > {BUCKET_MIN_AVG!r}
 ORDER BY round(avg_value, 6) DESC, bucket LIMIT 10
+"""
+    _INVL2 = 1.4426950408889634
+    d["dfi_topk"] = f"""
+WITH toks AS ({_TOKS_SQL}),
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+tot AS (SELECT sum(dl) AS t FROM dl),
+ctf AS (SELECT term, sum(tf)::DOUBLE AS ctf FROM postings GROUP BY 1),
+claims(claim_id, claim) AS {_CLAIMS_SQL},
+qterms AS (
+  SELECT DISTINCT claim_id, unnest(list_filter(regexp_split_to_array(lower(claim),
+    '[^a-z0-9]+'), t -> t <> '')) AS term FROM claims
+),
+scored AS (
+  SELECT q.claim_id, p.doc_id,
+         sum(CASE WHEN p.tf > l.dl * c.ctf / t.t
+             THEN ln(1 + (p.tf - l.dl * c.ctf / t.t) * (p.tf - l.dl * c.ctf / t.t)
+                         / (l.dl * c.ctf / t.t)) * {_INVL2!r}
+             ELSE 0.0 END) AS score
+  FROM qterms q
+  JOIN postings p ON p.term = q.term
+  JOIN ctf c ON c.term = q.term
+  JOIN dl l ON l.doc_id = p.doc_id
+  CROSS JOIN tot t
+  GROUP BY 1, 2
+)
+SELECT claim_id::BIGINT AS claim_id, doc_id::BIGINT AS doc_id, round(score, 4) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
+        ORDER BY round(score, 6) DESC, doc_id) AS rn FROM scored)
+WHERE rn <= {TOPK}
+"""
+    d["ib_spl_topk"] = f"""
+WITH toks AS ({_TOKS_SQL}),
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+claims(claim_id, claim) AS {_CLAIMS_SQL},
+qterms AS (
+  SELECT DISTINCT claim_id, unnest(list_filter(regexp_split_to_array(lower(claim),
+    '[^a-z0-9]+'), t -> t <> '')) AS term FROM claims
+),
+terms AS (
+  SELECT q.claim_id, p.doc_id,
+         (d.df + 1.0) / (s.n + 1.0) AS lam,
+         p.tf * (ln(1.0 + s.avgdl / l.dl) * {_INVL2!r}) AS tfn
+  FROM qterms q
+  JOIN postings p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl l ON l.doc_id = p.doc_id
+  CROSS JOIN stats s
+  WHERE d.df < s.n
+),
+scored AS (
+  SELECT claim_id, doc_id,
+         sum(-(ln((pow(lam, tfn / (tfn + 1.0)) - lam) / (1.0 - lam)) * {_INVL2!r})) AS score
+  FROM terms GROUP BY 1, 2
+)
+SELECT claim_id::BIGINT AS claim_id, doc_id::BIGINT AS doc_id, round(score, 4) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
+        ORDER BY round(score, 6) DESC, doc_id) AS rn FROM scored)
+WHERE rn <= {TOPK}
+"""
+    d["axiomatic_topk"] = f"""
+WITH toks AS ({_TOKS_SQL}),
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+claims(claim_id, claim) AS {_CLAIMS_SQL},
+qterms AS (
+  SELECT DISTINCT claim_id, unnest(list_filter(regexp_split_to_array(lower(claim),
+    '[^a-z0-9]+'), t -> t <> '')) AS term FROM claims
+),
+scored AS (
+  SELECT q.claim_id, p.doc_id,
+         sum(pow(s.n / d.df, 0.35) * p.tf
+             / (p.tf + 0.5 + 0.5 * l.dl / s.avgdl)) AS score
+  FROM qterms q
+  JOIN postings p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl l ON l.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT claim_id::BIGINT AS claim_id, doc_id::BIGINT AS doc_id, round(score, 4) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
+        ORDER BY round(score, 6) DESC, doc_id) AS rn FROM scored)
+WHERE rn <= {TOPK}
+"""
+    # rrf_fusion_topk: the LMD and DFR CTE blocks replayed with rn <= window,
+    # fused by a FULL OUTER join — same fixed two-term addition as the engine
+    d["rrf_fusion_topk"] = f"""
+WITH toks AS ({_TOKS_SQL}),
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tot AS (SELECT sum(dl) AS t FROM dl),
+ctf AS (SELECT term, sum(tf)::DOUBLE AS ctf FROM postings GROUP BY 1),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+claims(claim_id, claim) AS {_CLAIMS_SQL},
+qterms AS (
+  SELECT DISTINCT claim_id, unnest(list_filter(regexp_split_to_array(lower(claim),
+    '[^a-z0-9]+'), t -> t <> '')) AS term FROM claims
+),
+q AS (SELECT qt.claim_id, qt.term, c.ctf FROM qterms qt JOIN ctf c ON c.term = qt.term),
+nq AS (SELECT claim_id, count(*)::DOUBLE AS n_q_in FROM q GROUP BY 1),
+lmd_s AS (
+  SELECT q.claim_id, p.doc_id,
+         sum(ln(1 + p.tf / ({LM_MU} * q.ctf / t.t))) AS tsum,
+         min(l.dl) AS dl
+  FROM q JOIN postings p ON p.term = q.term
+  JOIN dl l ON l.doc_id = p.doc_id
+  CROSS JOIN tot t
+  GROUP BY 1, 2
+),
+lmd_f AS (
+  SELECT s.claim_id, s.doc_id,
+         s.tsum + n.n_q_in * ln({LM_MU} / (s.dl + {LM_MU})) AS score
+  FROM lmd_s s JOIN nq n ON n.claim_id = s.claim_id
+),
+lmd AS (
+  SELECT * FROM (SELECT claim_id, doc_id, row_number() OVER (PARTITION BY claim_id
+           ORDER BY round(score, 6) DESC, doc_id) AS rn FROM lmd_f)
+  WHERE rn <= {RRF_WINDOW}
+),
+dfr_s AS (
+  SELECT q.claim_id, p.doc_id,
+         sum( (1.0 / (p.tf * (ln(1.0 + s.avgdl / l.dl) * {_INVL2!r}) + 1.0))
+              * (p.tf * (ln(1.0 + s.avgdl / l.dl) * {_INVL2!r}))
+              * (ln((s.n + 1.0) / (d.df + 0.5)) * {_INVL2!r}) ) AS score
+  FROM qterms q
+  JOIN postings p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl l ON l.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+dfr AS (
+  SELECT * FROM (SELECT claim_id, doc_id, row_number() OVER (PARTITION BY claim_id
+           ORDER BY round(score, 6) DESC, doc_id) AS rn FROM dfr_s)
+  WHERE rn <= {RRF_WINDOW}
+),
+fused AS (
+  SELECT coalesce(a.claim_id, b.claim_id) AS claim_id,
+         coalesce(a.doc_id, b.doc_id) AS doc_id,
+         coalesce(1.0 / ({RRF_CONST} + a.rn), 0.0)
+           + coalesce(1.0 / ({RRF_CONST} + b.rn), 0.0) AS rrf
+  FROM lmd a FULL OUTER JOIN dfr b
+    ON a.claim_id = b.claim_id AND a.doc_id = b.doc_id
+)
+SELECT claim_id::BIGINT AS claim_id, doc_id::BIGINT AS doc_id, round(rrf, 6) AS rrf
+FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
+        ORDER BY rrf DESC, doc_id) AS rk FROM fused)
+WHERE rk <= {RRF_K}
 """
     _adj_names = sorted(ADJ_FILTERS)
     _adj_flags = ", ".join(

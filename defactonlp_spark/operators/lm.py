@@ -220,3 +220,146 @@ def doc_perplexity(postings: DataFrame, cstats: DataFrame, total_tokens: int) ->
         "cross_entropy",
         F.round(F.exp("cross_entropy"), 4).alias("ppl"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 continuation: the three Lucene similarity families still missing
+# after BM25 / TF-IDF / LMDirichlet / LMJelinekMercer / DFR(InL2) — DFI,
+# IB (SPL-D-H2), and Axiomatic F2EXP. With these, every scoring family
+# Lucene ships as a named Similarity class has a DataFrame-native analog
+# with the same one-broadcast one-aggregate plan envelope.
+# ---------------------------------------------------------------------------
+
+_INV_LN2 = 1.4426950408889634  # log2(x) pinned as ln(x) * _INV_LN2 everywhere
+
+
+def score_dfi_chisq(
+    postings: DataFrame,
+    cstats: DataFrame,
+    qterms: DataFrame,
+    total_tokens: int,
+    k: int = 5,
+) -> DataFrame:
+    """DFI — Divergence From Independence with the chi-squared measure
+    (Kocabas, Dincer & Karaoglan 2014; Lucene ``DFISimilarity(
+    IndependenceChiSquared)``). Nonparametric: no tunables at all.
+
+      expected = dl * ctf / T      (tf under term/doc independence)
+      chi2     = (tf - expected)^2 / expected
+      contrib  = log2(1 + chi2)    if tf > expected else 0
+
+    Lucene zeroes terms at-or-below their expected frequency (a doc can
+    match yet score 0 — kept, ranked by the doc_id tiebreak). Candidates
+    are docs matching >= 1 in-collection query term; plan is the standard
+    envelope: query terms (+ctf) broadcast onto the postings scan, one
+    hash aggregate. Ranking pinned round(score, 6) desc, doc_id asc.
+    """
+    T = float(total_tokens)
+    q = qterms.join(cstats, "term", "inner")  # in-collection terms only
+    tf = F.col("tf").cast("double")
+    expected = F.col("dl").cast("double") * F.col("ctf").cast("double") / F.lit(T)
+    chi2 = (tf - expected) * (tf - expected) / expected
+    contrib = F.when(tf > expected, F.log1p(chi2) * F.lit(_INV_LN2)).otherwise(F.lit(0.0))
+    scored = (
+        postings.join(F.broadcast(q), "term", "inner")
+        .withColumn("contrib", contrib)
+        .groupBy("claim_id", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    w = Window.partitionBy("claim_id").orderBy(F.round("score", 6).desc(), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("claim_id", "rank", "doc_id", "score")
+    )
+
+
+def score_ib_spl(
+    postings: DataFrame,
+    dstats: DataFrame,
+    qterms: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    c: float = 1.0,
+    k: int = 5,
+) -> DataFrame:
+    """Information-Based similarity, SPL distribution (Clinchant & Gaussier
+    2010 "Information-based models for ad hoc IR"; Lucene ``IBSimilarity(
+    DistributionSPL, LambdaDF, NormalizationH2)``):
+
+      lambda_t = (df + 1) / (N + 1)            (LambdaDF)
+      tfn      = tf * log2(1 + c * avgdl / dl) (H2 normalization)
+      contrib  = -log2( (lambda_t^(tfn/(tfn+1)) - lambda_t) / (1 - lambda_t) )
+
+    LambdaDF degenerates (0/0) when a queried term occurs in EVERY doc
+    (lambda = 1): its SPL information content is undefined and the term
+    carries zero discriminating information, so corpus-wide terms are
+    DROPPED from scoring (pinned spec — Lucene silently produces
+    NaN/Infinity here; under Spark ANSI mode that is a hard error, and
+    dropping is the principled behavior a stopword filter would give).
+    Same broadcast+aggregate envelope; ranking pinned
+    round(score, 6) desc, doc_id asc.
+    """
+    q = (
+        qterms.join(dstats.select("term", "df"), "term", "inner")
+        .filter(F.col("df") < F.lit(int(n_docs)))
+    )
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    lam = (F.col("df").cast("double") + F.lit(1.0)) / F.lit(float(n_docs) + 1.0)
+    tfn = tf * (F.log(F.lit(1.0) + F.lit(float(c) * float(avgdl)) / dl) * F.lit(_INV_LN2))
+    contrib = -(
+        F.log((F.pow(lam, tfn / (tfn + F.lit(1.0))) - lam) / (F.lit(1.0) - lam))
+        * F.lit(_INV_LN2)
+    )
+    scored = (
+        postings.join(F.broadcast(q), "term", "inner")
+        .withColumn("contrib", contrib)
+        .groupBy("claim_id", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    w = Window.partitionBy("claim_id").orderBy(F.round("score", 6).desc(), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("claim_id", "rank", "doc_id", "score")
+    )
+
+
+def score_axiomatic_f2exp(
+    postings: DataFrame,
+    dstats: DataFrame,
+    qterms: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    s: float = 0.5,
+    k_exp: float = 0.35,
+    k: int = 5,
+) -> DataFrame:
+    """Axiomatic F2EXP (Fang & Zhai 2005 "An exploration of axiomatic
+    approaches to information retrieval"; Lucene ``AxiomaticF2EXP`` with
+    its shipped defaults s=0.5, k=0.35). Per matched query term (qtf = 1 —
+    claim terms are DISTINCT, matching every other ad-hoc path here):
+
+      contrib = (N / df)^k * tf / (tf + s + s * dl / avgdl)
+
+    Purely algebraic (one pow per term), no logs; same envelope; ranking
+    pinned round(score, 6) desc, doc_id asc.
+    """
+    q = qterms.join(dstats.select("term", "df"), "term", "inner")
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    idf = F.pow(F.lit(float(n_docs)) / F.col("df").cast("double"), F.lit(float(k_exp)))
+    contrib = idf * tf / (tf + F.lit(float(s)) + F.lit(float(s)) * dl / F.lit(float(avgdl)))
+    scored = (
+        postings.join(F.broadcast(q), "term", "inner")
+        .withColumn("contrib", contrib)
+        .groupBy("claim_id", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    w = Window.partitionBy("claim_id").orderBy(F.round("score", 6).desc(), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("claim_id", "rank", "doc_id", "score")
+    )
