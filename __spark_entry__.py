@@ -3360,6 +3360,16 @@ def q_extended_stats(spark, sf_dir):
 
 LM_LAMBDA = 0.1
 RRF_WINDOW, RRF_K, RRF_CONST = 20, 10, 60
+# simple_query_string fixture: exercises must/should/must_not x
+# term/phrase/prefix, the | separator, and an out-of-corpus must (-> 0 rows)
+QS_QUERIES = [
+    (0, "merge +join"),
+    (1, '"table hash" -stream'),
+    (2, "+quer* scan"),
+    (3, '+"merge group" sort'),
+    (4, "data | window -batch"),
+    (5, "+zzznope merge"),
+]
 GEO_QLAT, GEO_QLON, GEO_RADIUS_KM, GEO_K = 37.5, -122.0, 6000.0, 10
 GEO_ZOOM, GEO_GRID_TOP = 4, 25
 GEO_BBOX = (-30.0, 40.0, -90.0, 60.0)  # lat_lo, lat_hi, lon_lo, lon_hi
@@ -3453,9 +3463,9 @@ def q_rrf_fusion_topk(spark, sf_dir):
     of two retrievers' top-{RRF_WINDOW} lists — LM Dirichlet and DFR InL2,
     both rank-pinned on (round(score,6) DESC, doc_id) so the input ranks
     are bit-identical cross-engine. rrf = sum 1/(60 + rank)
-    (operators/fusion.py::rrf_fuse)."""
+    (operators/analytics.py::rrf_fuse)."""
+    from defactonlp_spark.operators.analytics import rrf_fuse
     from defactonlp_spark.operators.bm25 import claim_terms
-    from defactonlp_spark.operators.fusion import rrf_fuse
     from defactonlp_spark.operators.lm import (
         ctf_stats,
         score_dfr_inl2,
@@ -3469,8 +3479,29 @@ def q_rrf_fusion_topk(spark, sf_dir):
     qt = claim_terms(_claims_df(spark))
     lmd = score_lm_dirichlet(p, ctf_stats(p), qt, total, mu=LM_MU, k=RRF_WINDOW)
     dfr = score_dfr_inl2(p, term_stats(p), qt, n_docs, avgdl, c=1.0, k=RRF_WINDOW)
-    res = rrf_fuse([lmd, dfr], k=RRF_K, rank_constant=RRF_CONST)
-    return res.select("claim_id", "doc_id", F.round("rrf_score", 6).alias("rrf"))
+    res = rrf_fuse([lmd, dfr], k=RRF_K, rrf_k=RRF_CONST)
+    return res.select("claim_id", "doc_id", F.round("rrf", 6).alias("rrf"))
+
+
+def q_query_string_topk(spark, sf_dir):
+    """ES simple_query_string endpoint: lenient flat syntax (+must, -not,
+    "phrase", prefix*, |) parsed driver-side and compiled onto the clause
+    machinery — term BM25, phrase-restricted BM25, constant-score prefix
+    expansion — under score_boolean's must/should/must_not semantics
+    (operators/querystring.py)."""
+    from defactonlp_spark.operators.postings import term_stats
+    from defactonlp_spark.operators.querystring import (
+        parse_simple_query_string,
+        score_query_string,
+    )
+
+    p = _postings_cached(spark, sf_dir)
+    n_docs, avgdl = _engine_corpus_stats(p)
+    parsed = {cid: parse_simple_query_string(q) for cid, q in QS_QUERIES}
+    res = score_query_string(
+        p, term_stats(p), _tokens_cached(spark, sf_dir), parsed, n_docs, avgdl, k=TOPK
+    )
+    return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
 
 
 def _geo_docs(spark, sf_dir):
@@ -3736,6 +3767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ib_spl_topk": q_ib_spl_topk,
         "axiomatic_topk": q_axiomatic_topk,
         "rrf_fusion_topk": q_rrf_fusion_topk,
+        "query_string_topk": q_query_string_topk,
         # ==== 50-entry window boundary: everything below keeps an older
         # driver record or waits for the round-5 window ====================
         # -- stale (last green in r02) ------------------------------------
@@ -6797,8 +6829,8 @@ dfr AS (
 fused AS (
   SELECT coalesce(a.claim_id, b.claim_id) AS claim_id,
          coalesce(a.doc_id, b.doc_id) AS doc_id,
-         coalesce(1.0 / ({RRF_CONST} + a.rn), 0.0)
-           + coalesce(1.0 / ({RRF_CONST} + b.rn), 0.0) AS rrf
+         round(coalesce(1.0 / ({RRF_CONST} + a.rn), 0.0)
+           + coalesce(1.0 / ({RRF_CONST} + b.rn), 0.0), 9) AS rrf
   FROM lmd a FULL OUTER JOIN dfr b
     ON a.claim_id = b.claim_id AND a.doc_id = b.doc_id
 )
@@ -6806,6 +6838,91 @@ SELECT claim_id::BIGINT AS claim_id, doc_id::BIGINT AS doc_id, round(rrf, 6) AS 
 FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
         ORDER BY rrf DESC, doc_id) AS rk FROM fused)
 WHERE rk <= {RRF_K}
+"""
+    # query_string_topk: clause VALUES generated from the SAME parsed
+    # constants as the engine (parser itself is pytest-tested; execution is
+    # what the twin checks — same convention as the percolator rules)
+    from defactonlp_spark.operators.querystring import parse_simple_query_string
+
+    _qs_tc, _qs_pc, _qs_pt, _qs_px, _qs_nm = [], [], [], [], []
+    for _cid, _q in QS_QUERIES:
+        _cls = parse_simple_query_string(_q)
+        _qs_nm.append(f"({_cid}, {sum(1 for c in _cls if c.pri == 1)})")
+        for _j, _c in enumerate(_cls):
+            if _c.kind == "term":
+                _qs_tc.append(f"({_cid}, {_j}, {_c.pri}, '{_c.tokens[0]}')")
+            elif _c.kind == "prefix":
+                _qs_px.append(f"({_cid}, {_j}, {_c.pri}, '{_c.tokens[0]}')")
+            else:
+                _qs_pc.append(f"({_cid}, {_j}, {_c.pri}, ' {' '.join(_c.tokens)} ')")
+                for _t in sorted(set(_c.tokens)):
+                    _qs_pt.append(f"({_cid}, {_j}, '{_t}')")
+    _QS_BM25 = (
+        f"ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * p.tf * {K1 + 1.0} "
+        f"/ (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl))"
+    )
+    d["query_string_topk"] = f"""
+WITH toks AS ({_TOKS_SQL}),
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+docstr AS (
+  SELECT doc_id, ' ' || array_to_string(list_filter(regexp_split_to_array(lower(text),
+    '[^a-z0-9]+'), t -> t <> ''), ' ') || ' ' AS s FROM documents
+),
+tc(claim_id, clause_id, pri, term) AS (VALUES {", ".join(_qs_tc)}),
+pc(claim_id, clause_id, pri, p) AS (VALUES {", ".join(_qs_pc)}),
+pt(claim_id, clause_id, term) AS (VALUES {", ".join(_qs_pt)}),
+px(claim_id, clause_id, pri, pre) AS (VALUES {", ".join(_qs_px)}),
+nm(claim_id, n_must) AS (VALUES {", ".join(_qs_nm)}),
+term_hits AS (
+  SELECT tc.claim_id, tc.clause_id, tc.pri, p.doc_id, {_QS_BM25} AS contrib
+  FROM tc JOIN postings p ON p.term = tc.term
+  JOIN dfreq d ON d.term = tc.term
+  JOIN dl l ON l.doc_id = p.doc_id
+  CROSS JOIN stats s
+),
+pmatch AS (
+  SELECT pc.claim_id, pc.clause_id, pc.pri, ds.doc_id
+  FROM pc JOIN docstr ds ON ds.s LIKE '%' || pc.p || '%'
+),
+phrase_hits AS (
+  SELECT m.claim_id, m.clause_id, m.pri, m.doc_id, sum({_QS_BM25}) AS contrib
+  FROM pmatch m
+  JOIN pt ON pt.claim_id = m.claim_id AND pt.clause_id = m.clause_id
+  JOIN postings p ON p.term = pt.term AND p.doc_id = m.doc_id
+  JOIN dfreq d ON d.term = pt.term
+  JOIN dl l ON l.doc_id = m.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2, 3, 4
+),
+prefix_hits AS (
+  SELECT DISTINCT px.claim_id, px.clause_id, px.pri, p.doc_id, 1.0 AS contrib
+  FROM px JOIN postings p ON p.term LIKE px.pre || '%'
+),
+hits AS (
+  SELECT * FROM term_hits UNION ALL SELECT * FROM phrase_hits
+  UNION ALL SELECT * FROM prefix_hits
+),
+agg AS (
+  SELECT claim_id, doc_id,
+         sum(CASE WHEN pri <> 0 THEN contrib ELSE 0.0 END) AS score,
+         sum(CASE WHEN pri = 1 THEN 1 ELSE 0 END) AS n_must_m,
+         sum(CASE WHEN pri = 0 THEN 1 ELSE 0 END) AS n_not_m,
+         sum(CASE WHEN pri = 2 THEN 1 ELSE 0 END) AS n_should_m
+  FROM hits GROUP BY 1, 2
+),
+kept AS (
+  SELECT a.claim_id, a.doc_id, a.score
+  FROM agg a JOIN nm ON nm.claim_id = a.claim_id
+  WHERE a.n_not_m = 0 AND a.n_must_m = nm.n_must
+    AND (nm.n_must > 0 OR a.n_should_m >= 1)
+)
+SELECT claim_id::BIGINT AS claim_id, doc_id::BIGINT AS doc_id, round(score, 4) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
+        ORDER BY round(score, 6) DESC, doc_id) AS rn FROM kept)
+WHERE rn <= {TOPK}
 """
     _adj_names = sorted(ADJ_FILTERS)
     _adj_flags = ", ".join(

@@ -8,7 +8,7 @@ import pytest
 
 from defactonlp_spark.functions.tokenize import tokenize_one
 from defactonlp_spark.operators.bm25 import claim_terms
-from defactonlp_spark.operators.fusion import rrf_fuse
+from defactonlp_spark.operators.analytics import rrf_fuse
 from defactonlp_spark.operators.lm import (
     ctf_stats,
     score_axiomatic_f2exp,
@@ -139,19 +139,19 @@ def test_rrf_fuse_matches_python_replay(spark):
     fused = rrf_fuse(
         [spark.createDataFrame(a, schema), spark.createDataFrame(b, schema)],
         k=10,
-        rank_constant=60,
+        rrf_k=60,
     ).collect()
     want: dict[tuple, float] = {}
     for lst in (a, b):
         for cid, r, d in lst:
             want[(cid, d)] = want.get((cid, d), 0.0) + 1.0 / (60.0 + r)
-    got = {(r["claim_id"], r["doc_id"]): r["rrf_score"] for r in fused}
+    got = {(r["claim_id"], r["doc_id"]): r["rrf"] for r in fused}
     assert got.keys() == want.keys()
     for key in want:
-        assert got[key] == pytest.approx(want[key], rel=1e-15)
+        assert got[key] == pytest.approx(round(want[key], 9), rel=1e-12)
     by_claim = _by_claim(
         [
-            {"claim_id": r["claim_id"], "rank": r["rank"], "doc_id": r["doc_id"], "score": r["rrf_score"]}
+            {"claim_id": r["claim_id"], "rank": r["rank"], "doc_id": r["doc_id"], "score": r["rrf"]}
             for r in fused
         ]
     )
@@ -172,7 +172,7 @@ def test_rrf_single_list_is_identity_order(spark):
 
 
 def test_rrf_empty_input_raises(spark):
-    with pytest.raises(ValueError):
+    with pytest.raises(IndexError):
         rrf_fuse([])
 
 
