@@ -3360,6 +3360,7 @@ def q_extended_stats(spark, sf_dir):
 
 LM_LAMBDA = 0.1
 RRF_WINDOW, RRF_K, RRF_CONST = 20, 10, 60
+AUTO_DH_TARGET = 20
 # simple_query_string fixture: exercises must/should/must_not x
 # term/phrase/prefix, the | separator, and an out-of-corpus must (-> 0 rows)
 QS_QUERIES = [
@@ -3502,6 +3503,134 @@ def q_query_string_topk(spark, sf_dir):
         p, term_stats(p), _tokens_cached(spark, sf_dir), parsed, n_docs, avgdl, k=TOPK
     )
     return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
+
+
+def q_string_stats(spark, sf_dir):
+    """ES string_stats aggregation per lang over documents.text: length
+    stats + Shannon char-entropy from a distributed char histogram
+    (operators/analytics.py::string_stats)."""
+    from defactonlp_spark.operators.analytics import string_stats
+
+    res = string_stats(_docs(spark, sf_dir), ["lang"], "text")
+    return res.select(
+        "lang",
+        F.col("count").alias("n_docs"),
+        "min_length",
+        "max_length",
+        F.round("avg_length", 6).alias("avg_length"),
+        F.round("entropy", 6).alias("entropy"),
+    )
+
+
+def q_value_mad(spark, sf_dir):
+    """ES median_absolute_deviation per event_type, exact two-pass tier
+    (operators/analytics.py::median_absolute_deviation)."""
+    from defactonlp_spark.operators.analytics import median_absolute_deviation
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    res = median_absolute_deviation(ev, ["event_type"], "value")
+    return res.select(
+        "event_type", F.round("median", 6).alias("median"), F.round("mad", 6).alias("mad")
+    )
+
+
+def q_value_boxplot(spark, sf_dir):
+    """ES boxplot aggregation per event_type, exact five-number summary
+    (operators/analytics.py::boxplot_agg)."""
+    from defactonlp_spark.operators.analytics import boxplot_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    res = boxplot_agg(ev, ["event_type"], "value")
+    return res.select(
+        "event_type",
+        F.round("min", 6).alias("min"),
+        F.round("q1", 6).alias("q1"),
+        F.round("q2", 6).alias("q2"),
+        F.round("q3", 6).alias("q3"),
+        F.round("max", 6).alias("max"),
+        F.round("iqr", 6).alias("iqr"),
+    )
+
+
+def q_ttest_purchase_click(spark, sf_dir):
+    """ES t_test aggregation (heteroscedastic / Welch) between the
+    purchase and click event populations — single scan, two CASE masks
+    (operators/analytics.py::t_test_welch)."""
+    from defactonlp_spark.operators.analytics import t_test_welch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    res = t_test_welch(
+        ev, F.col("event_type") == "purchase", F.col("event_type") == "click", "value"
+    )
+    return res.select(
+        "n_a",
+        "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("t_stat", 6).alias("t_stat"),
+        F.round("df", 4).alias("df"),
+    )
+
+
+def q_events_rate_daily(spark, sf_dir):
+    """ES rate aggregation inside a daily date_histogram: per-hour rate
+    from day buckets (operators/analytics.py::rate_agg)."""
+    from defactonlp_spark.operators.analytics import rate_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    res = rate_agg(ev)
+    return res.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round("rate_per_hour", 6).alias("rate_per_hour"),
+    )
+
+
+def q_multi_terms_agg(spark, sf_dir):
+    """ES multi_terms aggregation: buckets keyed by (source, lang) tuple,
+    doc_count desc then keys, avg(n_chars) sub-agg
+    (operators/analytics.py::multi_terms)."""
+    from defactonlp_spark.operators.analytics import multi_terms
+
+    res = multi_terms(_docs(spark, sf_dir), ["source", "lang"], "n_chars", size=10)
+    return res.select(
+        "source", "lang", "doc_count", F.round("avg_metric", 6).alias("avg_chars")
+    )
+
+
+def q_auto_date_hist(spark, sf_dir):
+    """ES auto_date_histogram: ladder-selected interval targeting <= 20
+    buckets, the chosen interval emitted per row so the oracle checks the
+    SELECTION too (operators/analytics.py::auto_date_histogram)."""
+    from defactonlp_spark.operators.analytics import auto_date_histogram
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    res = auto_date_histogram(ev, target_buckets=AUTO_DH_TARGET)
+    return res.select(
+        "interval_sec",
+        "bucket_start",
+        "doc_count",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+def q_geo_centroid_bounds(spark, sf_dir):
+    """ES geo_centroid + geo_bounds aggregations per source over the
+    synthetic md5 geo_points (operators/geo.py::geo_centroid_bounds)."""
+    from defactonlp_spark.operators.geo import geo_centroid_bounds
+
+    res = geo_centroid_bounds(_geo_docs(spark, sf_dir))
+    return res.select(
+        "group",
+        "n_docs",
+        F.round("centroid_lat", 6).alias("centroid_lat"),
+        F.round("centroid_lon", 6).alias("centroid_lon"),
+        F.round("top_left_lat", 6).alias("top_left_lat"),
+        F.round("top_left_lon", 6).alias("top_left_lon"),
+        F.round("bottom_right_lat", 6).alias("bottom_right_lat"),
+        F.round("bottom_right_lon", 6).alias("bottom_right_lon"),
+    )
 
 
 def _geo_docs(spark, sf_dir):
@@ -3768,6 +3897,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "axiomatic_topk": q_axiomatic_topk,
         "rrf_fusion_topk": q_rrf_fusion_topk,
         "query_string_topk": q_query_string_topk,
+        "string_stats_by_lang": q_string_stats,
+        "value_mad": q_value_mad,
+        "value_boxplot": q_value_boxplot,
+        "ttest_purchase_click": q_ttest_purchase_click,
+        "events_rate_daily": q_events_rate_daily,
+        "multi_terms_agg": q_multi_terms_agg,
+        "auto_date_hist": q_auto_date_hist,
+        "geo_centroid_bounds": q_geo_centroid_bounds,
         # ==== 50-entry window boundary: everything below keeps an older
         # driver record or waits for the round-5 window ====================
         # -- stale (last green in r02) ------------------------------------
@@ -6923,6 +7060,101 @@ SELECT claim_id::BIGINT AS claim_id, doc_id::BIGINT AS doc_id, round(score, 4) A
 FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
         ORDER BY round(score, 6) DESC, doc_id) AS rn FROM kept)
 WHERE rn <= {TOPK}
+"""
+    d["string_stats_by_lang"] = f"""
+WITH lens AS (
+  SELECT lang, count(*)::BIGINT AS n_docs, min(length(text))::BIGINT AS min_length,
+         max(length(text))::BIGINT AS max_length, avg(length(text)::DOUBLE) AS avg_length
+  FROM documents GROUP BY 1
+),
+chars AS (SELECT lang, unnest(string_split(text, '')) AS ch FROM documents),
+cc AS (SELECT lang, ch, count(*)::DOUBLE AS c FROM chars WHERE ch <> '' GROUP BY 1, 2),
+tt AS (SELECT lang, sum(c) AS t FROM cc GROUP BY 1),
+ent AS (
+  SELECT cc.lang, sum(-(c / t) * (ln(c / t) * {_INVL2!r})) AS entropy
+  FROM cc JOIN tt ON tt.lang = cc.lang GROUP BY 1
+)
+SELECT l.lang, l.n_docs, l.min_length, l.max_length,
+       round(l.avg_length, 6) AS avg_length, round(e.entropy, 6) AS entropy
+FROM lens l JOIN ent e ON e.lang = l.lang
+"""
+    d["value_mad"] = """
+WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS median FROM events GROUP BY 1)
+SELECT e.event_type, round(m.median, 6) AS median,
+       round(quantile_cont(abs(e.value - m.median), 0.5), 6) AS mad
+FROM events e JOIN med m ON m.event_type = e.event_type
+GROUP BY 1, m.median
+"""
+    d["value_boxplot"] = """
+SELECT event_type, round(min(value), 6) AS min,
+       round(quantile_cont(value, 0.25), 6) AS q1,
+       round(quantile_cont(value, 0.5), 6) AS q2,
+       round(quantile_cont(value, 0.75), 6) AS q3,
+       round(max(value), 6) AS max,
+       round(quantile_cont(value, 0.75) - quantile_cont(value, 0.25), 6) AS iqr
+FROM events GROUP BY 1
+"""
+    d["ttest_purchase_click"] = """
+WITH agg AS (
+  SELECT count(CASE WHEN event_type = 'purchase' THEN value END)::DOUBLE AS n_a,
+         sum(CASE WHEN event_type = 'purchase' THEN value END) AS s_a,
+         sum(CASE WHEN event_type = 'purchase' THEN value * value END) AS ss_a,
+         count(CASE WHEN event_type = 'click' THEN value END)::DOUBLE AS n_b,
+         sum(CASE WHEN event_type = 'click' THEN value END) AS s_b,
+         sum(CASE WHEN event_type = 'click' THEN value * value END) AS ss_b
+  FROM events
+),
+terms AS (
+  SELECT n_a, n_b, s_a / n_a AS m_a, s_b / n_b AS m_b,
+         ((ss_a - s_a * s_a / n_a) / (n_a - 1.0)) / n_a AS va_n,
+         ((ss_b - s_b * s_b / n_b) / (n_b - 1.0)) / n_b AS vb_n
+  FROM agg
+)
+SELECT n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+       round(m_a, 6) AS mean_a, round(m_b, 6) AS mean_b,
+       round((m_a - m_b) / sqrt(va_n + vb_n), 6) AS t_stat,
+       round((va_n + vb_n) * (va_n + vb_n)
+             / (va_n * va_n / (n_a - 1.0) + vb_n * vb_n / (n_b - 1.0)), 4) AS df
+FROM terms
+"""
+    d["events_rate_daily"] = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS sum_value,
+       round(sum(value) / 24.0, 6) AS rate_per_hour
+FROM events GROUP BY date_trunc('day', ts)
+"""
+    d["multi_terms_agg"] = """
+SELECT source, lang, count(*)::BIGINT AS doc_count,
+       round(avg(n_chars::DOUBLE), 6) AS avg_chars
+FROM documents GROUP BY 1, 2
+ORDER BY doc_count DESC, source, lang LIMIT 10
+"""
+    from defactonlp_spark.operators.analytics import AUTO_DH_LADDER as AUTO_DH_LADDER_SQL
+
+    _adh_case = " ".join(
+        f"WHEN hi // {r} - lo // {r} + 1 <= {AUTO_DH_TARGET} THEN {r}"
+        for r in AUTO_DH_LADDER_SQL[:-1]
+    )
+    d["auto_date_hist"] = f"""
+WITH se AS (
+  SELECT floor(epoch(min(ts)))::BIGINT AS lo, floor(epoch(max(ts)))::BIGINT AS hi
+  FROM events
+),
+sel AS (SELECT (CASE {_adh_case} ELSE {AUTO_DH_LADDER_SQL[-1]} END)::BIGINT AS iv FROM se)
+SELECT iv AS interval_sec,
+       (floor(epoch(ts))::BIGINT // iv) * iv AS bucket_start,
+       count(*)::BIGINT AS doc_count, round(sum(value), 4) AS sum_value
+FROM events CROSS JOIN sel
+GROUP BY 1, 2
+"""
+    d["geo_centroid_bounds"] = f"""
+WITH coords AS ({_COORDS_SQL})
+SELECT source AS "group", count(*)::BIGINT AS n_docs,
+       round(avg(lat), 6) AS centroid_lat, round(avg(lon), 6) AS centroid_lon,
+       round(max(lat), 6) AS top_left_lat, round(min(lon), 6) AS top_left_lon,
+       round(min(lat), 6) AS bottom_right_lat, round(max(lon), 6) AS bottom_right_lon
+FROM coords GROUP BY 1
 """
     _adj_names = sorted(ADJ_FILTERS)
     _adj_flags = ", ".join(

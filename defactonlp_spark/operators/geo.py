@@ -280,3 +280,23 @@ def geo_distance_rings(
     return agg.join(F.broadcast(bdf), "ring", "inner").select(
         "ring", "from_km", "to_km", "n_docs", "avg_chars"
     )
+
+
+def geo_centroid_bounds(docs: DataFrame, group_col: str = "source") -> DataFrame:
+    """ES ``geo_centroid`` + ``geo_bounds`` aggregations per group: the
+    arithmetic-mean centroid (the ES geo_centroid rule — plain lat/lon
+    averages, no spherical weighting) and the envelope corners
+    (top_left = max lat / min lon, bottom_right = min lat / max lon).
+    One hash aggregate of re-aggregable partials.
+    -> (group, n_docs, centroid_lat, centroid_lon,
+        top_left_lat, top_left_lon, bottom_right_lat, bottom_right_lon)
+    """
+    return docs.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.avg("lat").alias("centroid_lat"),
+        F.avg("lon").alias("centroid_lon"),
+        F.max("lat").alias("top_left_lat"),
+        F.min("lon").alias("top_left_lon"),
+        F.min("lat").alias("bottom_right_lat"),
+        F.max("lon").alias("bottom_right_lon"),
+    )
