@@ -3361,6 +3361,17 @@ def q_extended_stats(spark, sf_dir):
 LM_LAMBDA = 0.1
 RRF_WINDOW, RRF_K, RRF_CONST = 20, 10, 60
 AUTO_DH_TARGET = 20
+# phrase-suggester fixture: one-edit typos over the corpus vocabulary, one
+# already-correct input (suggests itself), one hopeless OOV (no rows)
+SUGGEST_INPUTS = [
+    (0, "mrge join"),
+    (1, "hash tble"),
+    (2, "qury scan"),
+    (3, "sort mrge join"),
+    (4, "zzzzzz qqqqqq"),
+    (5, "sow data"),
+    (6, "the sow batch"),
+]
 # simple_query_string fixture: exercises must/should/must_not x
 # term/phrase/prefix, the | separator, and an out-of-corpus must (-> 0 rows)
 QS_QUERIES = [
@@ -3503,6 +3514,54 @@ def q_query_string_topk(spark, sf_dir):
         p, term_stats(p), _tokens_cached(spark, sf_dir), parsed, n_docs, avgdl, k=TOPK
     )
     return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
+
+
+def q_phrase_suggest(spark, sf_dir):
+    """ES phrase suggester (did-you-mean over whole inputs): per-position
+    dictionary candidates within one edit + corpus bigram LM with stupid
+    backoff scoring candidate sequences, plus the edit-channel penalty
+    (operators/expansion.py::phrase_suggest)."""
+    from defactonlp_spark.operators.analytics import token_bigrams
+    from defactonlp_spark.operators.expansion import phrase_suggest
+    from defactonlp_spark.operators.lm import ctf_stats
+    from defactonlp_spark.operators.postings import corpus_stats
+
+    p = _postings_cached(spark, sf_dir)
+    total = int(corpus_stats(p).collect()[0]["total_tokens"])
+    big = (
+        token_bigrams(_docs(spark, sf_dir))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    res = phrase_suggest(ctf_stats(p), big, SUGGEST_INPUTS, total)
+    return res.select("claim_id", "suggestion", F.round("score", 6).alias("score"))
+
+
+def q_semdedup_keep_stats(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) composed end-to-end over EMBEDDINGS:
+    LSH-bucketed cosine near-dup pairs -> connected components -> keep the
+    minimum id per semantic cluster -> per-source kept/dropped stats. The
+    text-dedup funnel's cluster-resolution step applied to the embedding
+    modality; every stage reuses an existing twinned operator
+    (similarity.lsh_dup_pairs + dedup.duplicate_clusters)."""
+    from defactonlp_spark.operators.dedup import duplicate_clusters
+    from defactonlp_spark.operators.similarity import lsh_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = lsh_dup_pairs(emb, threshold=LSH_DUP_THRESHOLD, n_bits=LSH_DUP_BITS)
+    clusters = duplicate_clusters(
+        emb.select(F.col("vec_id").alias("doc_id")), pairs
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    return (
+        clusters.join(docs, "doc_id", "inner")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("keep").cast("int")).cast("long").alias("n_kept"),
+            F.sum((~F.col("keep")).cast("int")).cast("long").alias("n_dropped"),
+        )
+    )
 
 
 def q_string_stats(spark, sf_dir):
@@ -3905,6 +3964,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_terms_agg": q_multi_terms_agg,
         "auto_date_hist": q_auto_date_hist,
         "geo_centroid_bounds": q_geo_centroid_bounds,
+        "phrase_suggest": q_phrase_suggest,
+        "semdedup_keep_stats": q_semdedup_keep_stats,
         # ==== 50-entry window boundary: everything below keeps an older
         # driver record or waits for the round-5 window ====================
         # -- stale (last green in r02) ------------------------------------
@@ -7155,6 +7216,104 @@ SELECT source AS "group", count(*)::BIGINT AS n_docs,
        round(max(lat), 6) AS top_left_lat, round(min(lon), 6) AS top_left_lon,
        round(min(lat), 6) AS bottom_right_lat, round(max(lon), 6) AS bottom_right_lon
 FROM coords GROUP BY 1
+"""
+    # phrase_suggest: per-length sequence enumeration unrolled into SQL joins,
+    # generated from the SAME tokenized inputs as the engine (parser/tokenizer
+    # constants shared; the LM scoring + candidate ranking is what the twin
+    # checks). Stupid-backoff alpha = 0.4 (the engine default).
+    from defactonlp_spark.functions.tokenize import tokenize_one as _tok1
+
+    _sg_rows, _sg_lens = [], {}
+    for _cid, _ph in SUGGEST_INPUTS:
+        _ts = _tok1(_ph)[:6]
+        if not _ts:
+            continue
+        _sg_lens[_cid] = len(_ts)
+        for _i, _t in enumerate(_ts):
+            _sg_rows.append(f"({_cid}, {_i}, '{_t}')")
+    _sg_parts = []
+    for _L in sorted(set(_sg_lens.values())):
+        _ids = ", ".join(str(c) for c, n in sorted(_sg_lens.items()) if n == _L)
+        _joins, _score, _sugg = [], ["ln(c0.ctf / t.t) - ln(1.0 + c0.dist)"], ["c0.cand"]
+        for _i in range(1, _L):
+            _joins.append(
+                f"JOIN cand c{_i} ON c{_i}.claim_id = c0.claim_id AND c{_i}.pos = {_i}\n"
+                f"  LEFT JOIN big b{_i} ON b{_i}.bg = c{_i - 1}.cand || ' ' || c{_i}.cand"
+            )
+            _score.append(
+                f"+ coalesce(ln(b{_i}.c / c{_i - 1}.ctf), ln(0.4 * c{_i}.ctf / t.t)) "
+                f"- ln(1.0 + c{_i}.dist)"
+            )
+            _sugg.append(f"c{_i}.cand")
+        _sg_parts.append(
+            f"""SELECT c0.claim_id, {" || ' ' || ".join(_sugg)} AS suggestion,
+       {" ".join(_score)} AS score
+FROM cand c0 {" ".join(_joins)}
+CROSS JOIN tot t
+WHERE c0.pos = 0 AND c0.claim_id IN ({_ids})"""
+        )
+    _sg_union = "\nUNION ALL\n".join(_sg_parts)
+    d["phrase_suggest"] = f"""
+WITH toks AS ({_TOKS_SQL}),
+ctf AS (SELECT term, count(*)::DOUBLE AS ctf FROM toks GROUP BY 1),
+tot AS (SELECT sum(ctf) AS t FROM ctf),
+tl AS (SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                          x -> x <> '') AS ts FROM documents),
+bgl AS (SELECT unnest([array_to_string(ts[i:i+1], ' ')
+                       for i in range(1, len(ts))]) AS bg FROM tl),
+big AS (SELECT bg, count(*)::DOUBLE AS c FROM bgl GROUP BY 1),
+q(claim_id, pos, qterm) AS (VALUES {", ".join(_sg_rows)}),
+cand AS (
+  SELECT claim_id, pos, c.term AS cand,
+         levenshtein(q.qterm, c.term)::DOUBLE AS dist, c.ctf
+  FROM q JOIN ctf c ON abs(length(c.term) - length(q.qterm)) <= 1
+  WHERE levenshtein(q.qterm, c.term) <= 1
+  QUALIFY row_number() OVER (PARTITION BY claim_id, pos
+    ORDER BY levenshtein(q.qterm, c.term), c.ctf DESC, c.term) <= 3
+),
+allseq AS (
+{_sg_union}
+)
+SELECT claim_id::BIGINT AS claim_id, suggestion, round(score, 6) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
+        ORDER BY round(score, 6) DESC, suggestion) AS rn FROM allseq)
+WHERE rn <= 3
+"""
+    d["semdedup_keep_stats"] = f"""
+WITH RECURSIVE b AS (SELECT vec_id, embedding, ({_bucket_expr})::INT AS bucket FROM embeddings),
+a AS (
+  SELECT vec_id AS id_a, embedding AS va,
+         unnest([bucket{"".join(f", xor(bucket, {1 << bb})" for bb in range(ANN_EVAL_BITS))}]) AS probe
+  FROM b
+),
+cand AS (
+  SELECT a.id_a, a.va, e.vec_id AS id_b, e.embedding AS vb
+  FROM a JOIN b e ON e.bucket = a.probe AND a.id_a < e.vec_id
+),
+pairs AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           round(list_dot_product(va::DOUBLE[], vb::DOUBLE[])
+                 / (sqrt(list_dot_product(va::DOUBLE[], va::DOUBLE[]))
+                    * sqrt(list_dot_product(vb::DOUBLE[], vb::DOUBLE[]))), 6) AS cos
+    FROM cand
+  ) WHERE cos >= {LSH_DUP_THRESHOLD}
+),
+edges AS (SELECT id_a AS ea, id_b AS eb FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT ea, ea FROM edges
+  UNION
+  SELECT e.ea, reach.r FROM edges e JOIN reach ON reach.id = e.eb
+),
+comp AS (SELECT id, min(r) AS component_id FROM reach GROUP BY id),
+cl AS (
+  SELECT d.doc_id, d.source, coalesce(c.component_id, d.doc_id) AS component_id
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN component_id = doc_id THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       sum(CASE WHEN component_id <> doc_id THEN 1 ELSE 0 END)::BIGINT AS n_dropped
+FROM cl GROUP BY 1
 """
     _adj_names = sorted(ADJ_FILTERS)
     _adj_flags = ", ".join(

@@ -469,3 +469,148 @@ def expand_regex(
         .select("claim_id", "term")
         .distinct()
     )
+
+
+def phrase_suggest(
+    cstats: DataFrame,
+    bigram_counts: DataFrame,
+    qphrases: list[tuple[int, str]],
+    total_tokens: int,
+    max_dist: int = 1,
+    per_term: int = 3,
+    topn: int = 3,
+    alpha: float = 0.4,
+    max_len: int = 6,
+) -> DataFrame:
+    """The ES *phrase suggester* (did-you-mean over whole inputs, not
+    single terms): per-position candidate generation from the dictionary +
+    a corpus bigram LM with stupid backoff (Brants et al. 2007) scoring
+    whole candidate sequences, plus a per-token edit-channel penalty.
+
+    Pinned spec (the DuckDB twin and the pytest replay implement the same):
+
+      candidates(pos) = dictionary terms within levenshtein max_dist of
+                        the input token, top ``per_term`` by
+                        (dist asc, ctf desc, term asc)
+      score(seq)      = ln(ctf(w0)/T)                       unigram prior
+                        + sum_i ln S(w_i | w_{i-1})          stupid backoff
+                        + sum_i -ln(1 + dist_i)              edit channel
+      S(w2|w1)        = c(w1 w2)/ctf(w1) if the bigram exists,
+                        else alpha * ctf(w2)/T
+
+    Suggestions ranked round(score, 6) desc, suggestion asc, top ``topn``
+    per input. Inputs whose every-position candidate set is empty (wildly
+    OOV) return no rows — the ES "no suggestion" case.
+
+    ``qphrases`` is a plain list of (claim_id, phrase): suggester inputs
+    are literal user strings (metadata-scale by definition — same driver-
+    side contract as parse_simple_query_string). Inputs longer than
+    ``max_len`` tokens are truncated (the ES phrase suggester bounds input
+    length the same way).
+
+    Scale shape: the corpus-sized relations are the unigram dictionary
+    (``cstats``: term -> ctf) and the bigram count relation — both
+    Heaps-bounded aggregates the build already produces. Candidate
+    generation is one broadcast band-join per position set; sequence
+    enumeration chains at most max_len-1 joins over relations of
+    O(claims x per_term) rows. Nothing corpus-sized is enumerated.
+    """
+    from defactonlp_spark.functions.tokenize import tokenize_one
+
+    spark = cstats.sparkSession
+    T = float(total_tokens)
+    tok_rows = []
+    lengths: dict[int, int] = {}
+    for cid, phrase in qphrases:
+        toks = tokenize_one(phrase)[:max_len]
+        if not toks:
+            continue
+        lengths[cid] = len(toks)
+        for i, t in enumerate(toks):
+            tok_rows.append((cid, i, t))
+    if not tok_rows:
+        return spark.createDataFrame(
+            [], "claim_id long, rank int, suggestion string, score double"
+        )
+    qtok = spark.createDataFrame(tok_rows, "claim_id long, pos int, qterm string")
+
+    cand = (
+        cstats.select(F.col("term").alias("cand"), "ctf")
+        .join(
+            F.broadcast(qtok),
+            F.abs(F.length("cand") - F.length("qterm")) <= max_dist,
+            "inner",
+        )
+        .withColumn("dist", F.levenshtein("qterm", "cand"))
+        .filter(F.col("dist") <= max_dist)
+    )
+    wc = Window.partitionBy("claim_id", "pos").orderBy(
+        F.asc("dist"), F.desc("ctf"), F.asc("cand")
+    )
+    from defactonlp_spark.operators.dedup import _track_persist
+
+    cand = _track_persist(
+        cand.withColumn("_rk", F.row_number().over(wc))
+        .filter(F.col("_rk") <= per_term)
+        .select("claim_id", "pos", "cand", "dist", "ctf")
+    )
+
+    big = bigram_counts.select("w1", "w2", F.col("c").cast("double").alias("bc"))
+    parts = []
+    for length in sorted(set(lengths.values())):
+        cids = [c for c, n in lengths.items() if n == length]
+        base = cand.filter(F.col("claim_id").isin(cids) & (F.col("pos") == 0)).select(
+            "claim_id",
+            F.col("cand").alias("seq"),
+            F.col("cand").alias("last"),
+            F.col("ctf").alias("last_ctf"),
+            (
+                F.log(F.col("ctf").cast("double") / F.lit(T))
+                - F.log(F.lit(1.0) + F.col("dist").cast("double"))
+            ).alias("score"),
+        )
+        for i in range(1, length):
+            nxt = cand.filter(F.col("claim_id").isin(cids) & (F.col("pos") == i)).select(
+                "claim_id",
+                F.col("cand").alias("c2"),
+                F.col("dist").alias("d2"),
+                F.col("ctf").alias("ctf2"),
+            )
+            pair = (
+                base.join(nxt, "claim_id", "inner")
+                .join(
+                    big,
+                    (F.col("last") == F.col("w1")) & (F.col("c2") == F.col("w2")),
+                    "left",
+                )
+                .withColumn(
+                    "score",
+                    F.col("score")
+                    + F.coalesce(
+                        F.log(F.col("bc") / F.col("last_ctf").cast("double")),
+                        F.log(F.lit(alpha) * F.col("ctf2").cast("double") / F.lit(T)),
+                    )
+                    - F.log(F.lit(1.0) + F.col("d2").cast("double")),
+                )
+            )
+            base = pair.select(
+                "claim_id",
+                F.concat_ws(" ", "seq", "c2").alias("seq"),
+                F.col("c2").alias("last"),
+                F.col("ctf2").alias("last_ctf"),
+                "score",
+            )
+        parts.append(base.select("claim_id", F.col("seq").alias("suggestion"), "score"))
+
+    allseq = parts[0]
+    for p in parts[1:]:
+        allseq = allseq.unionByName(p)
+    w = Window.partitionBy("claim_id").orderBy(
+        F.round("score", 6).desc(), F.asc("suggestion")
+    )
+    out = (
+        allseq.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= topn)
+        .select("claim_id", "rank", "suggestion", "score")
+    )
+    return out

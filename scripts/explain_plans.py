@@ -760,6 +760,76 @@ def main():
         must_not=["CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin"],
     )
 
+    # 51. the new similarity trio shares the lm envelope: broadcast query
+    # terms onto the postings scan, one hash aggregate, WindowGroupLimit
+    from defactonlp_spark.operators.lm import (
+        score_axiomatic_f2exp,
+        score_dfi_chisq,
+        score_ib_spl,
+    )
+
+    for nm, df in [
+        ("dfi_chisq", score_dfi_chisq(postings, ctf_stats(postings), claim_terms(claims), 30000, k=5)),
+        ("ib_spl", score_ib_spl(postings, P.term_stats(postings), claim_terms(claims), 500, 60.0, k=5)),
+        ("axiomatic_f2exp", score_axiomatic_f2exp(postings, P.term_stats(postings), claim_terms(claims), 500, 60.0, k=5)),
+    ]:
+        ok &= check(
+            f"{nm} (broadcast qterms + agg)",
+            plan_of(df),
+            must=["BroadcastHashJoin", "HashAggregate", "WindowGroupLimit"],
+            must_not=["CartesianProduct", "SortMergeJoin"],
+        )
+
+    # 52. simple_query_string: clause relations BROADCAST onto the postings
+    # scan; never a nested loop even with the startswith prefix residual
+    # (the prefix join is against the Heaps-bounded dictionary)
+    from defactonlp_spark.operators.querystring import (
+        parse_simple_query_string,
+        score_query_string,
+    )
+    from defactonlp_spark.functions.tokenize import tokenize_tokens
+
+    toks_rel = tokenize_tokens(docs)
+    parsed = {0: parse_simple_query_string('merge +join "table hash" -stream quer*')}
+    # the phrase clause's match gate is a LeftSemi between two
+    # corpus-derived relations (scored postings x positional matches) — a
+    # shuffled SortMergeJoin is the CORRECT choice there (same contract as
+    # match_phrase_prefix above); clause lookups must still broadcast
+    ok &= check(
+        "query_string (broadcast clauses, one agg per family)",
+        plan_of(score_query_string(postings, P.term_stats(postings), toks_rel, parsed, 500, 60.0, k=5)),
+        must=["BroadcastHashJoin", "HashAggregate", "WindowGroupLimit", "LeftSemi"],
+        must_not=["CartesianProduct"],
+    )
+
+    # 53. string_stats: the char histogram is explode -> TWO-level hash
+    # aggregate with map-side combine; the per-group join of the tiny
+    # length/entropy relations must be broadcast
+    from defactonlp_spark.operators.analytics import string_stats
+
+    ok &= check(
+        "string_stats (explode + partial aggs, no sort-merge)",
+        plan_of(string_stats(docs, ["lang"], "text")),
+        must=["Generate", "HashAggregate"],
+        must_not=["CartesianProduct"],
+    )
+
+    # 54. phrase_suggest: candidate generation is a broadcast band-join
+    # against the dictionary; sequence chaining joins metadata-scale
+    # relations only; bigram lookup joins the frontier BROADCAST side
+    from defactonlp_spark.operators.analytics import token_bigrams
+    from defactonlp_spark.operators.expansion import phrase_suggest
+
+    bigc = token_bigrams(docs).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    ok &= check(
+        "phrase_suggest (broadcast candidates + bounded chain)",
+        plan_of(
+            phrase_suggest(ctf_stats(postings), bigc, [(0, "mrge join")], 30000)
+        ),
+        must=["BroadcastHashJoin", "WindowGroupLimit"],
+        must_not=["CartesianProduct"],
+    )
+
     print("\nPLANS " + ("OK" if ok else "NOT OK"))
     spark.stop()
     sys.exit(0 if ok else 1)
