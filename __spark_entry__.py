@@ -3537,6 +3537,55 @@ def q_phrase_suggest(spark, sf_dir):
     return res.select("claim_id", "suggestion", F.round("score", 6).alias("score"))
 
 
+def q_quality_linear(spark, sf_dir):
+    """Model-based quality filter (fastText/CCNet-classifier slot): linear
+    score over md5-hashed char 3-gram features with deterministic stand-in
+    weights, sigmoid of the 6dp-rounded mean — one Arrow kernel pass, no
+    gram explode (functions/textstats.py::quality_linear)."""
+    from defactonlp_spark.functions.textstats import quality_linear
+
+    res = quality_linear(_docs(spark, sf_dir))
+    return res.select(
+        "doc_id", "n_grams", F.round("quality_score", 6).alias("quality_score")
+    )
+
+
+def q_random_sampler_agg(spark, sf_dir):
+    """ES random_sampler aggregation, deterministic md5-hash tier: 10%
+    sample with inverse-probability corrected count
+    (operators/analytics.py::random_sampler)."""
+    from defactonlp_spark.operators.analytics import random_sampler
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    res = random_sampler(ev, "event_id", ["event_type"], "value", permille=100)
+    return res.select(
+        "event_type",
+        "n_sampled",
+        F.round("est_count", 6).alias("est_count"),
+        F.round("avg_value", 6).alias("avg_value"),
+    )
+
+
+def q_diversified_sample_stats(spark, sf_dir):
+    """ES diversified_sampler aggregation: walk the BM25 top-20 in rank
+    order keeping max 2 docs per source, stop at 10, then summarize the
+    diversified sample (operators/analytics.py::diversified_sampler)."""
+    from defactonlp_spark.operators.analytics import diversified_sampler
+    from defactonlp_spark.operators.bm25 import claim_terms, score_exhaustive
+    from defactonlp_spark.operators.postings import term_stats
+
+    p = _postings_cached(spark, sf_dir)
+    n_docs, avgdl = _engine_corpus_stats(p)
+    ranked = score_exhaustive(
+        p, term_stats(p), claim_terms(_claims_df(spark)), n_docs, avgdl, k=RRF_WINDOW
+    )
+    meta = _docs(spark, sf_dir).select("doc_id", "source")
+    res = diversified_sampler(ranked, meta, max_per_value=2, sample_size=10)
+    return res.select(
+        "claim_id", "n_sample", "n_values", F.round("avg_score", 4).alias("avg_score")
+    )
+
+
 def q_semdedup_keep_stats(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023) composed end-to-end over EMBEDDINGS:
     LSH-bucketed cosine near-dup pairs -> connected components -> keep the
@@ -3966,6 +4015,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_centroid_bounds": q_geo_centroid_bounds,
         "phrase_suggest": q_phrase_suggest,
         "semdedup_keep_stats": q_semdedup_keep_stats,
+        "quality_linear_scores": q_quality_linear,
+        "random_sampler_agg": q_random_sampler_agg,
+        "diversified_sample_stats": q_diversified_sample_stats,
         # ==== 50-entry window boundary: everything below keeps an older
         # driver record or waits for the round-5 window ====================
         # -- stale (last green in r02) ------------------------------------
@@ -7314,6 +7366,43 @@ SELECT source, count(*)::BIGINT AS n_docs,
        sum(CASE WHEN component_id = doc_id THEN 1 ELSE 0 END)::BIGINT AS n_kept,
        sum(CASE WHEN component_id <> doc_id THEN 1 ELSE 0 END)::BIGINT AS n_dropped
 FROM cl GROUP BY 1
+"""
+    d["quality_linear_scores"] = """
+WITH tl AS (SELECT doc_id, lower(text) AS t FROM documents),
+g AS (SELECT doc_id, unnest([t[i:i+2] for i in range(1, length(t)-1)]) AS g FROM tl),
+b AS (SELECT doc_id, (('0x' || substr(md5(g), 1, 8))::BIGINT % 64) AS bucket FROM g),
+w(bucket, wt) AS (VALUES (0, -0.376), (1, 0.591), (2, -0.275), (3, -0.286), (4, 0.685), (5, -0.467), (6, -0.481), (7, 0.416), (8, 0.534), (9, -0.956), (10, 0.173), (11, 0.476), (12, -0.18), (13, -0.732), (14, 0.544), (15, 0.477), (16, -0.952), (17, 0.52), (18, -0.013), (19, -0.394), (20, -0.235), (21, 0.981), (22, 0.112), (23, 0.183), (24, -0.015), (25, -0.153), (26, 0.233), (27, 0.144), (28, -0.791), (29, 0.305), (30, 0.349), (31, 0.11), (32, -0.119), (33, -0.89), (34, -0.297), (35, 0.03), (36, 0.795), (37, 0.987), (38, 0.213), (39, 0.356), (40, 0.055), (41, 0.14), (42, 0.456), (43, 0.42), (44, -0.011), (45, 0.62), (46, 0.725), (47, -0.277), (48, 0.905), (49, -0.835), (50, 0.839), (51, -0.985), (52, -0.843), (53, 0.866), (54, 0.096), (55, -0.89), (56, -0.445), (57, -0.34), (58, -0.542), (59, -0.744), (60, 0.24), (61, -0.198), (62, -0.966), (63, 0.814)),
+x AS (SELECT doc_id, count(*)::BIGINT AS n_grams, round(sum(wt) / count(*), 6) AS x
+      FROM b JOIN w ON w.bucket = b.bucket GROUP BY 1)
+SELECT d.doc_id, coalesce(x.n_grams, 0)::BIGINT AS n_grams,
+       round(CASE WHEN x.doc_id IS NULL THEN 0.5
+             ELSE 1.0 / (1.0 + exp(-x.x)) END, 6) AS quality_score
+FROM documents d LEFT JOIN x ON x.doc_id = d.doc_id
+"""
+    d["random_sampler_agg"] = """
+SELECT event_type, count(*)::BIGINT AS n_sampled,
+       round(count(*) * 10.0, 6) AS est_count,
+       round(avg(value), 6) AS avg_value
+FROM events
+WHERE (('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT % 1000) < 100
+GROUP BY 1
+"""
+    _div_ranked = _bm25_sql(toks, _CLAIMS_SQL, RRF_WINDOW, select="claim_id, doc_id, score, rn")
+    d["diversified_sample_stats"] = f"""
+WITH ranked AS ({_div_ranked}),
+div AS (
+  SELECT r.claim_id, r.doc_id, r.score, r.rn, d.source,
+         row_number() OVER (PARTITION BY r.claim_id, d.source ORDER BY r.rn) AS pv
+  FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+),
+pos AS (
+  SELECT *, row_number() OVER (PARTITION BY claim_id ORDER BY rn) AS pos
+  FROM div WHERE pv <= 2
+)
+SELECT claim_id::BIGINT AS claim_id, count(*)::BIGINT AS n_sample,
+       count(DISTINCT source)::BIGINT AS n_values,
+       round(avg(score), 4) AS avg_score
+FROM pos WHERE pos <= 10 GROUP BY 1
 """
     _adj_names = sorted(ADJ_FILTERS)
     _adj_flags = ", ".join(

@@ -451,3 +451,95 @@ def repetition_stats_sql(docs: DataFrame, id_col: str = "doc_id", text_col: str 
         top_bi.alias("top_bigram_frac"),
         dup5.alias("dup_5gram_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filter (fastText/CCNet-classifier slot)
+# ---------------------------------------------------------------------------
+
+QL_BUCKETS = 64
+
+
+def quality_weights(n_buckets: int = QL_BUCKETS) -> list[float]:
+    """Deterministic stand-in weights for the linear quality model:
+    w_b = ((int(md5(str(b))[:8], 16) % 2001) - 1000) / 1000 in [-1, 1].
+    A real deployment swaps in trained fastText/logistic weights — the
+    hashing, feature extraction, and scoring plumbing are identical."""
+    import hashlib
+
+    return [
+        ((int(hashlib.md5(str(b).encode()).hexdigest()[:8], 16) % 2001) - 1000) / 1000.0
+        for b in range(n_buckets)
+    ]
+
+
+def quality_linear(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_buckets: int = QL_BUCKETS,
+) -> DataFrame:
+    """fastText-style linear quality classifier over HASHED char n-gram
+    features (the model-based tier above the heuristic ``quality_score``;
+    CCNet pairs exactly this classifier shape with its LM filter):
+
+      bucket(g) = int(md5(g)[:8], 16) % n_buckets   over char n-grams of
+                  lower(text)
+      x         = mean over grams of w[bucket(g)]
+      score     = sigmoid(round(x, 6))              (x rounded BEFORE the
+                  sigmoid so both engines exponentiate bit-identical input
+                  — the doc_perplexity convention)
+
+    Docs with no grams (NULL or shorter than n chars) score exactly 0.5 —
+    the uninformative-prior midpoint. -> (doc_id, n_grams, quality_score).
+
+    Scale shape: ONE Arrow-batched kernel pass, no explode — the n-gram
+    bag never leaves the batch (at 10^12 docs an exploded gram relation
+    would be ~10^15 rows; the kernel is the fastText execution model). The
+    DuckDB twin explodes (fine at oracle scale) and recomputes the same
+    hash/weights.
+    """
+    import hashlib
+
+    w = quality_weights(n_buckets)
+    id_field = docs.schema[id_col]
+    schema = StructType(
+        [
+            StructField(id_field.name, id_field.dataType),
+            StructField("n_grams", LongType()),
+            StructField("quality_score", DoubleType()),
+        ]
+    )
+
+    def kern(batches):
+        import math
+
+        for pdf in batches:
+            ngrams_out, score_out = [], []
+            for t in pdf["_text"]:
+                if t is None or len(t) < n:
+                    ngrams_out.append(0)
+                    score_out.append(0.5)
+                    continue
+                t = t.lower()
+                total = 0.0
+                cnt = len(t) - n + 1
+                for i in range(cnt):
+                    b = int(hashlib.md5(t[i : i + n].encode("utf-8")).hexdigest()[:8], 16) % n_buckets
+                    total += w[b]
+                x = round(total / cnt, 6)
+                ngrams_out.append(cnt)
+                score_out.append(1.0 / (1.0 + math.exp(-x)))
+            yield pd.DataFrame(
+                {
+                    id_field.name: pdf[id_field.name],
+                    "n_grams": pd.array(ngrams_out, dtype="Int64"),
+                    "quality_score": score_out,
+                }
+            )
+
+    prepared = floor_parallelism(
+        docs.select(F.col(id_col), F.col(text_col).alias("_text"))
+    )
+    return prepared.mapInPandas(kern, schema)

@@ -1104,3 +1104,79 @@ def auto_date_histogram(
         .withColumn("interval_sec", F.lit(interval).cast("long"))
         .select("interval_sec", "bucket_start", "doc_count", "sum_value")
     )
+
+
+def random_sampler(
+    df: DataFrame,
+    id_col: str,
+    group_cols: list[str],
+    value_col: str,
+    permille: int = 100,
+) -> DataFrame:
+    """ES ``random_sampler`` aggregation, deterministic tier: sample rows
+    whose md5-hash bucket (of 1000) falls below ``permille``, compute the
+    sub-aggregations on the sample, and report the inverse-probability
+    corrected count (the ES estimator). Hash sampling — not rand() — so
+    the sample is reproducible across engines, retries, and partitionings;
+    ES seeds its PRNG for the same reason.
+
+      bucket(id) = int(md5(id)[:8], 16) % 1000;  keep bucket < permille
+
+    -> (group_cols..., n_sampled, est_count, avg_value). One scan with a
+    codegen'd hash filter + one hash aggregate; the filter prunes before
+    the shuffle so the agg sees permille/1000 of the rows.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000
+    )
+    factor = 1000.0 / float(permille)
+    return (
+        df.filter(bucket < permille)
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sampled"),
+            F.avg(F.col(value_col).cast("double")).alias("avg_value"),
+        )
+        .select(
+            *group_cols,
+            "n_sampled",
+            (F.col("n_sampled") * F.lit(factor)).alias("est_count"),
+            "avg_value",
+        )
+    )
+
+
+def diversified_sampler(
+    ranked: DataFrame,
+    meta: DataFrame,
+    key_col: str = "source",
+    max_per_value: int = 2,
+    sample_size: int = 10,
+) -> DataFrame:
+    """ES ``diversified_sampler`` aggregation: walk a retrieval ranking in
+    rank order, keep at most ``max_per_value`` docs per ``key_col`` value
+    (host-crowding de-duplication), stop at ``sample_size``, then compute
+    the sub-aggregations on the diversified sample.
+
+    ``ranked``: any (claim_id, rank, doc_id, score) retrieval output;
+    ``meta``: (doc_id, key_col) — corpus-sized, so the TINY ranked relation
+    broadcasts onto it (never the reverse). Two metadata-scale windows pick
+    the sample; one aggregate summarizes it.
+    -> (claim_id, n_sample, n_values, avg_score)
+    """
+    j = meta.select("doc_id", key_col).join(F.broadcast(ranked), "doc_id", "inner")
+    wv = Window.partitionBy("claim_id", key_col).orderBy(F.asc("rank"))
+    ws = Window.partitionBy("claim_id").orderBy(F.asc("rank"))
+    sample = (
+        j.withColumn("_per_v", F.row_number().over(wv))
+        .filter(F.col("_per_v") <= max_per_value)
+        .withColumn("_pos", F.row_number().over(ws))
+        .filter(F.col("_pos") <= sample_size)
+    )
+    return sample.groupBy("claim_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sample"),
+        F.countDistinct(key_col).cast("long").alias("n_values"),
+        F.avg("score").alias("avg_score"),
+    )

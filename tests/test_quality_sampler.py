@@ -1,0 +1,96 @@
+"""Model-based quality filter + ES sampler aggregations — pure-Python
+replays of the pinned specs."""
+
+import hashlib
+import math
+
+import pytest
+
+from defactonlp_spark.functions.textstats import (
+    QL_BUCKETS,
+    quality_linear,
+    quality_weights,
+)
+from defactonlp_spark.operators.analytics import diversified_sampler, random_sampler
+
+
+def py_quality(text, n=3, n_buckets=QL_BUCKETS):
+    w = quality_weights(n_buckets)
+    if text is None or len(text) < n:
+        return 0, 0.5
+    t = text.lower()
+    cnt = len(t) - n + 1
+    x = round(
+        sum(
+            w[int(hashlib.md5(t[i : i + n].encode()).hexdigest()[:8], 16) % n_buckets]
+            for i in range(cnt)
+        )
+        / cnt,
+        6,
+    )
+    return cnt, 1.0 / (1.0 + math.exp(-x))
+
+
+def test_quality_weights_deterministic_and_bounded():
+    w = quality_weights()
+    assert len(w) == QL_BUCKETS
+    assert all(-1.0 <= x <= 1.0 for x in w)
+    assert w == quality_weights()  # pure function of the bucket index
+
+
+def test_quality_linear_matches_replay(spark):
+    texts = {
+        0: "The quick brown fox jumps over the lazy dog",
+        1: "aaaaaaaaaaaaaaaaaaaaaa",
+        2: "Mixed CASE Text With Punctuation!!!",
+        3: "ab",           # shorter than n -> 0.5
+        4: None,            # NULL -> 0.5
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in quality_linear(df).collect()}
+    for d, t in texts.items():
+        n, s = py_quality(t)
+        assert got[d]["n_grams"] == n, d
+        assert got[d]["quality_score"] == pytest.approx(s, rel=1e-12), d
+    assert got[3]["quality_score"] == 0.5 and got[4]["quality_score"] == 0.5
+
+
+def test_random_sampler_matches_hash_replay(spark):
+    rows = [(i, "t" if i % 2 else "u", float(i)) for i in range(500)]
+    df = spark.createDataFrame(rows, "event_id long, grp string, value double")
+    permille = 200
+    got = {r["grp"]: r for r in random_sampler(df, "event_id", ["grp"], "value", permille).collect()}
+    by_grp: dict = {}
+    for i, g, v in rows:
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1000 < permille:
+            by_grp.setdefault(g, []).append(v)
+    for g, vals in by_grp.items():
+        assert got[g]["n_sampled"] == len(vals)
+        assert got[g]["est_count"] == pytest.approx(len(vals) * 5.0)
+        assert got[g]["avg_value"] == pytest.approx(sum(vals) / len(vals))
+    # determinism: second run identical
+    again = {r["grp"]: r["n_sampled"] for r in random_sampler(df, "event_id", ["grp"], "value", permille).collect()}
+    assert again == {g: r["n_sampled"] for g, r in got.items()}
+
+
+def test_diversified_sampler_walk_replay(spark):
+    # one claim: 8 ranked docs across 3 sources; max 2 per source, size 5
+    ranked_rows = [(1, r, 100 + r, 10.0 - r) for r in range(1, 9)]
+    meta_rows = [(100 + r, ["s1", "s1", "s1", "s2", "s2", "s2", "s3", "s3"][r - 1]) for r in range(1, 9)]
+    ranked = spark.createDataFrame(ranked_rows, "claim_id long, rank int, doc_id long, score double")
+    meta = spark.createDataFrame(meta_rows, "doc_id long, source string")
+    got = diversified_sampler(ranked, meta, max_per_value=2, sample_size=5).collect()[0]
+    # python walk: keep ranks 1,2 (s1), 4,5 (s2), 7 (s3) -> size 5
+    kept = []
+    per = {}
+    for cid, r, d, s in ranked_rows:
+        src = dict(meta_rows)[d]
+        if per.get(src, 0) < 2:
+            per[src] = per.get(src, 0) + 1
+            kept.append((r, src, s))
+        if len(kept) == 5:
+            break
+    assert got["n_sample"] == 5
+    assert got["n_values"] == len({src for _, src, _ in kept})
+    assert got["avg_score"] == pytest.approx(sum(s for _, _, s in kept) / 5)
+    assert [r for r, _, _ in kept] == [1, 2, 4, 5, 7]
