@@ -3361,6 +3361,9 @@ def q_extended_stats(spark, sf_dir):
 LM_LAMBDA = 0.1
 RRF_WINDOW, RRF_K, RRF_CONST = 20, 10, 60
 AUTO_DH_TARGET = 20
+# pinned-query fixture: per-claim promoted doc ids in pin order; doc 11 and
+# 42 are unlikely organic top-10 members, exercising the unmatched-pin path
+PINNED_DOCS = [(0, 7, 1), (0, 11, 2), (1, 3, 1), (2, 42, 1), (2, 5, 2)]
 # phrase-suggester fixture: one-edit typos over the corpus vocabulary, one
 # already-correct input (suggests itself), one hopeless OOV (no rows)
 SUGGEST_INPUTS = [
@@ -3535,6 +3538,30 @@ def q_phrase_suggest(spark, sf_dir):
     )
     res = phrase_suggest(ctf_stats(p), big, SUGGEST_INPUTS, total)
     return res.select("claim_id", "suggestion", F.round("score", 6).alias("score"))
+
+
+def q_pinned_topk(spark, sf_dir):
+    """ES pinned query / searchable query rules: promote the fixture's
+    pinned docs to the top in pin order (even when the organic BM25 query
+    did not match them), fill with organic-minus-pinned
+    (operators/bm25.py::apply_pinned)."""
+    from defactonlp_spark.operators.bm25 import apply_pinned, claim_terms, score_exhaustive
+    from defactonlp_spark.operators.postings import term_stats
+
+    p = _postings_cached(spark, sf_dir)
+    n_docs, avgdl = _engine_corpus_stats(p)
+    organic = score_exhaustive(
+        p, term_stats(p), claim_terms(_claims_df(spark)), n_docs, avgdl, k=RRF_K
+    )
+    pins = spark.createDataFrame(PINNED_DOCS, "claim_id long, doc_id long, pin_pos int")
+    res = apply_pinned(organic, pins, k=RRF_K)
+    return res.select(
+        "claim_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        "pinned",
+        F.round("score", 4).alias("score"),
+    )
 
 
 def q_quality_linear(spark, sf_dir):
@@ -4015,6 +4042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_centroid_bounds": q_geo_centroid_bounds,
         "phrase_suggest": q_phrase_suggest,
         "semdedup_keep_stats": q_semdedup_keep_stats,
+        "pinned_topk": q_pinned_topk,
         "quality_linear_scores": q_quality_linear,
         "random_sampler_agg": q_random_sampler_agg,
         "diversified_sample_stats": q_diversified_sample_stats,
@@ -7403,6 +7431,31 @@ SELECT claim_id::BIGINT AS claim_id, count(*)::BIGINT AS n_sample,
        count(DISTINCT source)::BIGINT AS n_values,
        round(avg(score), 4) AS avg_score
 FROM pos WHERE pos <= 10 GROUP BY 1
+"""
+    _pin_ranked = _bm25_sql(toks, _CLAIMS_SQL, RRF_K, select="claim_id, doc_id, score, rn")
+    d["pinned_topk"] = f"""
+WITH ranked AS ({_pin_ranked}),
+pins(claim_id, doc_id, pin_pos) AS (VALUES (0, 7, 1), (0, 11, 2), (1, 3, 1), (2, 42, 1), (2, 5, 2)),
+p AS (
+  SELECT pins.claim_id, pins.doc_id, TRUE AS pinned,
+         coalesce(r.score, 0.0) AS score, 0 AS tier, pins.pin_pos::BIGINT AS ord
+  FROM pins LEFT JOIN ranked r
+    ON r.claim_id = pins.claim_id AND r.doc_id = pins.doc_id
+),
+o AS (
+  SELECT r.claim_id, r.doc_id, FALSE AS pinned, r.score, 1 AS tier, r.rn::BIGINT AS ord
+  FROM ranked r ANTI JOIN pins
+    ON pins.claim_id = r.claim_id AND pins.doc_id = r.doc_id
+),
+u AS (SELECT * FROM p UNION ALL SELECT * FROM o),
+rk AS (
+  SELECT claim_id, doc_id, pinned, score,
+         row_number() OVER (PARTITION BY claim_id ORDER BY tier, ord, doc_id) AS rank
+  FROM u
+)
+SELECT claim_id::BIGINT AS claim_id, rank::BIGINT AS rank, doc_id::BIGINT AS doc_id,
+       pinned, round(score, 4) AS score
+FROM rk WHERE rank <= {RRF_K}
 """
     _adj_names = sorted(ADJ_FILTERS)
     _adj_flags = ", ".join(

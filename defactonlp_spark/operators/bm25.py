@@ -895,3 +895,57 @@ def score_terms_set(
         .filter(F.col("rank") <= k)
         .select("claim_id", "rank", "doc_id", "score")
     )
+
+
+def apply_pinned(
+    organic: DataFrame,
+    pins: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """The ES ``pinned`` query (searchable query rules): promote specific
+    doc ids to the TOP of a claim's results in the given pin order,
+    regardless of organic score, then fill with the organic ranking minus
+    the pinned docs.
+
+    ``organic``: any (claim_id, rank, doc_id, score) retrieval output;
+    ``pins``: (claim_id, doc_id, pin_pos) — pinned docs appear even when
+    the organic query did not match them (ES retrieves them by id); their
+    reported score is the organic score when matched, else 0.0 (ES uses a
+    sentinel max-score; 0.0 keeps the column comparable).
+
+    Plan: pins are metadata-scale and broadcast both ways — one left join
+    for scores, one anti join to dedupe the organic tail, one window.
+    -> (claim_id, rank, doc_id, pinned, score)
+    """
+    pinned_rows = (
+        # both relations are query-sized; the scores side (right of the left
+        # join) is the broadcastable one — hinting the outer side is invalid
+        pins
+        .join(F.broadcast(organic.select("claim_id", "doc_id", "score")), ["claim_id", "doc_id"], "left")
+        .select(
+            "claim_id",
+            "doc_id",
+            F.lit(True).alias("pinned"),
+            F.coalesce(F.col("score"), F.lit(0.0)).alias("score"),
+            F.lit(0).alias("_tier"),
+            F.col("pin_pos").cast("long").alias("_ord"),
+        )
+    )
+    organic_rows = (
+        organic.join(F.broadcast(pins.select("claim_id", "doc_id")), ["claim_id", "doc_id"], "left_anti")
+        .select(
+            "claim_id",
+            "doc_id",
+            F.lit(False).alias("pinned"),
+            "score",
+            F.lit(1).alias("_tier"),
+            F.col("rank").cast("long").alias("_ord"),
+        )
+    )
+    w = Window.partitionBy("claim_id").orderBy(F.asc("_tier"), F.asc("_ord"), F.asc("doc_id"))
+    return (
+        pinned_rows.unionByName(organic_rows)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("claim_id", "rank", "doc_id", "pinned", "score")
+    )

@@ -94,3 +94,37 @@ def test_diversified_sampler_walk_replay(spark):
     assert got["n_values"] == len({src for _, src, _ in kept})
     assert got["avg_score"] == pytest.approx(sum(s for _, _, s in kept) / 5)
     assert [r for r, _, _ in kept] == [1, 2, 4, 5, 7]
+
+
+def test_apply_pinned_order_and_fill(spark):
+    from defactonlp_spark.operators.bm25 import apply_pinned
+
+    organic = spark.createDataFrame(
+        [(1, r, 100 + r, 10.0 - r) for r in range(1, 6)],
+        "claim_id long, rank int, doc_id long, score double",
+    )
+    # pin 104 first, then 999 (NOT in organic), then 101
+    pins = spark.createDataFrame(
+        [(1, 104, 1), (1, 999, 2), (1, 101, 3)],
+        "claim_id long, doc_id long, pin_pos int",
+    )
+    got = sorted(apply_pinned(organic, pins, k=6).collect(), key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in got] == [104, 999, 101, 102, 103, 105]
+    assert [r["pinned"] for r in got] == [True, True, True, False, False, False]
+    assert got[0]["score"] == 6.0      # organic score carried onto the pin
+    assert got[1]["score"] == 0.0      # unmatched pin scores 0
+    # organic tail keeps its own order and never repeats a pinned doc
+    assert [r["doc_id"] for r in got if not r["pinned"]] == [102, 103, 105]
+
+
+def test_apply_pinned_no_pins_is_identity(spark):
+    from defactonlp_spark.operators.bm25 import apply_pinned
+
+    organic = spark.createDataFrame(
+        [(1, r, 100 + r, 10.0 - r) for r in range(1, 4)],
+        "claim_id long, rank int, doc_id long, score double",
+    )
+    pins = spark.createDataFrame([], "claim_id long, doc_id long, pin_pos int")
+    got = sorted(apply_pinned(organic, pins, k=3).collect(), key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in got] == [101, 102, 103]
+    assert not any(r["pinned"] for r in got)
