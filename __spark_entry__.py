@@ -3013,10 +3013,13 @@ def q_ann_method_eval(spark, sf_dir):
 def q_drqa_tfidf_topk_hashed(spark, sf_dir):
     """A5 runtime artifact: DrQA-parity retrieval in the EXACT hashed term
     space (vectorized murmur3_32, seed 0, sklearn semantics, % 2^24 —
-    functions/mmh3.py; collisions merge tf exactly as in DrQA's CSR). No
-    SQL oracle: DuckDB has no murmur3; the hash itself is pinned against
-    hand-computed sklearn values in tests/test_mmh3.py and the unhashed
-    twin `drqa_tfidf_topk` is fully oracle-checked."""
+    functions/mmh3.py; collisions merge tf exactly as in DrQA's CSR).
+    FULLY twinned since round 4 continuation: the oracle generator
+    verifies the corpus vocabulary is collision-free under
+    murmur3_32 %% 2^24, under which the hashed retrieval is
+    feature-identical to the unhashed pipeline — so the unhashed twin IS
+    the oracle; the hash itself stays pinned against hand-computed
+    sklearn values in tests/test_mmh3.py."""
     from defactonlp_spark.operators.drqa import drqa_closest_docs
 
     res = drqa_closest_docs(_docs(spark, sf_dir), _claims_df(spark), k=TOPK, hash_mode="murmur")
@@ -3061,10 +3064,14 @@ def q_source_stats(spark, sf_dir):
 
 def q_ivf_ann_topk(spark, sf_dir):
     """Approximate nearest neighbors via IVF (learned k-means coarse
-    quantizer, n_probe nearest cells, exact cosine rescoring). No SQL
-    oracle BY DESIGN — probabilistic candidate set; pytest proves recall
-    vs the exact brute-force baseline and bit-equal cosines on returned
-    candidates (test_pipeline_ops.py::test_ivf_ann_vs_bruteforce)."""
+    quantizer, n_probe nearest cells, exact cosine rescoring). FULLY
+    twinned since round 4 continuation: ivf_train is deterministic
+    (strided init + fixed Lloyd iterations over the id-sorted sample), so
+    the learned centroids inline into SQL like the LSH hyperplanes and
+    cells/probes are recomputed in DuckDB — emitted only when every
+    cell/probe decision clears a 1e-9 float margin at generation time.
+    pytest additionally proves recall vs the exact brute-force baseline
+    (test_pipeline_ops.py::test_ivf_ann_vs_bruteforce)."""
     from defactonlp_spark.operators.similarity import ivf_ann_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -7537,4 +7544,102 @@ FROM (SELECT *, row_number() OVER (PARTITION BY sugg_id
         ORDER BY n DESC, w2) AS rank FROM cand)
 WHERE rank <= {SAYT_K}
 """
+    # drqa_tfidf_topk_hashed: DuckDB has no murmur3, but the hashed mode
+    # differs from the unhashed pipeline ONLY through hash-id collisions
+    # (colliding terms merge tf, sklearn semantics). When the corpus
+    # vocabulary is verified collision-free under murmur3_32 % 2^24 — checked
+    # HERE at generation time against the driver's sf0.01 corpus — the hashed
+    # retrieval is feature-identical to the unhashed one, so the fully-checked
+    # unhashed twin IS its oracle. The hash function itself stays pinned by
+    # tests/test_mmh3.py (hand-computed sklearn parity values). If the corpus
+    # is unreadable or ever collides, the entry falls back to rows-only.
+    try:
+        import duckdb as _dd
+        import numpy as _np
+
+        from defactonlp_spark.functions.mmh3 import murmur3_32 as _mm
+
+        _vocab = [
+            r[0]
+            for r in _dd.sql(
+                "SELECT DISTINCT unnest(list_filter(regexp_split_to_array("
+                "lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term "
+                "FROM '/root/testdata/sf0.01/documents.parquet'"
+            ).fetchall()
+        ]
+        _hids = _mm(_np.array(_vocab, dtype=object)) % (2**24)
+        if len(set(_hids.tolist())) == len(_vocab):
+            d["drqa_tfidf_topk_hashed"] = d["drqa_tfidf_topk"]
+    except Exception:
+        pass
+    # ivf_ann_topk: the coarse quantizer is a LEARNED but DETERMINISTIC model
+    # (ivf_train_np: strided init + fixed Lloyd iterations over the id-sorted
+    # sample), so the centroids inline into SQL exactly like the LSH
+    # hyperplanes; cell assignment (argmax dot) and probe selection (top-4
+    # dots, stable ties) are recomputed IN SQL. Emitted only when every
+    # cell/probe decision has a float margin > 1e-9 at generation time —
+    # libm/BLAS drift is ~1e-14, so no boundary can flip cross-engine; on a
+    # corpus where margins collapse the entry falls back to rows-only.
+    try:
+        import duckdb as _dd
+        import numpy as _np
+
+        from defactonlp_spark.operators.similarity import ivf_train_np as _ivt
+
+        _emb = _dd.sql(
+            "SELECT embedding FROM '/root/testdata/sf0.01/embeddings.parquet' "
+            "ORDER BY vec_id"
+        ).fetchall()
+        _mat = _np.array([r[0] for r in _emb], dtype=_np.float64)
+        _cents = _ivt(_mat, 16, 5)
+        _nrm = _np.linalg.norm(_mat, axis=1, keepdims=True)
+        _nrm[_nrm == 0.0] = 1.0
+        _dots = (_mat / _nrm) @ _cents.T
+        _srt = -_np.sort(-_dots, axis=1)
+        _cell_margin = float(_np.min(_srt[:, 0] - _srt[:, 1]))
+        _qrows = _srt[[0, 1, 2, 3, 4], :]
+        _probe_margin = float(_np.min(_qrows[:, 3] - _qrows[:, 4]))
+        if _cell_margin > 1e-9 and _probe_margin > 1e-9:
+            _cl = ", ".join(
+                f"({i}, [" + ", ".join(repr(x) for x in c) + "]::DOUBLE[])"
+                for i, c in enumerate(_cents)
+            )
+            d["ivf_ann_topk"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cl(ci, c) AS (VALUES {_cl}),
+n AS (SELECT vec_id, v,
+             CASE WHEN sqrt(list_dot_product(v, v)) = 0.0 THEN 1.0
+                  ELSE sqrt(list_dot_product(v, v)) END AS nrm
+      FROM e),
+h AS (SELECT vec_id, v, list_transform(v, x -> x / nrm) AS vh FROM n),
+dt AS (SELECT h.vec_id, h.v, cl.ci, list_dot_product(h.vh, cl.c) AS d
+       FROM h CROSS JOIN cl),
+cells AS (
+  SELECT vec_id, v, ci AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, ci) AS rn
+    FROM dt) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, v AS qv, ci AS probe FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, ci) AS rn
+    FROM dt WHERE vec_id IN (0, 1, 2, 3, 4)) WHERE rn <= 4
+),
+cand AS (
+  SELECT p.query_id, p.qv, c.vec_id, c.v
+  FROM probes p JOIN cells c ON c.cell = p.probe AND c.vec_id <> p.query_id
+),
+scored AS (
+  SELECT query_id, vec_id,
+         round(list_dot_product(qv, v)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos
+  FROM cand
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
+       vec_id::BIGINT AS vec_id, cos
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cos DESC, vec_id) AS rank FROM scored)
+WHERE rank <= 10
+"""
+    except Exception:
+        pass
     return d

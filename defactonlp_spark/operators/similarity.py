@@ -375,7 +375,17 @@ def ivf_train(
         .limit(sample_rows)
         .toPandas()
     )
-    mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    return ivf_train_np(np.stack(pdf[vec_col].to_numpy()).astype(np.float64),
+                        n_centroids, n_iters)
+
+
+def ivf_train_np(mat: np.ndarray, n_centroids: int = 16, n_iters: int = 5) -> np.ndarray:
+    """Numpy core of :func:`ivf_train` over an id-sorted sample matrix —
+    factored out so the DuckDB oracle can learn the IDENTICAL quantizer
+    from the same rows (the inlined-constants convention the LSH
+    hyperplanes use, applied to a LEARNED model: deterministic init,
+    deterministic iteration, so the centroids are pure functions of the
+    sample)."""
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     # deterministic init: evenly strided rows of the id-sorted sample
     idx = np.linspace(0, len(mat) - 1, n_centroids).astype(np.int64)
