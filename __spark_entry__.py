@@ -3371,6 +3371,7 @@ AUTO_DH_TARGET = 20
 # pinned-query fixture: per-claim promoted doc ids in pin order; doc 11 and
 # 42 are unlikely organic top-10 members, exercising the unmatched-pin path
 PINNED_DOCS = [(0, 7, 1), (0, 11, 2), (1, 3, 1), (2, 42, 1), (2, 5, 2)]
+BBQ_QUERY_IDS, BBQ_FETCH_K = [0, 1, 2, 3, 4], 50
 # phrase-suggester fixture: one-edit typos over the corpus vocabulary, one
 # already-correct input (suggests itself), one hopeless OOV (no rows)
 SUGGEST_INPUTS = [
@@ -3545,6 +3546,25 @@ def q_phrase_suggest(spark, sf_dir):
     )
     res = phrase_suggest(ctf_stats(p), big, SUGGEST_INPUTS, total)
     return res.select("claim_id", "suggestion", F.round("score", 6).alias("score"))
+
+
+def q_bbq_ann_topk(spark, sf_dir):
+    """BBQ-style binary-quantized ANN (the ES 8.16 default storage idea at
+    its simplest honest tier): sign bits packed into ONE int64 per vector,
+    Hamming candidate generation via xor+bit_count over the 8-byte bit
+    column, exact cosine rescore of the top fetch_k
+    (operators/similarity.py::bq_ann_topk)."""
+    from defactonlp_spark.operators.similarity import bq_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    res = bq_ann_topk(emb, BBQ_QUERY_IDS, k=RRF_K, fetch_k=BBQ_FETCH_K)
+    return res.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "vec_id",
+        F.col("hamming").cast("long").alias("hamming"),
+        "cos",
+    )
 
 
 def q_pinned_topk(spark, sf_dir):
@@ -4049,6 +4069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_centroid_bounds": q_geo_centroid_bounds,
         "phrase_suggest": q_phrase_suggest,
         "semdedup_keep_stats": q_semdedup_keep_stats,
+        "bbq_ann_topk": q_bbq_ann_topk,
         "pinned_topk": q_pinned_topk,
         "quality_linear_scores": q_quality_linear,
         "random_sampler_agg": q_random_sampler_agg,
@@ -7463,6 +7484,32 @@ rk AS (
 SELECT claim_id::BIGINT AS claim_id, rank::BIGINT AS rank, doc_id::BIGINT AS doc_id,
        pinned, round(score, 4) AS score
 FROM rk WHERE rank <= {RRF_K}
+"""
+    _bbq_qids = ", ".join(str(i) for i in BBQ_QUERY_IDS)
+    d["bbq_ann_topk"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({_bbq_qids})),
+ham AS (
+  SELECT q.query_id, q.qv, e.vec_id, e.v,
+         list_sum(list_transform(range(1, len(e.v) + 1),
+           i -> CASE WHEN (e.v[i] > 0) <> (q.qv[i] > 0) THEN 1 ELSE 0 END))::BIGINT AS hamming
+  FROM q JOIN e ON e.vec_id <> q.query_id
+),
+cand AS (
+  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY hamming, vec_id) AS rk FROM ham) WHERE rk <= {BBQ_FETCH_K}
+),
+scored AS (
+  SELECT query_id, vec_id, hamming,
+         round(list_dot_product(qv, v)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos
+  FROM cand
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
+       vec_id::BIGINT AS vec_id, hamming, cos
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cos DESC, vec_id) AS rank FROM scored)
+WHERE rank <= {RRF_K}
 """
     _adj_names = sorted(ADJ_FILTERS)
     _adj_flags = ", ".join(

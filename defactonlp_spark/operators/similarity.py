@@ -838,3 +838,87 @@ def cosine_topk_filtered(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", F.col(id_col).alias("vec_id"), "cos")
     )
+
+
+def bq_encode(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "bits",
+) -> DataFrame:
+    """Binary quantization (the ES 8.16 BBQ / RaBitQ storage idea at its
+    simplest honest tier): 1 bit per dimension — bit_d = (v_d > 0), packed
+    into ONE int64 for dim <= 64 (32x smaller than float32; the whole
+    10^12-vector bit index is ~8 TB and scan-able). Pinned sign rule:
+    strictly positive -> 1, zero or negative -> 0, computed on the RAW
+    vector (normalization never changes signs).
+
+    Entirely JVM-side: aggregate over (value, index) pairs OR-ing shifted
+    bits — no UDF, codegen end to end. Dims past 64 raise (this tier packs
+    one word; multi-word packing is a storage-layout variant, not new
+    semantics)."""
+    dim_probe = F.size(F.col(vec_col))
+    # SQL form: the Python F.shiftleft only takes a literal shift count,
+    # the SQL function takes an expression (the lambda's index)
+    bits = F.expr(
+        f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
+        f"(v, i) -> IF(v > 0, shiftleft(1L, i), 0L)), 0L, (acc, x) -> acc | x)"
+    )
+    guarded = F.when(dim_probe <= 64, bits)
+    return embeddings.select(
+        F.col(id_col), F.col(vec_col), guarded.alias(out_col)
+    )
+
+
+def bq_ann_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    fetch_k: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """BBQ-style two-phase ANN: Hamming candidate generation over the
+    packed sign bits (one xor + bit_count per pair — the binary index is
+    what gets brute-force scanned, 8 bytes/vector), then EXACT cosine
+    rescoring of the top ``fetch_k`` candidates per query (the ES BBQ
+    oversample-and-rescore contract).
+
+    Candidate ranking pinned (hamming asc, vec_id asc); final ranking
+    (round(cos, 6) desc, vec_id asc) — the same tail as every other ANN
+    path here, so precision on returned candidates is exact.
+    -> (query_id, rank, vec_id, hamming, cos)
+
+    Plan: the |Q|-row query-bit relation broadcasts onto ONE scan of the
+    bit column; per-query WindowGroupLimit keeps fetch_k; only those
+    candidates touch the full float vectors (second broadcast join by id).
+    """
+    enc = bq_encode(embeddings, id_col=id_col, vec_col=vec_col)
+    qbits = enc.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col("bits").alias("qbits"),
+    )
+    ham = (
+        enc.select(id_col, "bits")
+        .join(F.broadcast(qbits), F.col(id_col) != F.col("query_id"), "inner")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("bits").bitwiseXOR(F.col("qbits"))).cast("int"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc(id_col))
+    cand = (
+        ham.withColumn("_rk", F.row_number().over(wc))
+        .filter(F.col("_rk") <= fetch_k)
+        .select("query_id", "qvec", id_col, "hamming")
+    )
+    rescored = cand.join(
+        embeddings.select(F.col(id_col), F.col(vec_col).alias("_v")), id_col, "inner"
+    ).withColumn("cos", F.round(cosine_expr(F.col("qvec"), F.col("_v")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", F.col(id_col).alias("vec_id"), "hamming", "cos")
+    )

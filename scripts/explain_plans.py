@@ -830,6 +830,20 @@ def main():
         must_not=["CartesianProduct"],
     )
 
+    # 55. bbq ANN: candidate generation is a BroadcastNestedLoopJoin BY
+    # DESIGN — the |Q|-row query-bit relation broadcasts onto one scan of
+    # the 8-byte bit column (vec_id != query_id is non-equi); the exact
+    # rescore joins candidates back by id as a BroadcastHashJoin
+    from defactonlp_spark.operators.similarity import bq_ann_topk
+
+    emb2 = spark.read.parquet(f"{SF}/embeddings.parquet")
+    ok &= check(
+        "bbq_ann (bit scan BNLJ + broadcast rescore + group limits)",
+        plan_of(bq_ann_topk(emb2, [0, 1], k=5, fetch_k=20)),
+        must=["BroadcastNestedLoopJoin", "BroadcastHashJoin", "WindowGroupLimit", "bit_count"],
+        must_not=["CartesianProduct", "SortMergeJoin"],
+    )
+
     print("\nPLANS " + ("OK" if ok else "NOT OK"))
     spark.stop()
     sys.exit(0 if ok else 1)

@@ -128,3 +128,67 @@ def test_apply_pinned_no_pins_is_identity(spark):
     got = sorted(apply_pinned(organic, pins, k=3).collect(), key=lambda r: r["rank"])
     assert [r["doc_id"] for r in got] == [101, 102, 103]
     assert not any(r["pinned"] for r in got)
+
+
+# ------------------------------------------------------------------ bbq --
+
+
+def test_bq_encode_matches_python_bits(spark):
+    import numpy as np
+    from defactonlp_spark.operators.similarity import bq_encode
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(20, 64)
+    vecs[0, :] = 0.0           # all-zero vector -> bits 0
+    vecs[1, 5] = 0.0           # a zero dim -> bit 0
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["bits"] for r in bq_encode(df).collect()}
+    for i in range(20):
+        want = 0
+        for d in range(64):
+            if vecs[i, d] > 0:
+                want |= 1 << d
+        # compare as unsigned against the signed int64 the engine packs
+        assert got[i] & 0xFFFFFFFFFFFFFFFF == want & 0xFFFFFFFFFFFFFFFF, i
+    assert got[0] == 0
+
+
+def test_bq_ann_matches_replay_and_recall(spark):
+    import numpy as np
+    from defactonlp_spark.operators.similarity import bq_ann_topk, cosine_topk
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(8, 64)
+    # 100 vectors clustered around 8 anchors -> sign bits correlate with
+    # cosine, so Hamming candidates capture the true neighbors
+    vecs = np.vstack([base[i % 8] + 0.15 * rng.randn(64) for i in range(100)])
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qids = [0, 1, 2]
+    got = bq_ann_topk(df, qids, k=5, fetch_k=40).collect()
+    by_q: dict = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r)
+    # python replay: hamming candidates then exact rescore
+    bits = [(int((vecs[i] > 0).astype(np.uint64) @ (1 << np.arange(64, dtype=np.uint64)))) for i in range(100)]
+    for q in qids:
+        hams = sorted(
+            ((bin(bits[q] ^ bits[i]).count("1"), i) for i in range(100) if i != q)
+        )[:40]
+        cand = [i for _, i in hams]
+        cos = {
+            i: round(float(vecs[q] @ vecs[i] / (np.linalg.norm(vecs[q]) * np.linalg.norm(vecs[i]))), 6)
+            for i in cand
+        }
+        want = sorted(cand, key=lambda i: (-cos[i], i))[:5]
+        assert [r["vec_id"] for r in by_q[q]] == want, q
+        for r in by_q[q]:
+            assert r["cos"] == pytest.approx(cos[r["vec_id"]], abs=2e-6)
+    # recall vs exact top-5 (clustered data -> binary candidates suffice)
+    exact = cosine_topk(df, qids, k=5)
+    ex: dict = {}
+    for r in exact.collect():
+        ex.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(len(ex[q] & {r["vec_id"] for r in by_q[q]}) for q in qids)
+    assert hits / (5 * len(qids)) >= 0.8
