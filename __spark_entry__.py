@@ -3372,6 +3372,7 @@ AUTO_DH_TARGET = 20
 # 42 are unlikely organic top-10 members, exercising the unmatched-pin path
 PINNED_DOCS = [(0, 7, 1), (0, 11, 2), (1, 3, 1), (2, 42, 1), (2, 5, 2)]
 BBQ_QUERY_IDS, BBQ_FETCH_K = [0, 1, 2, 3, 4], 50
+HEAPS_BUCKET = 50
 # phrase-suggester fixture: one-edit typos over the corpus vocabulary, one
 # already-correct input (suggests itself), one hopeless OOV (no rows)
 SUGGEST_INPUTS = [
@@ -3546,6 +3547,55 @@ def q_phrase_suggest(spark, sf_dir):
     )
     res = phrase_suggest(ctf_stats(p), big, SUGGEST_INPUTS, total)
     return res.select("claim_id", "suggestion", F.round("score", 6).alias("score"))
+
+
+def q_corpus_zipf(spark, sf_dir):
+    """Zipf rank-frequency fit over the corpus unigram distribution — the
+    crawl-slice sanity diagnostic (operators/analytics.py::corpus_zipf)."""
+    from defactonlp_spark.operators.analytics import corpus_zipf
+
+    r = corpus_zipf(_postings_cached(spark, sf_dir))
+    return r.select(
+        "n_terms",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+    )
+
+
+def q_heaps_growth(spark, sf_dir):
+    """Heaps-law vocabulary-growth curve sampled at doc-id bucket
+    boundaries; the prefix sum runs over the metadata-scale bucket
+    relation only (operators/analytics.py::heaps_growth)."""
+    from defactonlp_spark.operators.analytics import heaps_growth
+
+    return heaps_growth(_postings_cached(spark, sf_dir), bucket_docs=HEAPS_BUCKET)
+
+
+def q_ndcg_pruned(spark, sf_dir):
+    """Graded serving-tier regression gate: nDCG@10 + MRR of the
+    Carmel-pruned index's BM25 ranking against the full index's ranking
+    (grades pinned from the reference rank — the graded companion to
+    pruned_rbo) (operators/analytics.py::ndcg_eval)."""
+    from defactonlp_spark.operators.analytics import ndcg_eval
+    from defactonlp_spark.operators.bm25 import claim_terms, score_exhaustive
+    from defactonlp_spark.operators.postings import prune_postings, term_stats
+
+    p = _postings_cached(spark, sf_dir)
+    n_docs, avgdl = _engine_corpus_stats(p)
+    stats = term_stats(p)
+    qt = claim_terms(_claims_df(spark))
+    truth = score_exhaustive(p, stats, qt, n_docs, avgdl, k=RRF_K)
+    pruned = prune_postings(p, stats, n_docs, avgdl, keep_n=PRUNE_KEEP_N)
+    ev = score_exhaustive(pruned, stats, qt, n_docs, avgdl, k=RRF_K)
+    r = ndcg_eval(ev, truth, k=RRF_K)
+    return r.select(
+        "claim_id",
+        F.round("dcg", 6).alias("dcg"),
+        F.round("idcg", 6).alias("idcg"),
+        F.round("ndcg", 6).alias("ndcg"),
+        F.round("rr", 6).alias("rr"),
+    )
 
 
 def q_bbq_ann_topk(spark, sf_dir):
@@ -4069,6 +4119,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_centroid_bounds": q_geo_centroid_bounds,
         "phrase_suggest": q_phrase_suggest,
         "semdedup_keep_stats": q_semdedup_keep_stats,
+        "corpus_zipf": q_corpus_zipf,
+        "heaps_growth": q_heaps_growth,
+        "ndcg_pruned": q_ndcg_pruned,
         "bbq_ann_topk": q_bbq_ann_topk,
         "pinned_topk": q_pinned_topk,
         "quality_linear_scores": q_quality_linear,
@@ -7484,6 +7537,118 @@ rk AS (
 SELECT claim_id::BIGINT AS claim_id, rank::BIGINT AS rank, doc_id::BIGINT AS doc_id,
        pinned, round(score, 4) AS score
 FROM rk WHERE rank <= {RRF_K}
+"""
+    d["corpus_zipf"] = f"""
+WITH toks AS ({_TOKS_SQL}),
+tot AS (SELECT term, count(*)::DOUBLE AS freq FROM toks GROUP BY 1),
+xy AS (
+  SELECT ln(row_number() OVER (ORDER BY freq DESC, term)::DOUBLE) AS x,
+         ln(freq) AS y
+  FROM tot
+),
+agg AS (
+  SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM xy
+)
+SELECT n::BIGINT AS n_terms,
+       round((sxy / n - (sx / n) * (sy / n)) / (sxx / n - (sx / n) * (sx / n)), 6) AS slope,
+       round(sy / n - ((sxy / n - (sx / n) * (sy / n))
+             / (sxx / n - (sx / n) * (sx / n))) * (sx / n), 6) AS intercept,
+       round((sxy / n - (sx / n) * (sy / n)) * (sxy / n - (sx / n) * (sy / n))
+             / ((sxx / n - (sx / n) * (sx / n)) * (syy / n - (sy / n) * (sy / n))), 6) AS r2
+FROM agg
+"""
+    d["heaps_growth"] = f"""
+WITH toks AS ({_TOKS_SQL}),
+per_doc AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+doc_b AS (SELECT doc_id // {HEAPS_BUCKET} AS bucket, count(*)::BIGINT AS docs,
+                 sum(dl)::BIGINT AS tk FROM per_doc GROUP BY 1),
+firsts AS (SELECT term, min(doc_id) AS fd FROM toks GROUP BY 1),
+new_b AS (SELECT fd // {HEAPS_BUCKET} AS bucket, count(*)::BIGINT AS nt FROM firsts GROUP BY 1),
+j AS (
+  SELECT d.bucket, d.docs, d.tk, coalesce(n.nt, 0) AS nt
+  FROM doc_b d LEFT JOIN new_b n ON n.bucket = d.bucket
+)
+SELECT bucket,
+       sum(docs) OVER w::BIGINT AS n_docs_seen,
+       sum(tk) OVER w::BIGINT AS n_tokens_seen,
+       sum(nt) OVER w::BIGINT AS vocab_size
+FROM j
+WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+    # ndcg_pruned: exhaustive truth + pruned eval composed, graded eval math
+    _ndcg_truth = _bm25_sql(toks, _CLAIMS_SQL, RRF_K, select="claim_id, doc_id, rn")
+    d["ndcg_pruned"] = f"""
+WITH truth AS ({_ndcg_truth}),
+toks2 AS ({_TOKS_SQL}),
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks2 GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks2 GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+impacts AS (
+  SELECT p.term, p.doc_id, p.tf,
+         round( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                * p.tf * {K1 + 1.0}
+                / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)), 6) AS impact
+  FROM postings p
+  JOIN dfreq d ON d.term = p.term
+  JOIN dl l ON l.doc_id = p.doc_id
+  CROSS JOIN stats s
+),
+pruned AS (
+  SELECT term, doc_id, tf
+  FROM (SELECT *, row_number() OVER (PARTITION BY term
+          ORDER BY impact DESC, doc_id) AS prn FROM impacts)
+  WHERE prn <= {PRUNE_KEEP_N}
+),
+claims(claim_id, claim) AS {_CLAIMS_SQL},
+qterms AS (
+  SELECT DISTINCT claim_id, unnest(list_filter(regexp_split_to_array(lower(claim),
+    '[^a-z0-9]+'), t -> t <> '')) AS term FROM claims
+),
+pscored AS (
+  SELECT q.claim_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * p.tf * {K1 + 1.0}
+              / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)) ) AS score
+  FROM qterms q
+  JOIN pruned p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl l ON l.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ev AS (
+  SELECT claim_id, doc_id, rn AS pos
+  FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
+          ORDER BY score DESC, doc_id) AS rn FROM pscored)
+  WHERE rn <= {RRF_K}
+),
+graded AS (
+  SELECT claim_id, doc_id, rn AS t_rank,
+         greatest(0.0, 4.0 - floor((rn - 1) / 2.0)) AS g
+  FROM truth
+),
+idcg AS (
+  SELECT claim_id, sum((pow(2.0, g) - 1.0)
+         / (ln(t_rank::DOUBLE + 1.0) * {_INVL2!r})) AS idcg
+  FROM graded WHERE t_rank <= {RRF_K} GROUP BY 1
+),
+dcg AS (
+  SELECT e.claim_id,
+         sum((pow(2.0, coalesce(t.g, 0.0)) - 1.0)
+             / (ln(e.pos::DOUBLE + 1.0) * {_INVL2!r})) AS dcg,
+         min(CASE WHEN coalesce(t.g, 0.0) >= 3.0 THEN e.pos END) AS first_rel
+  FROM ev e LEFT JOIN graded t ON t.claim_id = e.claim_id AND t.doc_id = e.doc_id
+  GROUP BY 1
+)
+SELECT i.claim_id::BIGINT AS claim_id,
+       round(coalesce(d2.dcg, 0.0), 6) AS dcg,
+       round(i.idcg, 6) AS idcg,
+       round(coalesce(d2.dcg, 0.0) / i.idcg, 6) AS ndcg,
+       round(coalesce(1.0 / d2.first_rel, 0.0), 6) AS rr
+FROM idcg i LEFT JOIN dcg d2 ON d2.claim_id = i.claim_id
 """
     _bbq_qids = ", ".join(str(i) for i in BBQ_QUERY_IDS)
     d["bbq_ann_topk"] = f"""

@@ -1180,3 +1180,139 @@ def diversified_sampler(
         F.countDistinct(key_col).cast("long").alias("n_values"),
         F.avg("score").alias("avg_score"),
     )
+
+
+def corpus_zipf(postings: DataFrame) -> DataFrame:
+    """Zipf rank-frequency diagnostic over the corpus unigram distribution
+    (the sanity check LLM-data work runs on every new crawl slice): ranks
+    terms by total frequency, least-squares fit of ln(freq) on ln(rank).
+
+      slope ~ -1 on natural text (Zipf's law); a flat slope flags
+      boilerplate-dominated or template corpora.
+
+    Fit from re-aggregable sums (the matrix_stats identities, explicit
+    association so the arithmetic is portable): slope = cov(x,y)/var(x),
+    r2 = corr^2. One vocab-sized aggregate + one window over the
+    Heaps-bounded dictionary — never touches the corpus twice.
+    -> single row (n_terms, slope, intercept, r2)
+    """
+    totals = postings.groupBy("term").agg(F.sum("tf").cast("double").alias("freq"))
+    w = Window.orderBy(F.desc("freq"), F.asc("term"))
+    xy = totals.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log("freq").alias("y"),
+    )
+    agg = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    mx, my = F.col("sx") / n, F.col("sy") / n
+    cov = F.col("sxy") / n - mx * my
+    vx = F.col("sxx") / n - mx * mx
+    vy = F.col("syy") / n - my * my
+    slope = cov / vx
+    return agg.select(
+        n.cast("long").alias("n_terms"),
+        slope.alias("slope"),
+        (my - slope * mx).alias("intercept"),
+        (cov * cov / (vx * vy)).alias("r2"),
+    )
+
+
+def heaps_growth(postings: DataFrame, bucket_docs: int = 50) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: cumulative (docs seen, tokens
+    seen, distinct vocabulary) sampled at doc-id bucket boundaries —
+    ln(vocab) vs ln(tokens) should be near-linear with exponent beta in
+    [0.4, 0.6] on natural text.
+
+    Scale shape: per-term first-occurrence doc (one term-keyed aggregate),
+    per-doc lengths (one doc-keyed aggregate), both collapsed to
+    ``bucket_docs``-sized buckets BEFORE the cumulative window — the
+    ordered prefix sum runs over the metadata-scale bucket relation only
+    (pick bucket_docs so n_docs/bucket_docs is thousands at most).
+    -> (bucket, n_docs_seen, n_tokens_seen, vocab_size)
+    """
+    b = lambda c: (F.col(c) / F.lit(int(bucket_docs))).cast("long")  # noqa: E731
+    per_doc = postings.groupBy("doc_id").agg(F.max("dl").cast("long").alias("dl"))
+    doc_b = per_doc.groupBy(b("doc_id").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("docs"),
+        F.sum("dl").cast("long").alias("toks"),
+    )
+    first = postings.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+    new_b = first.groupBy(b("first_doc").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_terms")
+    )
+    joined = doc_b.join(new_b, "bucket", "left").fillna(0, ["new_terms"])
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        "bucket",
+        F.sum("docs").over(w).cast("long").alias("n_docs_seen"),
+        F.sum("toks").over(w).cast("long").alias("n_tokens_seen"),
+        F.sum("new_terms").over(w).cast("long").alias("vocab_size"),
+    )
+
+
+def ndcg_eval(
+    ranking: DataFrame,
+    truth: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Graded ranking evaluation — nDCG@k + reciprocal rank — of a
+    candidate ranking against a reference ranking (the graded companion to
+    :func:`ranking_rbo`'s rank-overlap view; the standard regression gate
+    for approximate serving tiers like pruned or quantized indexes).
+
+    Grades derive from the REFERENCE rank (pinned):
+      g(rank) = max(0, 4 - (rank-1) // 2)   -> 4,4,3,3,2,2,1,1,0...
+      DCG@k   = sum over eval positions p<=k of (2^g - 1) / log2(p+1)
+      IDCG@k  = the same sum over the reference's own top-k (by definition
+                the best achievable ordering of its grades)
+      rr      = 1 / first eval position with g >= 3 (0 when none)
+
+    Claims present in the reference but absent from the evaluated ranking
+    score 0 (the ES/trec_eval convention) rather than vanishing. Both
+    inputs are top-k relations — everything here is metadata-scale.
+    -> (claim_id, dcg, idcg, ndcg, rr)
+    """
+    inv_ln2 = 1.4426950408889634
+    grade = F.greatest(
+        F.lit(0.0),
+        F.lit(4.0) - F.floor((F.col("t_rank") - 1) / 2).cast("double"),
+    )
+    t = truth.select("claim_id", F.col("doc_id"), F.col("rank").alias("t_rank"))
+    t = t.withColumn("g", grade)
+    gain = (F.pow(F.lit(2.0), F.col("g")) - F.lit(1.0))
+    idcg = (
+        t.filter(F.col("t_rank") <= k)
+        .withColumn("d", gain / (F.log(F.col("t_rank").cast("double") + 1.0) * F.lit(inv_ln2)))
+        .groupBy("claim_id")
+        .agg(F.sum("d").alias("idcg"))
+    )
+    ev = ranking.select("claim_id", "doc_id", F.col("rank").alias("pos")).filter(
+        F.col("pos") <= k
+    )
+    dcg = (
+        ev.join(t.select("claim_id", "doc_id", "g"), ["claim_id", "doc_id"], "left")
+        .fillna(0.0, ["g"])
+        .withColumn("d", gain / (F.log(F.col("pos").cast("double") + 1.0) * F.lit(inv_ln2)))
+        .groupBy("claim_id")
+        .agg(
+            F.sum("d").alias("dcg"),
+            F.min(F.when(F.col("g") >= 3.0, F.col("pos"))).alias("first_rel"),
+        )
+    )
+    return (
+        idcg.join(dcg, "claim_id", "left")
+        .select(
+            "claim_id",
+            F.coalesce(F.col("dcg"), F.lit(0.0)).alias("dcg"),
+            "idcg",
+            (F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg")).alias("ndcg"),
+            F.coalesce(F.lit(1.0) / F.col("first_rel"), F.lit(0.0)).alias("rr"),
+        )
+    )

@@ -1,0 +1,105 @@
+"""Corpus diagnostics (Zipf slope, Heaps growth) and graded ranking eval
+(nDCG@k / MRR) — pure-Python replays."""
+
+import math
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from defactonlp_spark.functions.tokenize import tokenize_one
+from defactonlp_spark.operators.analytics import corpus_zipf, heaps_growth, ndcg_eval
+from defactonlp_spark.operators.postings import build_postings
+
+TEXTS = {
+    i: " ".join(
+        ["the"] * 8 + ["data"] * 4 + ["merge"] * 2 + [f"u{i}"] + ["join"] * (i % 3)
+    )
+    for i in range(20)
+}
+
+
+@pytest.fixture(scope="module")
+def zh_postings(spark):
+    docs = spark.createDataFrame(list(TEXTS.items()), "doc_id long, text string")
+    p = build_postings(docs).persist()
+    yield p
+    p.unpersist()
+
+
+def test_corpus_zipf_matches_numpy_fit(spark, zh_postings):
+    freq = Counter()
+    for t in TEXTS.values():
+        freq.update(tokenize_one(t))
+    ranked = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+    x = np.log(np.arange(1, len(ranked) + 1, dtype=float))
+    y = np.log(np.array([c for _, c in ranked], dtype=float))
+    slope, intercept = np.polyfit(x, y, 1)
+    r2 = float(np.corrcoef(x, y)[0, 1] ** 2)
+    r = corpus_zipf(zh_postings).collect()[0]
+    assert r["n_terms"] == len(ranked)
+    assert r["slope"] == pytest.approx(slope, rel=1e-9)
+    assert r["intercept"] == pytest.approx(intercept, rel=1e-9)
+    assert r["r2"] == pytest.approx(r2, rel=1e-9)
+    assert r["slope"] < 0  # frequency decays with rank
+
+
+def test_heaps_growth_matches_walk(spark, zh_postings):
+    got = {r["bucket"]: r for r in heaps_growth(zh_postings, bucket_docs=5).collect()}
+    seen: set = set()
+    docs = toks = 0
+    walk = {}
+    for d in sorted(TEXTS):
+        ts = tokenize_one(TEXTS[d])
+        docs += 1
+        toks += len(ts)
+        seen.update(ts)
+        if (d + 1) % 5 == 0:
+            walk[d // 5] = (docs, toks, len(seen))
+    for b, (nd, nt, vs) in walk.items():
+        r = got[b]
+        assert (r["n_docs_seen"], r["n_tokens_seen"], r["vocab_size"]) == (nd, nt, vs), b
+    # growth is monotone
+    bs = sorted(got)
+    assert all(got[a]["vocab_size"] <= got[b]["vocab_size"] for a, b in zip(bs, bs[1:]))
+
+
+def py_ndcg(truth_ranks, eval_order, k=10):
+    g = {d: max(0.0, 4.0 - (r - 1) // 2) for d, r in truth_ranks.items()}
+    idcg = sum(
+        (2 ** g[d] - 1) / math.log2(r + 1) for d, r in truth_ranks.items() if r <= k
+    )
+    dcg = rr = 0.0
+    for pos, d in enumerate(eval_order[:k], start=1):
+        gd = g.get(d, 0.0)
+        dcg += (2 ** gd - 1) / math.log2(pos + 1)
+        if gd >= 3.0 and rr == 0.0:
+            rr = 1.0 / pos
+    return dcg, idcg, dcg / idcg, rr
+
+
+def test_ndcg_eval_matches_replay(spark):
+    truth_rows = [(1, r, 100 + r) for r in range(1, 11)]
+    # eval: perfect for claim 1 except docs 101/103 swapped and 110 replaced
+    # by an irrelevant doc; claim 2 exists only in truth -> scores 0
+    eval_rows = [(1, 1, 103), (1, 2, 102), (1, 3, 101), (1, 4, 104), (1, 5, 999)]
+    truth_rows += [(2, r, 200 + r) for r in range(1, 4)]
+    truth = spark.createDataFrame(truth_rows, "claim_id long, rank int, doc_id long")
+    ev = spark.createDataFrame(eval_rows, "claim_id long, rank int, doc_id long")
+    got = {r["claim_id"]: r for r in ndcg_eval(ev, truth, k=10).collect()}
+    t1 = {100 + r: r for r in range(1, 11)}
+    dcg, idcg, nd, rr = py_ndcg(t1, [103, 102, 101, 104, 999])
+    assert got[1]["dcg"] == pytest.approx(dcg, rel=1e-12)
+    assert got[1]["idcg"] == pytest.approx(idcg, rel=1e-12)
+    assert got[1]["ndcg"] == pytest.approx(nd, rel=1e-12)
+    assert got[1]["rr"] == pytest.approx(rr)
+    assert got[2]["ndcg"] == 0.0 and got[2]["rr"] == 0.0 and got[2]["idcg"] > 0
+
+
+def test_ndcg_identity_ranking_is_one(spark):
+    truth = spark.createDataFrame(
+        [(1, r, 100 + r) for r in range(1, 11)], "claim_id long, rank int, doc_id long"
+    )
+    got = ndcg_eval(truth.selectExpr("claim_id", "rank", "doc_id"), truth, k=10).collect()[0]
+    assert got["ndcg"] == pytest.approx(1.0, rel=1e-12)
+    assert got["rr"] == 1.0
