@@ -3549,6 +3549,41 @@ def q_phrase_suggest(spark, sf_dir):
     return res.select("claim_id", "suggestion", F.round("score", 6).alias("score"))
 
 
+def q_ltr_rerank(spark, sf_dir):
+    """Apply the deterministic linear LTR model to the LOGGED feature
+    values (4/4/6 dp — exactly what a feature store serves) and re-rank
+    the BM25 top-10: the serving half of the ES LTR rescorer
+    (operators/ltr.py::ltr_rerank, weights operators/ltr.py::LTR_WEIGHTS)."""
+    from defactonlp_spark.functions.textstats import quality_features
+    from defactonlp_spark.operators.bm25 import claim_terms
+    from defactonlp_spark.operators.lm import ctf_stats
+    from defactonlp_spark.operators.ltr import ltr_features, ltr_rerank
+    from defactonlp_spark.operators.postings import corpus_stats, term_stats
+
+    p = _postings_cached(spark, sf_dir)
+    cs = corpus_stats(p).collect()[0]
+    n_docs, avgdl, total = int(cs["n_docs"]), float(cs["avgdl"]), int(cs["total_tokens"])
+    qual = quality_features(_docs(spark, sf_dir)).select("doc_id", "quality")
+    feats = ltr_features(
+        p, term_stats(p), ctf_stats(p), claim_terms(_claims_df(spark)), qual,
+        n_docs, avgdl, total, k=LTR_K, mu=LTR_MU,
+    )
+    logged = feats.select(
+        "claim_id", "rank", "doc_id",
+        F.round("bm25", 4).alias("bm25"),
+        F.round("lm_qlh", 4).alias("lm_qlh"),
+        "n_matched", "dl", "quality",
+    )
+    res = ltr_rerank(logged, k=TOPK)
+    return res.select(
+        "claim_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("model_score", 6).alias("model_score"),
+        "bm25_rank",
+    )
+
+
 def q_corpus_zipf(spark, sf_dir):
     """Zipf rank-frequency fit over the corpus unigram distribution — the
     crawl-slice sanity diagnostic (operators/analytics.py::corpus_zipf)."""
@@ -4119,6 +4154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_centroid_bounds": q_geo_centroid_bounds,
         "phrase_suggest": q_phrase_suggest,
         "semdedup_keep_stats": q_semdedup_keep_stats,
+        "ltr_rerank": q_ltr_rerank,
         "corpus_zipf": q_corpus_zipf,
         "heaps_growth": q_heaps_growth,
         "ndcg_pruned": q_ndcg_pruned,
@@ -7854,4 +7890,18 @@ WHERE rank <= 10
 """
     except Exception:
         pass
+    from defactonlp_spark.operators.ltr import LTR_WEIGHTS as _LW
+
+    _lw_expr = " + ".join(
+        f"({_LW[f]!r} * {f})" for f in sorted(_LW)
+    )
+    d["ltr_rerank"] = f"""
+WITH feats AS ({d["ltr_features"]})
+SELECT claim_id, row_number() OVER (PARTITION BY claim_id
+         ORDER BY round({_lw_expr}, 6) DESC, doc_id)::BIGINT AS rank,
+       doc_id, round({_lw_expr}, 6) AS model_score, rank AS bm25_rank
+FROM feats
+QUALIFY row_number() OVER (PARTITION BY claim_id
+          ORDER BY round({_lw_expr}, 6) DESC, doc_id) <= {TOPK}
+"""
     return d

@@ -131,3 +131,48 @@ def rescore_topk(
         .filter(F.col("rank") <= k)
         .select("claim_id", "rank", "doc_id", "score")
     )
+
+
+#: Deterministic stand-in LTR model: a linear scorer over the pinned
+#: feature set (weights chosen to be magnitude-sane for each feature's
+#: scale; a deployment drops in trained LambdaMART/linear weights — the
+#: application plumbing is identical). Shared verbatim with the DuckDB twin.
+LTR_WEIGHTS = {
+    "bm25": 0.55,
+    "lm_qlh": 0.20,
+    "n_matched": 0.15,
+    "dl": -0.002,
+    "quality": 1.5,
+}
+
+
+def ltr_rerank(
+    features: DataFrame,
+    weights: dict[str, float] | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """Apply a (linear) LTR model to logged features and re-rank — the
+    serving half of the ES LTR plugin's rescorer: retrieve with BM25, log
+    features for the top-N window, score with the model, reorder.
+
+    ``features``: :func:`ltr_features` output (claims x N rows, metadata-
+    scale — the model application costs nothing next to retrieval).
+    model_score = sum_f w_f * feature_f; ranking pinned
+    (round(model_score, 6) desc, doc_id asc).
+    -> (claim_id, rank, doc_id, model_score, bm25_rank)
+    """
+    w = LTR_WEIGHTS if weights is None else weights
+    score = None
+    for fname, wt in sorted(w.items()):
+        term = F.col(fname).cast("double") * F.lit(float(wt))
+        score = term if score is None else score + term
+    win = Window.partitionBy("claim_id").orderBy(
+        F.round("model_score", 6).desc(), F.asc("doc_id")
+    )
+    return (
+        features.withColumn("model_score", score)
+        .withColumn("bm25_rank", F.col("rank").cast("long"))
+        .withColumn("rank", F.row_number().over(win).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("claim_id", "rank", "doc_id", "model_score", "bm25_rank")
+    )

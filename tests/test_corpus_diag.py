@@ -103,3 +103,31 @@ def test_ndcg_identity_ranking_is_one(spark):
     got = ndcg_eval(truth.selectExpr("claim_id", "rank", "doc_id"), truth, k=10).collect()[0]
     assert got["ndcg"] == pytest.approx(1.0, rel=1e-12)
     assert got["rr"] == 1.0
+
+
+def test_ltr_rerank_matches_linear_replay(spark):
+    from defactonlp_spark.operators.ltr import LTR_WEIGHTS, ltr_rerank
+
+    rows = [
+        (1, 1, 10, 8.0, -20.0, 3, 40, 0.9),
+        (1, 2, 11, 7.5, -18.0, 3, 25, 0.2),
+        (1, 3, 12, 6.0, -15.0, 2, 90, 0.95),
+        (1, 4, 13, 2.0, -30.0, 1, 10, 0.5),
+    ]
+    schema = ("claim_id long, rank int, doc_id long, bm25 double, lm_qlh double, "
+              "n_matched long, dl long, quality double")
+    feats = spark.createDataFrame(rows, schema)
+    got = sorted(ltr_rerank(feats, k=4).collect(), key=lambda r: r["rank"])
+    want = []
+    for _, brank, d, bm, lm, nm, dl, qu in rows:
+        ms = (LTR_WEIGHTS["bm25"] * bm + LTR_WEIGHTS["lm_qlh"] * lm
+              + LTR_WEIGHTS["n_matched"] * nm + LTR_WEIGHTS["dl"] * dl
+              + LTR_WEIGHTS["quality"] * qu)
+        want.append((d, ms, brank))
+    want.sort(key=lambda t: (-round(t[1], 6), t[0]))
+    assert [r["doc_id"] for r in got] == [d for d, _, _ in want]
+    for r, (d, ms, brank) in zip(got, want):
+        assert r["model_score"] == pytest.approx(ms, rel=1e-12)
+        assert r["bm25_rank"] == brank
+    # the model genuinely reorders (doc 12's quality beats doc 11's bm25)
+    assert [r["doc_id"] for r in got] != [10, 11, 12, 13]
