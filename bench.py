@@ -65,6 +65,7 @@ DO_HARNESS = os.environ.get("BENCH_HARNESS", "1") == "1"
 DO_CURATION = os.environ.get("BENCH_CURATION", "1") == "1"
 #: session-5 ops (dup_spans / pack_sequences / percolate) at the 320k corpus
 DO_S5OPS = os.environ.get("BENCH_S5OPS", "1") == "1"
+DO_R4C = os.environ.get("BENCH_R4C", "1") == "1"
 MERGE_PAGES = int(os.environ.get("BENCH_MERGE_PAGES", "1000000"))
 # end-to-end near-dup dedup pipeline throughput over the webpages corpus:
 DO_DEDUP = os.environ.get("BENCH_DEDUP", "1") == "1"
@@ -677,6 +678,129 @@ def _fmt(runs: list) -> list:
     return [[round(d["wall_sec"], 1), d["steal"], d["cpu_sec"]] for d in runs]
 
 
+def bench_r4c_ops(cores: int) -> dict:
+    """Throughput of the round-4-continuation ops at 320k docs: the
+    model-based quality filter (one Arrow kernel pass), simple_query_string
+    (100 parsed mixed-clause queries against one postings/tokens scan
+    pair), the phrase suggester (100 one-edit-typo inputs against the
+    dictionary + bigram LM), and BBQ binary ANN over 320k synthetic 64-dim
+    vectors (encode pass + 5-query Hamming scan / rescore). Prep relations
+    materialize OUTSIDE the timed regions, matching bench_s5_ops."""
+    from pyspark.sql import functions as F
+
+    from defactonlp_spark.functions.textstats import quality_linear
+    from defactonlp_spark.functions.tokenize import tokenize_tokens
+    from defactonlp_spark.operators.analytics import token_bigrams
+    from defactonlp_spark.operators.expansion import phrase_suggest
+    from defactonlp_spark.operators.lm import ctf_stats
+    from defactonlp_spark.operators.postings import (
+        build_postings,
+        corpus_stats,
+        term_stats,
+    )
+    from defactonlp_spark.operators.querystring import (
+        parse_simple_query_string,
+        score_query_string,
+    )
+    from defactonlp_spark.operators.similarity import bq_ann_topk, bq_encode
+    from defactonlp_spark.plans.build import prepare_webpages
+
+    spark = _spark(cores)
+    out: dict = {}
+    corpus = p = toks = big = emb = None
+    try:
+        _warmup(spark)
+        corpus = prepare_webpages(spark.read.parquet(_webpages_path())).persist()
+        n = corpus.count()
+        out["docs"] = n
+
+        # 1. model-based quality filter: one kernel pass over the corpus
+        t0, s0 = time.time(), _steal_jiffies()
+        row = quality_linear(corpus.select("doc_id", "text")).agg(
+            F.count(F.lit(1)).alias("n"), F.avg("quality_score").alias("avg_q")
+        ).collect()[0]
+        w = time.time() - t0
+        out["quality_linear"] = {
+            "docs": int(row["n"]), "avg_score": round(float(row["avg_q"]), 4),
+            "wall_sec": round(w, 2), "docs_per_sec": round(n / w, 1),
+            "steal_jiffies": _steal_jiffies() - s0,
+        }
+
+        # shared prep for 2+3 (outside timed regions)
+        p = build_postings(corpus).persist()
+        p.count()
+        cs = corpus_stats(p).collect()[0]
+        n_docs, avgdl, total = int(cs["n_docs"]), float(cs["avgdl"]), int(cs["total_tokens"])
+        stats = term_stats(p)
+        vocab = [
+            r["term"] for r in stats.orderBy(F.desc("df"), "term").limit(300).collect()
+        ][100:300]
+        toks = tokenize_tokens(corpus).persist()
+        toks.count()
+
+        # 2. simple_query_string: 100 mixed-clause queries in one batch
+        parsed = {
+            i: parse_simple_query_string(
+                f'+{vocab[i]} "{vocab[i]} {vocab[i + 1]}" -{vocab[199 - i]}'
+            )
+            for i in range(100)
+        }
+        t0, s0 = time.time(), _steal_jiffies()
+        m = score_query_string(p, stats, toks, parsed, n_docs, avgdl, k=10).count()
+        w = time.time() - t0
+        out["query_string_100"] = {
+            "result_rows": int(m), "wall_sec": round(w, 2),
+            "queries_per_sec": round(100 / w, 2),
+            "steal_jiffies": _steal_jiffies() - s0,
+        }
+
+        # 3. phrase suggester: 100 one-edit-typo bigram inputs
+        big = token_bigrams(corpus).groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).alias("c")
+        ).persist()
+        big.count()
+        inputs = [(i, f"{vocab[i][:-1]} {vocab[i + 1]}") for i in range(100)]
+        t0, s0 = time.time(), _steal_jiffies()
+        m = phrase_suggest(ctf_stats(p), big, inputs, total, topn=3).count()
+        w = time.time() - t0
+        out["phrase_suggest_100"] = {
+            "suggestions": int(m), "wall_sec": round(w, 2),
+            "inputs_per_sec": round(100 / w, 2),
+            "steal_jiffies": _steal_jiffies() - s0,
+        }
+
+        # 4. BBQ over 320k synthetic 64-dim vectors (deterministic hash
+        # doubles in [-1, 1]; JVM expr, no Python in the generator)
+        emb = corpus.select(
+            F.col("doc_id").alias("vec_id"),
+            F.expr(
+                "transform(sequence(0, 63), d -> "
+                "(pmod(hash(doc_id * 64 + d), 1000) / 499.5) - 1.0)"
+            ).alias("embedding"),
+        ).persist()
+        emb.count()
+        t0, s0 = time.time(), _steal_jiffies()
+        enc = bq_encode(emb).agg(F.sum(F.bit_count(F.col("bits"))).alias("b")).collect()
+        w = time.time() - t0
+        out["bq_encode"] = {
+            "wall_sec": round(w, 2), "docs_per_sec": round(n / w, 1),
+            "steal_jiffies": _steal_jiffies() - s0,
+        }
+        t0, s0 = time.time(), _steal_jiffies()
+        m = bq_ann_topk(emb, [0, 1, 2, 3, 4], k=10, fetch_k=100).count()
+        w = time.time() - t0
+        out["bq_ann_5q"] = {
+            "result_rows": int(m), "wall_sec": round(w, 2),
+            "steal_jiffies": _steal_jiffies() - s0,
+        }
+    finally:
+        for df in (corpus, p, toks, big, emb):
+            if df is not None:
+                df.unpersist()
+        spark.stop()
+    return out
+
+
 def main():
     import __spark_entry__ as entrymod
 
@@ -783,6 +907,10 @@ def main():
     # -- session-5 corpus-scale ops at 320k ---------------------------------
     if DO_S5OPS:
         results["s5_ops"] = bench_s5_ops(CPUS)
+
+    # -- round-4-continuation ops at 320k ------------------------------------
+    if DO_R4C:
+        results["r4c_ops"] = bench_r4c_ops(CPUS)
 
     # -- harness queries at SF_DIR ------------------------------------------
     if not DO_HARNESS:
