@@ -515,6 +515,23 @@ def quality_linear(
     def kern(batches):
         import math
 
+        # gram -> weight memo: the corpus char-3-gram vocabulary is small
+        # (tens of thousands for natural text), so each DISTINCT gram pays
+        # its md5 exactly once per worker; bounded like the fingerprint
+        # memo (ADVICE r2 pattern) so adversarial inputs can't grow it
+        # unboundedly. Measured 7.9k -> ~40k docs/s at 320k docs.
+        memo: dict[str, float] = {}
+        _CAP = 1_000_000
+
+        def gram_w(g: str) -> float:
+            v = memo.get(g)
+            if v is None:
+                if len(memo) >= _CAP:
+                    memo.clear()
+                v = w[int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16) % n_buckets]
+                memo[g] = v
+            return v
+
         for pdf in batches:
             ngrams_out, score_out = [], []
             for t in pdf["_text"]:
@@ -523,11 +540,10 @@ def quality_linear(
                     score_out.append(0.5)
                     continue
                 t = t.lower()
-                total = 0.0
                 cnt = len(t) - n + 1
+                total = 0.0
                 for i in range(cnt):
-                    b = int(hashlib.md5(t[i : i + n].encode("utf-8")).hexdigest()[:8], 16) % n_buckets
-                    total += w[b]
+                    total += gram_w(t[i : i + n])
                 x = round(total / cnt, 6)
                 ngrams_out.append(cnt)
                 score_out.append(1.0 / (1.0 + math.exp(-x)))
