@@ -3373,6 +3373,7 @@ AUTO_DH_TARGET = 20
 PINNED_DOCS = [(0, 7, 1), (0, 11, 2), (1, 3, 1), (2, 42, 1), (2, 5, 2)]
 BBQ_QUERY_IDS, BBQ_FETCH_K = [0, 1, 2, 3, 4], 50
 HEAPS_BUCKET = 50
+FIS_MIN_SUPPORT, FIS_CAP, FIS_TOP = 250, 12, 20
 # phrase-suggester fixture: one-edit typos over the corpus vocabulary, one
 # already-correct input (suggests itself), one hopeless OOV (no rows)
 SUGGEST_INPUTS = [
@@ -3547,6 +3548,21 @@ def q_phrase_suggest(spark, sf_dir):
     )
     res = phrase_suggest(ctf_stats(p), big, SUGGEST_INPUTS, total)
     return res.select("claim_id", "suggestion", F.round("score", 6).alias("score"))
+
+
+def q_frequent_item_sets(spark, sf_dir):
+    """ES frequent_item_sets aggregation (market-basket mining), apriori
+    up to 3-item sets over per-doc distinct terms; the per-doc cap is the
+    deterministic analog of ES's sampling
+    (operators/analytics.py::frequent_item_sets)."""
+    from defactonlp_spark.operators.analytics import frequent_item_sets
+
+    items = _postings_cached(spark, sf_dir).select(
+        "doc_id", F.col("term").alias("item")
+    )
+    return frequent_item_sets(
+        items, min_support=FIS_MIN_SUPPORT, per_doc_cap=FIS_CAP, top=FIS_TOP
+    )
 
 
 def q_ltr_rerank(spark, sf_dir):
@@ -4154,6 +4170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_centroid_bounds": q_geo_centroid_bounds,
         "phrase_suggest": q_phrase_suggest,
         "semdedup_keep_stats": q_semdedup_keep_stats,
+        "frequent_item_sets": q_frequent_item_sets,
         "ltr_rerank": q_ltr_rerank,
         "corpus_zipf": q_corpus_zipf,
         "heaps_growth": q_heaps_growth,
@@ -7890,6 +7907,43 @@ WHERE rank <= 10
 """
     except Exception:
         pass
+    d["frequent_item_sets"] = f"""
+WITH toks AS ({_TOKS_SQL}),
+items AS (SELECT DISTINCT doc_id, term AS item FROM toks),
+sup1 AS (SELECT item, count(*)::BIGINT AS s1 FROM items GROUP BY 1),
+l1 AS (SELECT item, s1 FROM sup1 WHERE s1 >= {FIS_MIN_SUPPORT}),
+capped AS (
+  SELECT doc_id, item FROM (
+    SELECT i.doc_id, i.item,
+           row_number() OVER (PARTITION BY i.doc_id ORDER BY l.s1 DESC, i.item) AS rk
+    FROM items i JOIN l1 l ON l.item = i.item)
+  WHERE rk <= {FIS_CAP}
+),
+pairs AS (
+  SELECT a.item AS ia, b.item AS ib, count(*)::BIGINT AS support
+  FROM capped a JOIN capped b ON a.doc_id = b.doc_id AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= {FIS_MIN_SUPPORT}
+),
+pair_docs AS (
+  SELECT a.doc_id, a.item AS ia, b.item AS ib
+  FROM capped a JOIN capped b ON a.doc_id = b.doc_id AND a.item < b.item
+  WHERE (a.item, b.item) IN (SELECT (ia, ib) FROM pairs)
+),
+triples AS (
+  SELECT pd.ia, pd.ib, c.item AS ic, count(*)::BIGINT AS support
+  FROM pair_docs pd JOIN capped c ON c.doc_id = pd.doc_id AND c.item > pd.ib
+  GROUP BY 1, 2, 3 HAVING count(*) >= {FIS_MIN_SUPPORT}
+),
+allsets AS (
+  SELECT 1 AS size, item AS items, s1 AS support FROM l1
+  UNION ALL
+  SELECT 2, ia || ' ' || ib, support FROM pairs
+  UNION ALL
+  SELECT 3, ia || ' ' || ib || ' ' || ic, support FROM triples
+)
+SELECT size, items, support FROM allsets
+ORDER BY support DESC, items LIMIT {FIS_TOP}
+"""
     from defactonlp_spark.operators.ltr import LTR_WEIGHTS as _LW
 
     _lw_expr = " + ".join(

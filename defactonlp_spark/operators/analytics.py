@@ -1316,3 +1316,94 @@ def ndcg_eval(
             F.coalesce(F.lit(1.0) / F.col("first_rel"), F.lit(0.0)).alias("rr"),
         )
     )
+
+
+def frequent_item_sets(
+    items: DataFrame,
+    min_support: int,
+    per_doc_cap: int = 12,
+    max_len: int = 3,
+    top: int = 20,
+) -> DataFrame:
+    """ES ``frequent_item_sets`` aggregation (market-basket mining),
+    apriori-style up to 3-item sets:
+
+      L1 = items with doc support >= min_support
+      per-doc working set = the ``per_doc_cap`` highest-support L1 items
+           (ties item asc) — the deterministic analog of ES's sampling
+           cap, and the term that bounds the pair fan-out per doc
+      L2 = same-doc pairs (a < b) with support >= min_support
+      L3 = L2 pairs extended by a same-doc item c > b, support-filtered
+
+    ``items``: (doc_id, item) — distinct per doc (pass postings'
+    (doc_id, term) or any basket relation). Output ordered
+    (support desc, items asc), top ``top`` rows; items are rendered
+    space-joined so one relation carries every set size.
+    -> (size, items, support)
+
+    Scale: the L1 support filter prunes BEFORE any self-join (apriori);
+    the per-doc cap bounds pair fan-out at C(cap, 2) rows per doc; L3
+    only joins docs that still hold an L2 pair. Every join is doc-keyed.
+    """
+    sup1 = items.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("s1"))
+    l1 = sup1.filter(F.col("s1") >= min_support)
+    capped = (
+        items.join(F.broadcast(l1), "item", "inner")
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.desc("s1"), F.asc("item"))
+            ),
+        )
+        .filter(F.col("_rk") <= per_doc_cap)
+        .select("doc_id", "item")
+    )
+    out_parts = [
+        l1.select(
+            F.lit(1).alias("size"),
+            F.col("item").alias("items"),
+            F.col("s1").alias("support"),
+        )
+    ]
+    if max_len >= 2:
+        a = capped.select("doc_id", F.col("item").alias("ia"))
+        b = capped.select("doc_id", F.col("item").alias("ib"))
+        pairs = (
+            a.join(b, "doc_id", "inner")
+            .filter(F.col("ia") < F.col("ib"))
+            .groupBy("ia", "ib")
+            .agg(F.count(F.lit(1)).cast("long").alias("support"))
+            .filter(F.col("support") >= min_support)
+        )
+        out_parts.append(
+            pairs.select(
+                F.lit(2).alias("size"),
+                F.concat_ws(" ", "ia", "ib").alias("items"),
+                "support",
+            )
+        )
+        if max_len >= 3:
+            pair_docs = (
+                a.join(b, "doc_id", "inner")
+                .filter(F.col("ia") < F.col("ib"))
+                .join(F.broadcast(pairs.select("ia", "ib")), ["ia", "ib"], "left_semi")
+            )
+            c = capped.select("doc_id", F.col("item").alias("ic"))
+            triples = (
+                pair_docs.join(c, "doc_id", "inner")
+                .filter(F.col("ic") > F.col("ib"))
+                .groupBy("ia", "ib", "ic")
+                .agg(F.count(F.lit(1)).cast("long").alias("support"))
+                .filter(F.col("support") >= min_support)
+            )
+            out_parts.append(
+                triples.select(
+                    F.lit(3).alias("size"),
+                    F.concat_ws(" ", "ia", "ib", "ic").alias("items"),
+                    "support",
+                )
+            )
+    allsets = out_parts[0]
+    for part in out_parts[1:]:
+        allsets = allsets.unionByName(part)
+    return allsets.orderBy(F.desc("support"), F.asc("items")).limit(top)

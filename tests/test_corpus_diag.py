@@ -131,3 +131,56 @@ def test_ltr_rerank_matches_linear_replay(spark):
         assert r["bm25_rank"] == brank
     # the model genuinely reorders (doc 12's quality beats doc 11's bm25)
     assert [r["doc_id"] for r in got] != [10, 11, 12, 13]
+
+
+def test_frequent_item_sets_matches_walk(spark):
+    from itertools import combinations
+
+    from defactonlp_spark.operators.analytics import frequent_item_sets
+
+    baskets = {
+        0: ["milk", "bread", "eggs"],
+        1: ["milk", "bread"],
+        2: ["milk", "eggs"],
+        3: ["bread", "eggs"],
+        4: ["milk", "bread", "eggs", "jam"],
+        5: ["jam"],
+    }
+    rows = [(d, i) for d, its in baskets.items() for i in its]
+    df = spark.createDataFrame(rows, "doc_id long, item string")
+    got = frequent_item_sets(df, min_support=3, per_doc_cap=10, top=50).collect()
+    got_map = {(r["size"], r["items"]): r["support"] for r in got}
+    # python walk
+    sup1: dict = {}
+    for its in baskets.values():
+        for i in set(its):
+            sup1[i] = sup1.get(i, 0) + 1
+    l1 = {i for i, s in sup1.items() if s >= 3}
+    want = {(1, i): s for i, s in sup1.items() if s >= 3}
+    for size in (2, 3):
+        cnt: dict = {}
+        for its in baskets.values():
+            for combo in combinations(sorted(set(its) & l1), size):
+                cnt[combo] = cnt.get(combo, 0) + 1
+        for combo, s in cnt.items():
+            if s >= 3:
+                want[(size, " ".join(combo))] = s
+    assert got_map == want
+    # ordering: support desc, items asc
+    sups = [r["support"] for r in got]
+    assert sups == sorted(sups, reverse=True)
+
+
+def test_frequent_item_sets_per_doc_cap_bounds_pairs(spark):
+    from defactonlp_spark.operators.analytics import frequent_item_sets
+
+    # one doc with 30 items, cap 3 -> at most C(3,2)=3 pairs can reach L2
+    rows = [(0, f"i{j:02d}") for j in range(30)] + [
+        (d, f"i{j:02d}") for d in range(1, 4) for j in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, item string")
+    got = frequent_item_sets(df, min_support=4, per_doc_cap=3, max_len=2, top=100).collect()
+    pairs = [r for r in got if r["size"] == 2]
+    assert len(pairs) <= 3
+    # cap keeps the deterministic (support desc, item asc) head: i00,i01,i02
+    assert {r["items"] for r in pairs} <= {"i00 i01", "i00 i02", "i01 i02"}
