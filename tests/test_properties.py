@@ -380,3 +380,96 @@ def test_pair_eval_metric_bounds(pred, truth):
     assert tp <= min(len(p), len(t))
     if p and p == t:
         assert prec == rec == f1 == 1.0
+
+
+# ----------------------------------------------------- round-4 continuation --
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_query_string_parser_total_on_arbitrary_text(q):
+    """simple_query_string is LENIENT by contract: any input parses without
+    raising, into clauses whose invariants hold — pri in {0,1,2}, kind
+    consistent with token count, tokens nonempty lowercase [a-z0-9]+."""
+    from defactonlp_spark.operators.querystring import parse_simple_query_string
+
+    from defactonlp_spark.functions.tokenize import TOKEN_RE
+
+    clauses = parse_simple_query_string(q)
+    for c in clauses:
+        assert c.pri in (0, 1, 2)
+        # tokens obey the engine tokenizer's contract (DrQA [^\W_]+ over
+        # NFD casefolded text): nonempty, fully word-chars, casefold-stable
+        assert c.tokens
+        for t in c.tokens:
+            assert t and TOKEN_RE.fullmatch(t), t
+            assert t == t.casefold()
+        if c.kind == "phrase":
+            assert len(c.tokens) > 1
+        else:
+            assert c.kind in ("term", "prefix") and len(c.tokens) == 1
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(1, 30)), min_size=1, max_size=40
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_ql_gram_weights_pure_and_bounded(pairs):
+    """quality_weights is a pure bounded function of the bucket index —
+    the memo added for throughput must be semantics-free."""
+    from defactonlp_spark.functions.textstats import QL_BUCKETS, quality_weights
+
+    w = quality_weights()
+    assert len(w) == QL_BUCKETS and all(-1.0 <= x <= 1.0 for x in w)
+    assert quality_weights() == w
+
+
+@given(st.integers(1, 60), st.integers(1, 1000))
+@settings(max_examples=100, deadline=None)
+def test_rrf_contribution_monotone_in_rank(rank, c):
+    # 1/(c+r) strictly decreases with rank: a doc can never gain by
+    # appearing LOWER in any input list
+    assert 1.0 / (c + rank) > 1.0 / (c + rank + 1)
+
+
+@given(
+    st.lists(st.floats(-50, 50), min_size=64, max_size=64),
+    st.lists(st.floats(-50, 50), min_size=64, max_size=64),
+)
+@settings(max_examples=200, deadline=None)
+def test_bq_sign_hamming_equals_popcount_xor(va, vb):
+    """The twin's sign-mismatch count must equal popcount(xor(bits)) for
+    ANY packing order — injectivity of the per-dim sign rule."""
+    def pack(v):
+        b = 0
+        for d, x in enumerate(v):
+            if x > 0:
+                b |= 1 << d
+        return b
+
+    mism = sum(1 for x, y in zip(va, vb) if (x > 0) != (y > 0))
+    assert bin(pack(va) ^ pack(vb)).count("1") == mism
+
+
+@given(st.lists(st.integers(0, 10_000), min_size=2, max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_auto_dh_ladder_selection_is_monotone(epochs):
+    """A wider span never selects a SMALLER auto_date_histogram rung, and
+    the chosen rung's bucket count respects the target."""
+    from defactonlp_spark.operators.analytics import AUTO_DH_LADDER
+
+    lo, hi = min(epochs), max(epochs)
+    target = 20
+
+    def pick(l, h):
+        for r in AUTO_DH_LADDER:
+            if h // r - l // r + 1 <= target:
+                return r
+        return AUTO_DH_LADDER[-1]
+
+    r1 = pick(lo, hi)
+    r2 = pick(lo, hi + 10_000_000)
+    assert r2 >= r1
+    assert hi // r1 - lo // r1 + 1 <= target or r1 == AUTO_DH_LADDER[-1]
