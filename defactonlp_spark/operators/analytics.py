@@ -1003,14 +1003,22 @@ def t_test_welch(
         F.sum(b).alias("s_b"),
         F.sum(b * b).alias("ss_b"),
     )
+    # Welch t is undefined below 2 observations per side: emit NULL stats
+    # (never an ANSI divide-by-zero) so degenerate filters surface as data,
+    # not as a job failure
+    ok = (F.col("n_a") >= 2.0) & (F.col("n_b") >= 2.0)
     m_a, m_b = F.col("s_a") / F.col("n_a"), F.col("s_b") / F.col("n_b")
     var_a = (F.col("ss_a") - F.col("s_a") * F.col("s_a") / F.col("n_a")) / (F.col("n_a") - 1.0)
     var_b = (F.col("ss_b") - F.col("s_b") * F.col("s_b") / F.col("n_b")) / (F.col("n_b") - 1.0)
     va_n, vb_n = var_a / F.col("n_a"), var_b / F.col("n_b")
-    t = (m_a - m_b) / F.sqrt(va_n + vb_n)
-    dof = (va_n + vb_n) * (va_n + vb_n) / (
-        va_n * va_n / (F.col("n_a") - 1.0) + vb_n * vb_n / (F.col("n_b") - 1.0)
+    t = F.when(ok, (m_a - m_b) / F.sqrt(va_n + vb_n))
+    dof = F.when(
+        ok,
+        (va_n + vb_n) * (va_n + vb_n)
+        / (va_n * va_n / (F.col("n_a") - 1.0) + vb_n * vb_n / (F.col("n_b") - 1.0)),
     )
+    m_a = F.when(F.col("n_a") >= 1.0, m_a)
+    m_b = F.when(F.col("n_b") >= 1.0, m_b)
     return agg.select(
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
@@ -1126,6 +1134,8 @@ def random_sampler(
     codegen'd hash filter + one hash aggregate; the filter prunes before
     the shuffle so the agg sees permille/1000 of the rows.
     """
+    if not 0 < permille <= 1000:
+        raise ValueError(f"permille must be in (0, 1000], got {permille}")
     bucket = (
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
         .cast("long")
@@ -1215,12 +1225,13 @@ def corpus_zipf(postings: DataFrame) -> DataFrame:
     cov = F.col("sxy") / n - mx * my
     vx = F.col("sxx") / n - mx * mx
     vy = F.col("syy") / n - my * my
-    slope = cov / vx
+    fit_ok = vx > 0.0
+    slope = F.when(fit_ok, cov / vx)
     return agg.select(
         n.cast("long").alias("n_terms"),
         slope.alias("slope"),
-        (my - slope * mx).alias("intercept"),
-        (cov * cov / (vx * vy)).alias("r2"),
+        F.when(fit_ok, my - slope * mx).alias("intercept"),
+        F.when(fit_ok & (vy > 0.0), cov * cov / (vx * vy)).alias("r2"),
     )
 
 
@@ -1312,7 +1323,10 @@ def ndcg_eval(
             "claim_id",
             F.coalesce(F.col("dcg"), F.lit(0.0)).alias("dcg"),
             "idcg",
-            (F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg")).alias("ndcg"),
+            F.when(
+                F.col("idcg") > 0.0,
+                F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg"),
+            ).alias("ndcg"),  # all-grade-zero reference: undefined, not 0/0
             F.coalesce(F.lit(1.0) / F.col("first_rel"), F.lit(0.0)).alias("rr"),
         )
     )

@@ -184,3 +184,40 @@ def test_frequent_item_sets_per_doc_cap_bounds_pairs(spark):
     assert len(pairs) <= 3
     # cap keeps the deterministic (support desc, item asc) head: i00,i01,i02
     assert {r["items"] for r in pairs} <= {"i00 i01", "i00 i02", "i01 i02"}
+
+
+def test_degenerate_inputs_yield_nulls_not_errors(spark):
+    from pyspark.sql import functions as F
+
+    from defactonlp_spark.operators.analytics import (
+        corpus_zipf,
+        ndcg_eval,
+        random_sampler,
+        t_test_welch,
+    )
+    from defactonlp_spark.operators.postings import build_postings
+
+    # Welch t with one empty and one singleton population -> NULL stats
+    df = spark.createDataFrame([("a", 1.0)], "grp string, value double")
+    r = t_test_welch(df, F.col("grp") == "a", F.col("grp") == "b", "value").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (1, 0)
+    assert r["t_stat"] is None and r["df"] is None and r["mean_b"] is None
+
+    # zipf over a one-term corpus -> NULL fit
+    docs = spark.createDataFrame([(0, "word word word")], "doc_id long, text string")
+    z = corpus_zipf(build_postings(docs)).collect()[0]
+    assert z["n_terms"] == 1 and z["slope"] is None and z["r2"] is None
+
+    # ndcg with an all-grade-zero reference -> NULL ndcg (not 0/0)
+    truth = spark.createDataFrame(
+        [(1, r, 100 + r) for r in range(9, 12)], "claim_id long, rank int, doc_id long"
+    )
+    n = ndcg_eval(truth, truth, k=12).collect()[0]
+    assert n["idcg"] == 0.0 and n["ndcg"] is None
+
+    # invalid sampling probability raises up front
+    ev = spark.createDataFrame([(1, "x", 1.0)], "event_id long, grp string, value double")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        random_sampler(ev, "event_id", ["grp"], "value", permille=0)
