@@ -7521,8 +7521,14 @@ reach(id, r) AS (
 ),
 comp AS (SELECT id, min(r) AS component_id FROM reach GROUP BY id),
 cl AS (
-  SELECT d.doc_id, d.source, coalesce(c.component_id, d.doc_id) AS component_id
-  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+  -- universe = the EMBEDDINGS table (docs without a vector cannot be
+  -- semantically deduped); at sf0.1 embeddings are a strict subset of
+  -- documents, which a documents-universe twin got wrong
+  SELECT em.vec_id AS doc_id, d.source,
+         coalesce(c.component_id, em.vec_id) AS component_id
+  FROM embeddings em
+  JOIN documents d ON d.doc_id = em.vec_id
+  LEFT JOIN comp c ON c.id = em.vec_id
 )
 SELECT source, count(*)::BIGINT AS n_docs,
        sum(CASE WHEN component_id = doc_id THEN 1 ELSE 0 END)::BIGINT AS n_kept,
@@ -7845,6 +7851,11 @@ WHERE rank <= {SAYT_K}
     # cell/probe decision has a float margin > 1e-9 at generation time —
     # libm/BLAS drift is ~1e-14, so no boundary can flip cross-engine; on a
     # corpus where margins collapse the entry falls back to rows-only.
+    # SCALE PIN: the centroids are learned from the sf0.01 embeddings — the
+    # driver's correctness-gate scale. At any OTHER sf the inlined model is
+    # the wrong quantizer and this twin must not be compared (the engine
+    # side stays correct everywhere; tri-scale sweeps flag exactly this
+    # entry at sf0.001/sf0.1 by design).
     try:
         import duckdb as _dd
         import numpy as _np
