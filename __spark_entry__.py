@@ -7535,12 +7535,19 @@ SELECT source, count(*)::BIGINT AS n_docs,
        sum(CASE WHEN component_id <> doc_id THEN 1 ELSE 0 END)::BIGINT AS n_dropped
 FROM cl GROUP BY 1
 """
-    d["quality_linear_scores"] = """
+    # weights VALUES generated from the engine's own quality_weights_k so
+    # the twin can never drift; integer numerators summed exactly, then the
+    # same two divisions as the kernel (ADVICE r4: order-independent 6dp).
+    from defactonlp_spark.functions.textstats import quality_weights_k
+
+    _ql_w = ", ".join(f"({b}, {k})" for b, k in enumerate(quality_weights_k()))
+    d["quality_linear_scores"] = f"""
 WITH tl AS (SELECT doc_id, lower(text) AS t FROM documents),
 g AS (SELECT doc_id, unnest([t[i:i+2] for i in range(1, length(t)-1)]) AS g FROM tl),
 b AS (SELECT doc_id, (('0x' || substr(md5(g), 1, 8))::BIGINT % 64) AS bucket FROM g),
-w(bucket, wt) AS (VALUES (0, -0.376), (1, 0.591), (2, -0.275), (3, -0.286), (4, 0.685), (5, -0.467), (6, -0.481), (7, 0.416), (8, 0.534), (9, -0.956), (10, 0.173), (11, 0.476), (12, -0.18), (13, -0.732), (14, 0.544), (15, 0.477), (16, -0.952), (17, 0.52), (18, -0.013), (19, -0.394), (20, -0.235), (21, 0.981), (22, 0.112), (23, 0.183), (24, -0.015), (25, -0.153), (26, 0.233), (27, 0.144), (28, -0.791), (29, 0.305), (30, 0.349), (31, 0.11), (32, -0.119), (33, -0.89), (34, -0.297), (35, 0.03), (36, 0.795), (37, 0.987), (38, 0.213), (39, 0.356), (40, 0.055), (41, 0.14), (42, 0.456), (43, 0.42), (44, -0.011), (45, 0.62), (46, 0.725), (47, -0.277), (48, 0.905), (49, -0.835), (50, 0.839), (51, -0.985), (52, -0.843), (53, 0.866), (54, 0.096), (55, -0.89), (56, -0.445), (57, -0.34), (58, -0.542), (59, -0.744), (60, 0.24), (61, -0.198), (62, -0.966), (63, 0.814)),
-x AS (SELECT doc_id, count(*)::BIGINT AS n_grams, round(sum(wt) / count(*), 6) AS x
+w(bucket, wt_k) AS (VALUES {_ql_w}),
+x AS (SELECT doc_id, count(*)::BIGINT AS n_grams,
+             round(sum(wt_k)::BIGINT / 1000.0 / count(*), 6) AS x
       FROM b JOIN w ON w.bucket = b.bucket GROUP BY 1)
 SELECT d.doc_id, coalesce(x.n_grams, 0)::BIGINT AS n_grams,
        round(CASE WHEN x.doc_id IS NULL THEN 0.5

@@ -768,6 +768,11 @@ def bench_r4c_ops(cores: int) -> dict:
             "inputs_per_sec": round(100 / w, 2),
             "steal_jiffies": _steal_jiffies() - s0,
         }
+        # cache contract: release the suggester's tracked candidate persist
+        # now that the consuming action ran (phrase_suggest docstring)
+        from defactonlp_spark.operators.dedup import release_cached
+
+        release_cached()
 
         # 4. BBQ over 320k synthetic 64-dim vectors (deterministic hash
         # doubles in [-1, 1]; JVM expr, no Python in the generator)

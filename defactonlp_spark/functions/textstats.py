@@ -467,8 +467,19 @@ def quality_weights(n_buckets: int = QL_BUCKETS) -> list[float]:
     hashing, feature extraction, and scoring plumbing are identical."""
     import hashlib
 
+    return [k / 1000.0 for k in quality_weights_k(n_buckets)]
+
+
+def quality_weights_k(n_buckets: int = QL_BUCKETS) -> list[int]:
+    """Integer numerators of :func:`quality_weights` (w_b = k_b / 1000,
+    k_b in [-1000, 1000]). Exposed so scoring can accumulate EXACT integer
+    sums — integer addition is associative, so the per-doc mean (and the
+    6dp rounding in quality_linear) is independent of summation order and
+    therefore engine-independent (ADVICE r4)."""
+    import hashlib
+
     return [
-        ((int(hashlib.md5(str(b).encode()).hexdigest()[:8], 16) % 2001) - 1000) / 1000.0
+        (int(hashlib.md5(str(b).encode()).hexdigest()[:8], 16) % 2001) - 1000
         for b in range(n_buckets)
     ]
 
@@ -491,6 +502,13 @@ def quality_linear(
                   sigmoid so both engines exponentiate bit-identical input
                   — the doc_perplexity convention)
 
+    The mean is computed as round(sum_k / 1000.0 / n, 6) over the EXACT
+    integer weight numerators (quality_weights_k): integer addition is
+    associative, so the pre-round value is identical regardless of gram
+    order or engine aggregation order — the DuckDB twin performs the same
+    integer sum and the same two divisions (ADVICE r4: a float
+    accumulation could flip the 6dp rounding at a boundary).
+
     Docs with no grams (NULL or shorter than n chars) score exactly 0.5 —
     the uninformative-prior midpoint. -> (doc_id, n_grams, quality_score).
 
@@ -502,7 +520,7 @@ def quality_linear(
     """
     import hashlib
 
-    w = quality_weights(n_buckets)
+    w = quality_weights_k(n_buckets)
     id_field = docs.schema[id_col]
     schema = StructType(
         [
@@ -520,10 +538,10 @@ def quality_linear(
         # its md5 exactly once per worker; bounded like the fingerprint
         # memo (ADVICE r2 pattern) so adversarial inputs can't grow it
         # unboundedly. Measured 7.9k -> ~40k docs/s at 320k docs.
-        memo: dict[str, float] = {}
+        memo: dict[str, int] = {}
         _CAP = 1_000_000
 
-        def gram_w(g: str) -> float:
+        def gram_w(g: str) -> int:
             v = memo.get(g)
             if v is None:
                 if len(memo) >= _CAP:
@@ -541,10 +559,10 @@ def quality_linear(
                     continue
                 t = t.lower()
                 cnt = len(t) - n + 1
-                total = 0.0
+                total_k = 0  # exact: integer numerators, order-independent
                 for i in range(cnt):
-                    total += gram_w(t[i : i + n])
-                x = round(total / cnt, 6)
+                    total_k += gram_w(t[i : i + n])
+                x = round(total_k / 1000.0 / cnt, 6)
                 ngrams_out.append(cnt)
                 score_out.append(1.0 / (1.0 + math.exp(-x)))
             yield pd.DataFrame(

@@ -1097,6 +1097,10 @@ def auto_date_histogram(
         F.min(F.unix_timestamp(F.col(ts_col))).alias("lo"),
         F.max(F.unix_timestamp(F.col(ts_col))).alias("hi"),
     ).collect()[0]
+    if lo is None:  # empty input: no span to fit a ladder rung to (ADVICE r4)
+        return events.sparkSession.createDataFrame(
+            [], "interval_sec long, bucket_start long, doc_count long, sum_value double"
+        )
     interval = AUTO_DH_LADDER[-1]
     for rung in AUTO_DH_LADDER:
         if hi // rung - lo // rung + 1 <= target_buckets:

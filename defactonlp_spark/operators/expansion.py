@@ -514,6 +514,15 @@ def phrase_suggest(
     generation is one broadcast band-join per position set; sequence
     enumeration chains at most max_len-1 joins over relations of
     O(claims x per_term) rows. Nothing corpus-sized is enumerated.
+
+    CACHE CONTRACT (ADVICE r4): the per-position candidate relation is
+    persisted via dedup._track_persist (it feeds every sequence-extension
+    join). The persist outlives this call — after the action that
+    materializes the returned plan, the caller must release it with
+    ``dedup.release_cached()`` or by invoking inside ``dedup.cache_scope()``;
+    repeated un-released invocations in one session accumulate cached
+    relations (claims x per_term rows each — small, but unbounded over a
+    long session).
     """
     from defactonlp_spark.functions.tokenize import tokenize_one
 

@@ -3,7 +3,8 @@
 clause machinery.
 
 Supported syntax (the documented simple_query_string operator set, flat —
-this parser never raises, exactly like ES):
+this parser never raises on SYNTAX, exactly like ES; the only error is
+the ES-style too_many_clauses cap, QS_MAX_CLAUSES):
 
   word          should-term (default_operator=OR)
   +word         must-term
@@ -63,10 +64,19 @@ class QsClause:
 
 _UNIT_RE = re.compile(r'([+-]?)("([^"]*)"|\S+)')
 
+# Lucene/ES cap the boolean clause count (indices.query.bool.max_clause_count,
+# default 1024 in older ES / 4096 now). 1024 here — far below the 10^4 uid
+# stride score_query_string packs phrase clause ids with, so clause ids can
+# never collide across claims (ADVICE r4).
+QS_MAX_CLAUSES = 1024
+
 
 def parse_simple_query_string(q: str) -> list[QsClause]:
-    """Lenient flat parse; never raises. See module docstring for the
-    pinned rules."""
+    """Lenient flat parse: SYNTAX never raises (exactly like ES), but a
+    query parsing to more than :data:`QS_MAX_CLAUSES` clauses raises
+    ValueError — the same too_many_clauses error ES returns, and the guard
+    that keeps score_query_string's ``cid*10000+j`` phrase uids
+    collision-free. See module docstring for the pinned rules."""
     clauses: list[QsClause] = []
     for m in _UNIT_RE.finditer(q or ""):
         sign, unit, quoted = m.group(1), m.group(2), m.group(3)
@@ -89,6 +99,11 @@ def parse_simple_query_string(q: str) -> list[QsClause]:
             clauses.append(QsClause(pri, "phrase", toks))
         else:
             clauses.append(QsClause(pri, "term", toks))
+    if len(clauses) > QS_MAX_CLAUSES:
+        raise ValueError(
+            f"simple_query_string: too many clauses "
+            f"({len(clauses)} > {QS_MAX_CLAUSES})"
+        )
     return clauses
 
 

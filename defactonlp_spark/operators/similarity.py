@@ -854,9 +854,12 @@ def bq_encode(
     vector (normalization never changes signs).
 
     Entirely JVM-side: aggregate over (value, index) pairs OR-ing shifted
-    bits — no UDF, codegen end to end. Dims past 64 raise (this tier packs
+    bits — no UDF, codegen end to end. Dims past 64 raise EAGERLY, at
+    execution of the first action touching ``out_col`` (this tier packs
     one word; multi-word packing is a storage-layout variant, not new
-    semantics)."""
+    semantics). The raise is in-plan via raise_error — an ADVICE r4 fix:
+    a silent NULL here would sort FIRST under hamming ASC in bq_ann_topk
+    and return meaningless candidates."""
     dim_probe = F.size(F.col(vec_col))
     # SQL form: the Python F.shiftleft only takes a literal shift count,
     # the SQL function takes an expression (the lambda's index)
@@ -864,7 +867,15 @@ def bq_encode(
         f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
         f"(v, i) -> IF(v > 0, shiftleft(1L, i), 0L)), 0L, (acc, x) -> acc | x)"
     )
-    guarded = F.when(dim_probe <= 64, bits)
+    guarded = F.when(dim_probe <= 64, bits).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("bq_encode: vector dim > 64 unsupported (got "),
+                dim_probe.cast("string"),
+                F.lit(")"),
+            )
+        ).cast("long")
+    )
     return embeddings.select(
         F.col(id_col), F.col(vec_col), guarded.alias(out_col)
     )

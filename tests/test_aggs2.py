@@ -163,3 +163,14 @@ def test_geo_centroid_bounds_matches_python(spark):
         assert r["top_left_lon"] == min(lo for _, lo in mine)
         assert r["bottom_right_lat"] == min(la for la, _ in mine)
         assert r["bottom_right_lon"] == max(lo for _, lo in mine)
+
+
+def test_auto_date_histogram_empty_input(spark):
+    # ADVICE r4: empty input must yield an empty result, not a TypeError
+    # from None // rung in the ladder selection
+    df = spark.createDataFrame([], "ts timestamp, value double")
+    out = auto_date_histogram(df, target_buckets=20)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "interval_sec", "bucket_start", "doc_count", "sum_value",
+    ]

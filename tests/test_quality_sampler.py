@@ -192,3 +192,37 @@ def test_bq_ann_matches_replay_and_recall(spark):
         ex.setdefault(r["query_id"], set()).add(r["vec_id"])
     hits = sum(len(ex[q] & {r["vec_id"] for r in by_q[q]}) for q in qids)
     assert hits / (5 * len(qids)) >= 0.8
+
+
+def test_bq_encode_dim_over_64_raises(spark):
+    # ADVICE r4: dims past 64 must raise eagerly, not silently NULL the
+    # bits (NULL hamming sorts first under ASC and poisons candidates)
+    from defactonlp_spark.operators.similarity import bq_encode
+
+    df = spark.createDataFrame(
+        [(0, [1.0] * 65)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="dim > 64"):
+        bq_encode(df).collect()
+
+
+def test_quality_linear_integer_sum_is_order_independent():
+    # the 6dp-rounded mean must be a pure function of the gram MULTISET:
+    # integer numerators sum exactly in any order (ADVICE r4)
+    import hashlib
+    import random
+
+    from defactonlp_spark.functions.textstats import QL_BUCKETS, quality_weights_k
+
+    w = quality_weights_k()
+    text = "the quick brown fox jumps over the lazy dog" * 3
+    grams = [text[i : i + 3] for i in range(len(text) - 2)]
+    ks = [
+        w[int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % QL_BUCKETS]
+        for g in grams
+    ]
+    want = round(sum(ks) / 1000.0 / len(ks), 6)
+    rng = random.Random(11)
+    for _ in range(5):
+        rng.shuffle(ks)
+        assert round(sum(ks) / 1000.0 / len(ks), 6) == want

@@ -181,3 +181,17 @@ def test_query_string_prefix_constant_score(spark, qs_env):
     rows = score_query_string(p, stats, toks, parsed, n_docs, avgdl, k=10).collect()
     assert rows and all(r["score"] == 1.0 for r in rows)
     assert {r["doc_id"] for r in rows} == {3, 6}  # query / quergroup+quer
+
+
+def test_parse_clause_cap_raises():
+    # ADVICE r4: >QS_MAX_CLAUSES must raise (ES too_many_clauses), keeping
+    # score_query_string's cid*10000+j phrase uids collision-free
+    from defactonlp_spark.operators.querystring import (
+        QS_MAX_CLAUSES,
+        parse_simple_query_string,
+    )
+
+    ok = parse_simple_query_string(" ".join(f"t{i}" for i in range(QS_MAX_CLAUSES)))
+    assert len(ok) == QS_MAX_CLAUSES
+    with pytest.raises(ValueError, match="too many clauses"):
+        parse_simple_query_string(" ".join(f"t{i}" for i in range(QS_MAX_CLAUSES + 1)))
