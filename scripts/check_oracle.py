@@ -38,6 +38,11 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # Data-dependent twins (ivf centroids, drqa hashed vocab probe) learn
+    # their inlined constants from this dir — set BEFORE oracle_sql() runs
+    # so tri-scale sweeps regenerate per-sf models (round-5 task #4).
+    import os
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     spark = get_spark("oracle-check", cores=16, shuffle_partitions=16,
                       extra={"spark.ui.showConsoleProgress": "false"})
     con = duckdb.connect()
