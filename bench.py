@@ -71,6 +71,10 @@ MERGE_PAGES = int(os.environ.get("BENCH_MERGE_PAGES", "1000000"))
 DO_DEDUP = os.environ.get("BENCH_DEDUP", "1") == "1"
 # query-serving N-vs-4N scaling over the stored index:
 DO_SERVE_SCALING = os.environ.get("BENCH_SERVE_SCALING", "1") == "1"
+# serving at claim volume (2000+ claims, one warm batch):
+DO_SERVE_VOLUME = os.environ.get("BENCH_SERVE_VOLUME", "1") == "1"
+# blue-green drill: stream drain -> publish -> alias swap -> rollback:
+DO_BLUEGREEN = os.environ.get("BENCH_BLUEGREEN", "1") == "1"
 
 
 def _webpages_path() -> str:
@@ -216,7 +220,16 @@ def _serve_bench_once(cores: int, idx_dir: str, n_claims: int) -> dict:
     """One timed warm-serving batch at ``cores`` over the STORED index —
     the --serve-only subprocess body. ServingSession.warm() plus one full
     untimed batch run first (JIT + Python-worker spawn + blob cache), so
-    the timed region is steady-state serving only."""
+    the timed region is steady-state serving only.
+
+    Also times a QUARTER batch in the same warm session (two points on the
+    wall(n) line): serving walls are fixed + variable*n, where the fixed
+    term is driver-side planning + the top-k merge window — present at
+    every cluster size, so it Amdahl-dampens raw N-vs-4N efficiency (the
+    r4 driver window read raw median 0.737 vs builder quiet 0.870). The
+    two-point split lets bench_serving_scaling publish the decomposition —
+    fixed seconds per level plus the PARALLEL fraction's efficiency —
+    alongside the raw ratio, instead of correcting the number away."""
     from defactonlp_spark.config import EngineConfig
     from defactonlp_spark.plans.build import IndexReader
     from defactonlp_spark.plans.query import ServingSession
@@ -226,16 +239,28 @@ def _serve_bench_once(cores: int, idx_dir: str, n_claims: int) -> dict:
     try:
         cfg = EngineConfig(n_buckets=BUILD_BUCKETS)
         reader = IndexReader(spark, idx_dir)
-        claims = spark.createDataFrame(gen_claims(n_claims)[["claim_id", "claim"]])
+        all_claims = gen_claims(n_claims)[["claim_id", "claim"]]
+        claims = spark.createDataFrame(all_claims)
+        n_q = n_claims // 4
+        claims_q = spark.createDataFrame(all_claims.head(n_q))
         sess = ServingSession(reader, cfg=cfg)
         sess.warm()
         sess.topk(claims, k=5).count()  # untimed: JIT + worker spawn
         s0 = _steal_jiffies()
+        tq = time.time()
+        sess.topk(claims_q, k=5).count()
+        wall_q = time.time() - tq
         t0 = time.time()
         rows = sess.topk(claims, k=5).count()
         wall = time.time() - t0
         sess.close()
+        # wall(n) = fixed + var*n  =>  from (n/4, wall_q) and (n, wall):
+        var_full = (wall - wall_q) * 4.0 / 3.0   # variable seconds at n
+        fixed = max(0.0, wall - var_full)
         return {"wall_sec": round(wall, 3), "rows": rows,
+                "quarter_wall_sec": round(wall_q, 3),
+                "fixed_sec": round(fixed, 3),
+                "var_sec": round(max(wall - fixed, 1e-9), 3),
                 "steal": _steal_jiffies() - s0}
     finally:
         spark.stop()
@@ -278,6 +303,18 @@ def bench_serving_scaling(idx_dir: str, n_claims: int = 400) -> dict:
         pairs.append((big, small))
     factor = N_LARGE / N_SMALL
     effs = [round((s["wall_sec"] / b["wall_sec"]) / factor, 3) for b, s in pairs]
+    # Amdahl decomposition (VERDICT r4 next-round #2): each subprocess also
+    # timed a quarter batch, splitting its wall into fixed (driver planning
+    # + merge window, cluster-size-independent) + variable (the distributed
+    # scoring work). The PARALLEL fraction's efficiency is var_N/var_4N /
+    # factor — the number the north rule's criterion is about, since on a
+    # real 4N-executor cluster the fixed driver term sits on one driver
+    # node either way. Raw ratios stay published un-corrected beside it.
+    pareffs = [
+        round((s["var_sec"] / b["var_sec"]) / factor, 3)
+        for b, s in pairs
+        if b.get("var_sec") and s.get("var_sec")
+    ]
     cleanest = min(
         range(len(pairs)),
         key=lambda i: (pairs[i][0]["steal"] + pairs[i][1]["steal"],
@@ -289,12 +326,57 @@ def bench_serving_scaling(idx_dir: str, n_claims: int = 400) -> dict:
         "pair": f"local[{N_SMALL}] vs local[{N_LARGE}]",
         f"local{N_LARGE}_runs_sec_steal": [[r[0]["wall_sec"], r[0]["steal"]] for r in pairs],
         f"local{N_SMALL}_runs_sec_steal": [[r[1]["wall_sec"], r[1]["steal"]] for r in pairs],
+        f"local{N_LARGE}_fixed_var_sec": [[r[0]["fixed_sec"], r[0]["var_sec"]] for r in pairs],
+        f"local{N_SMALL}_fixed_var_sec": [[r[1]["fixed_sec"], r[1]["var_sec"]] for r in pairs],
         "pair_efficiencies": effs,
+        "parallel_pair_efficiencies": pareffs,
         "scaling_efficiency": effs[cleanest],
         "scaling_efficiency_median": round(statistics.median(effs), 3),
+        "parallel_scaling_efficiency": (pareffs[cleanest] if len(pareffs) == len(pairs) else None),
+        "parallel_scaling_efficiency_median": (
+            round(statistics.median(pareffs), 3) if pareffs else None
+        ),
         f"local{N_LARGE}_claims_per_sec": round(n_claims / b["wall_sec"], 2),
         f"local{N_SMALL}_claims_per_sec": round(n_claims / s["wall_sec"], 2),
     }
+
+
+def bench_serve_volume(cores: int, idx_dir: str, n_claims: int = 2000) -> dict:
+    """Serving at CLAIM VOLUME (VERDICT r4 next-round #6): one warm
+    steady-state batch of ``n_claims`` (10x the query_serving section's
+    200) through the same ServingSession over the stored 320k index. The
+    whole batch is ONE DataFrame plan — claims never touch the driver
+    (the r2 fix: term extraction, scoring, merge are all executor-side;
+    the only driver values are this count and the wall). claims/s should
+    hold AT LEAST the 200-claim warm rate (the fixed planning+merge term
+    amortizes over 10x the claims; the 40k-index smoke read 182 vs 37/s)
+    — if it instead collapses below it, some per-claim driver-side cost
+    is hiding in the plan."""
+    from defactonlp_spark.config import EngineConfig
+    from defactonlp_spark.plans.build import IndexReader
+    from defactonlp_spark.plans.query import ServingSession
+    from defactonlp_spark.sources.fixtures import gen_claims
+
+    spark = _spark(cores)
+    try:
+        cfg = EngineConfig(n_buckets=max(cores, 8))
+        reader = IndexReader(spark, idx_dir)
+        claims = spark.createDataFrame(gen_claims(n_claims)[["claim_id", "claim"]])
+        sess = ServingSession(reader, cfg=cfg)
+        sess.warm()
+        small = spark.createDataFrame(gen_claims(50)[["claim_id", "claim"]])
+        sess.topk(small, k=5).count()  # untimed: JIT + worker spawn
+        s0 = _steal_jiffies()
+        t0 = time.time()
+        rows = sess.topk(claims, k=5).count()
+        wall = time.time() - t0
+        sess.close()
+        return {"claims": n_claims, "result_rows": int(rows),
+                "wall_sec": round(wall, 2),
+                "warm_claims_per_sec": round(n_claims / wall, 2),
+                "steal_jiffies": _steal_jiffies() - s0}
+    finally:
+        spark.stop()
 
 
 def bench_merge_serve(cores: int) -> dict:
@@ -348,6 +430,106 @@ def bench_merge_serve(cores: int) -> dict:
         spark.stop()
     out["serving_merged"] = bench_query_serving(cores, d_m)
     return out
+
+
+def bench_bluegreen(cores: int, n_initial: int = 60000, n_delta: int = 20000) -> dict:
+    """Blue-green drill at corpus scale (VERDICT r4 next-round #8): drain
+    generation 1 from files (Structured Streaming, AvailableNow) ->
+    publish_generations -> alias -> serve; a delta generation lands ->
+    drain -> publish v2 -> ATOMIC alias flip under serving -> serve the
+    new generation -> rollback and serve the old results again. Phase
+    walls published; correctness (reads never see a half-swapped index,
+    publish == batch build) is pinned by tests/test_bluegreen.py."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from defactonlp_spark.config import EngineConfig
+    from defactonlp_spark.plans.alias import open_alias, rollback_alias, set_alias
+    from defactonlp_spark.plans.build import prepare_webpages
+    from defactonlp_spark.plans.query import query_wand
+    from defactonlp_spark.sources.fixtures import gen_claims
+    from defactonlp_spark.streaming.incremental import (
+        publish_generations, start_incremental_build,
+    )
+
+    # clamp to the fixture corpus so the delta generation is never empty
+    # (prepare_webpages dedups, so usable ids ~ N_PAGES; keep a margin)
+    if n_initial + n_delta > N_PAGES:
+        n_initial = int(N_PAGES * 0.7)
+        n_delta = int(N_PAGES * 0.2)
+    base = f"{CACHE}/bluegreen"
+    _sh.rmtree(base, ignore_errors=True)
+    inp = f"{base}/in"
+    os.makedirs(inp)
+    alias = f"{base}/serving.alias"
+    spark = _spark(cores)
+    out: dict = {"initial_docs": n_initial, "delta_docs": n_delta}
+    try:
+        _warmup(spark)
+        cfg = EngineConfig(n_buckets=max(cores, 8))
+        corpus = prepare_webpages(spark.read.parquet(_webpages_path())).select(
+            "doc_id", "text"
+        )
+        corpus.filter(F.col("doc_id") < n_initial).coalesce(4).write.parquet(
+            f"{inp}/gen1", mode="overwrite"
+        )
+        claims = spark.createDataFrame(gen_claims(100)[["claim_id", "claim"]])
+        schema = "doc_id long, text string"
+
+        t0 = time.time()
+        drill0 = t0
+        start_incremental_build(
+            spark, f"{inp}/gen*", f"{base}/stream", schema, cfg=cfg
+        ).awaitTermination()
+        out["drain1_sec"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        publish_generations(spark, f"{base}/stream", f"{base}/idx_v1", cfg=cfg)
+        set_alias(alias, f"{base}/idx_v1")
+        out["publish1_sec"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        r1 = query_wand(open_alias(spark, alias), claims, k=5, cfg=cfg).count()
+        out["serve_v1_sec"], out["serve_v1_rows"] = round(time.time() - t0, 2), int(r1)
+
+        # delta generation lands (id-disjoint)
+        corpus.filter(
+            (F.col("doc_id") >= n_initial) & (F.col("doc_id") < n_initial + n_delta)
+        ).coalesce(2).write.parquet(f"{inp}/gen2", mode="overwrite")
+        t0 = time.time()
+        start_incremental_build(
+            spark, f"{inp}/gen*", f"{base}/stream", schema, cfg=cfg
+        ).awaitTermination()
+        out["drain2_sec"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        p2 = publish_generations(spark, f"{base}/stream", f"{base}/idx_v2", cfg=cfg)
+        out["publish2_sec"] = round(time.time() - t0, 2)
+        out["v2_docs"] = int(p2["n_docs"])
+
+        t0 = time.time()
+        set_alias(alias, f"{base}/idx_v2")  # the atomic flip
+        out["swap_sec"] = round(time.time() - t0, 4)
+
+        t0 = time.time()
+        r2 = query_wand(open_alias(spark, alias), claims, k=5, cfg=cfg).count()
+        out["serve_v2_sec"], out["serve_v2_rows"] = round(time.time() - t0, 2), int(r2)
+
+        t0 = time.time()
+        rollback_alias(alias)
+        r3 = query_wand(open_alias(spark, alias), claims, k=5, cfg=cfg).count()
+        out["rollback_serve_sec"] = round(time.time() - t0, 2)
+        assert int(r3) == int(r1), "rollback must restore v1 results"
+        out["drill_wall_sec"] = round(time.time() - drill0, 2)
+        out["ingest_docs_per_sec"] = round(
+            (n_initial + n_delta)
+            / (out["drain1_sec"] + out["publish1_sec"]
+               + out["drain2_sec"] + out["publish2_sec"]), 1)
+        return out
+    finally:
+        spark.stop()
+        _sh.rmtree(base, ignore_errors=True)
 
 
 def bench_curation(cores: int) -> dict:
@@ -474,6 +656,36 @@ def bench_s5_ops(cores: int) -> dict:
         w = time.time() - t0
         out["percolate_v2_100_bool_rules"] = {
             "matches": int(m2), "wall_sec": round(w, 2),
+            "docs_per_sec": round(n / w, 1),
+            "steal_jiffies": _steal_jiffies() - s0,
+        }
+
+        # percolator at RULE VOLUME (VERDICT r4 next-round #7): alerting
+        # deployments carry 10k+ stored rules; 1,000 mixed term+phrase
+        # rules here (10x the section above) over the same 320k corpus.
+        # The rules relation stays query-sized and broadcasts (the plan
+        # assert lives in scripts/explain_plans.py #24, run at this rule
+        # volume) — the corpus-sided scans are ONE postings pass + ONE
+        # term-pruned tokens pass regardless of rule count, so docs/s
+        # should degrade far less than 10x vs the 100-rule section.
+        vocab_l = [
+            r["term"] for r in term_stats(p).orderBy(F.desc("df"), "term")
+            .limit(2200).collect()
+        ][200:2200]
+        n_rules = 1000
+        rules3 = spark.createDataFrame(
+            [(i, 0, "must", "terms",
+              f"{vocab_l[i]} {vocab_l[2 * n_rules - 1 - i]}")
+             for i in range(n_rules)]
+            + [(i, 1, "should", "phrase", f"{vocab_l[i]} {vocab_l[i + 1]}")
+               for i in range(n_rules)],
+            "query_id long, clause_id long, occur string, kind string, text string",
+        )
+        t0, s0 = time.time(), _steal_jiffies()
+        m3 = percolate_v2(p, rules3, tokens=toks).count()
+        w = time.time() - t0
+        out["percolate_v2_1000_bool_rules"] = {
+            "rules": n_rules, "matches": int(m3), "wall_sec": round(w, 2),
             "docs_per_sec": round(n / w, 1),
             "steal_jiffies": _steal_jiffies() - s0,
         }
@@ -893,6 +1105,10 @@ def main():
     if DO_SERVE_SCALING:
         results["serving_scaling"] = bench_serving_scaling(f"{CACHE}/idx_{N_LARGE}")
 
+    # -- serving at claim volume (2000 claims, one warm batch) ---------------
+    if DO_SERVE_VOLUME:
+        results["serve_volume"] = bench_serve_volume(CPUS, f"{CACHE}/idx_{N_LARGE}")
+
     # -- live-docs lifecycle: masked serving + compaction --------------------
     if DO_DELETES:
         results["deletes"] = bench_deletes(CPUS, f"{CACHE}/idx_{N_LARGE}", n_docs)
@@ -900,6 +1116,10 @@ def main():
     # -- two-generation build + merge + serve at 1M docs --------------------
     if DO_MERGE:
         results["merge_serve"] = bench_merge_serve(CPUS)
+
+    # -- blue-green drill: drain -> publish -> swap -> rollback --------------
+    if DO_BLUEGREEN:
+        results["bluegreen"] = bench_bluegreen(CPUS)
 
     # -- one-pass curation throughput (quality + repetition + PII, fused) ----
     if DO_CURATION:
@@ -984,7 +1204,9 @@ def _emit(results: dict) -> None:
     contract needs {metric, value, unit, sf, queries} plus the scaling and
     serving headlines; everything else (raw runs, per-stage tables, deletes/
     merge/dedup sections) is human-audit detail that lives in the file.
-    Query walls are rounded to 2 dp to keep the line a safe ~3 KB."""
+    Query walls are rounded to 1 dp on the line (full 3-dp values live in
+    the file) — round-5 budget trim so the line keeps >=200 bytes of
+    headroom under the 2000-char capture as headline keys accrue."""
     with open(FULL_RESULTS_PATH, "w") as f:
         json.dump(results, f, indent=1)
     compact = {
@@ -992,7 +1214,7 @@ def _emit(results: dict) -> None:
         "value": results.get("value"),
         "unit": results.get("unit"),
         "sf": results.get("sf"),
-        "queries": {k: round(v, 2) for k, v in results.get("queries", {}).items()},
+        "queries": {k: round(v, 1) for k, v in results.get("queries", {}).items()},
         "full_results": FULL_RESULTS_PATH,
     }
     ib = results.get("index_build") or {}
@@ -1008,9 +1230,20 @@ def _emit(results: dict) -> None:
             compact[f"serve_{key}"] = qs[key]
     ss = results.get("serving_scaling") or {}
     for key in ("scaling_efficiency", "scaling_efficiency_median",
-                "pair_efficiencies"):
-        if key in ss:
+                "pair_efficiencies", "parallel_pair_efficiencies",
+                "parallel_scaling_efficiency_median"):
+        if key in ss and ss[key] is not None:
             compact[f"serve_{key}"] = ss[key]
+    sv = results.get("serve_volume") or {}
+    if sv:
+        compact["serve_volume_claims"] = sv.get("claims")
+        compact["serve_volume_claims_per_sec"] = sv.get("warm_claims_per_sec")
+    perc = (results.get("s5_ops") or {}).get("percolate_v2_1000_bool_rules") or {}
+    if perc:
+        compact["perc1k_docs_per_sec"] = perc.get("docs_per_sec")
+    bg = results.get("bluegreen") or {}
+    if bg:
+        compact["bluegreen_drill_sec"] = bg.get("drill_wall_sec")
     if "fixtures_warmup_sec" in results:
         compact["fixtures_warmup_sec"] = results["fixtures_warmup_sec"]
     print(json.dumps(_fit_line(compact)))
@@ -1020,7 +1253,11 @@ def _emit(results: dict) -> None:
 # "tail" is exactly 2000 chars across all rounds); a final line longer than
 # that gets its head sheared off and parses to null — round 3 lost its bench
 # record this way, and with 114 queries even the 2-dp compact dict is ~2.9 KB.
-_MAX_LINE = 1900
+# 1750 (was 1900, VERDICT r4 #5): the captured tail also carries ~100-150
+# chars of preceding WARN lines, so the real budget is below 2000; 1750
+# keeps >=250 bytes of capture headroom while the adaptive queries_shown
+# fill still surfaces the ~30 slowest walls.
+_MAX_LINE = 1750
 
 
 def _fit_line(compact: dict) -> dict:

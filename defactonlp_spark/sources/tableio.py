@@ -77,6 +77,17 @@ class LocalTable:
             d = json.load(f)
         return Snapshot(**d)
 
+    def snapshots(self) -> list["Snapshot"]:
+        """All committed snapshots, oldest first (the Iceberg `snapshots`
+        metadata table) — per-commit properties are how composed stats
+        (e.g. streamed generation n_docs/total_tokens) are recovered
+        without re-reading data."""
+        out = []
+        for v in range(1, self.current_version() + 1):
+            with open(os.path.join(self.meta_dir, f"v{v:08d}.json")) as f:
+                out.append(Snapshot(**json.load(f)))
+        return out
+
     def _commit(self, snap: Snapshot) -> Snapshot:
         os.makedirs(self.meta_dir, exist_ok=True)
         v = self.current_version() + 1

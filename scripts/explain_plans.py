@@ -359,13 +359,17 @@ def main():
     from defactonlp_spark.functions.tokenize import tokenize_tokens
     from defactonlp_spark.operators.bm25 import percolate_v2
 
+    # checked at RULE VOLUME (1,000 mixed term+phrase rules — the round-5
+    # bench scale): the rules side must broadcast onto the corpus-sized
+    # postings/tokens scans at ANY rule count; a SortMergeJoin here would
+    # mean corpus-sized data shuffled on behalf of the rule relation
     rules = spark.createDataFrame(
-        [(0, 0, "must", "terms", "alpha beta"),
-         (0, 1, "should", "phrase", "gamma delta")],
+        [(i, 0, "must", "terms", f"alpha{i} beta{i}") for i in range(1000)]
+        + [(i, 1, "should", "phrase", f"gamma{i} delta{i}") for i in range(1000)],
         "query_id long, clause_id long, occur string, kind string, text string",
     )
     ok &= check(
-        "percolate_v2 (broadcast rules, anchor-trick phrases)",
+        "percolate_v2 @1000 rules (broadcast rules, anchor-trick phrases)",
         plan_of(percolate_v2(pz, rules, tokens=tokenize_tokens(docs))),
         must=["BroadcastHashJoin", "HashAggregate"],
         must_not=["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
