@@ -4098,6 +4098,159 @@ def q_adjacency_matrix(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
+
+# --- round-5 additions: ES agg breadth + BM25+ + training-mix QA ----------
+
+TOPMETRICS_SIZE = 2
+RARE_MAX_DF = 5
+# events span 2024-01-01..2024-01-30 (epoch 1704067200..1706659200); the
+# overlap range deliberately double-counts rows with mid/late — ES
+# date_range buckets are independent, that is the semantics under test
+DATE_RANGES = [
+    ("early", None, 1704672000),
+    ("mid", 1704672000, 1705536000),
+    ("overlap", 1705104000, 1706140800),
+    ("late", 1705536000, None),
+]
+DOMAIN_TARGET_MIX = {f"src{i}": (0.06 if i < 10 else 0.04) for i in range(20)}
+
+
+def q_top_metrics(spark, sf_dir):
+    """ES top_metrics: per event_type, the (value, user_id) metrics at the
+    2 LATEST events (sort ts desc, ties on event_id) — keyed argmax
+    (operators/analytics.py::top_metrics)."""
+    from defactonlp_spark.operators.analytics import top_metrics
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    res = top_metrics(ev, "event_type", "ts", ["value", "user_id"],
+                      size=TOPMETRICS_SIZE, tie_col="event_id")
+    return res.select(
+        "event_type", F.col("rank").cast("long").alias("rank"),
+        "sort_value", F.round("value", 6).alias("value"), "user_id",
+    )
+
+
+def q_serial_diff_weekly(spark, sf_dir):
+    """ES serial_diff pipeline agg: daily sum(value) buckets differenced
+    against the bucket 7 steps earlier — week-over-week change
+    (operators/analytics.py::serial_diff)."""
+    from defactonlp_spark.operators.analytics import serial_diff
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    res = serial_diff(ev, lag=7, bucket_sec=86400)
+    return res.select(
+        "bucket_start",
+        F.round("sum_value", 6).alias("sum_value"),
+        F.round("serial_diff", 6).alias("serial_diff"),
+    )
+
+
+def q_rare_terms(spark, sf_dir):
+    """ES rare_terms agg over the BIGRAM space: long-tail bigrams with
+    df <= 5, first 100 by term asc. Bigrams, not unigrams, because the
+    synthetic corpus has a closed 31-term vocabulary with min df = 25 —
+    no unigram is ever rare at any sf; the bigram dictionary has a real
+    Zipf tail at all three sfs (operators/analytics.py::rare_terms)."""
+    from defactonlp_spark.operators.analytics import rare_terms, token_bigrams
+
+    bg = (
+        token_bigrams(_docs(spark, sf_dir), id_col="doc_id")
+        .select("doc_id", F.concat_ws(" ", "w1", "w2").alias("term"))
+        .distinct()
+    )
+    stats = bg.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    res = rare_terms(stats, max_doc_count=RARE_MAX_DF, limit=100)
+    return res.select("term", F.col("df").cast("long").alias("df"))
+
+
+def q_date_range_agg(spark, sf_dir):
+    """ES date_range agg: explicit [from, to) buckets with open ends and a
+    deliberate overlap (buckets are independent — a row multi-counts)
+    (operators/analytics.py::date_range_agg)."""
+    from defactonlp_spark.operators.analytics import date_range_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    res = date_range_agg(ev, DATE_RANGES)
+    return res.select(
+        "range_key", "from_sec", "to_sec", "doc_count",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+def q_filters_agg(spark, sf_dir):
+    """ES filters agg: named predicate buckets (type match, numeric gate,
+    IN-set) with doc_count + avg(value), ONE scan / zero joins
+    (operators/analytics.py::filters_agg)."""
+    from defactonlp_spark.operators.analytics import filters_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    named = {
+        "clicks": F.col("event_type") == "click",
+        "high_value": F.col("value") > 100.0,
+        "purchase_or_signup": F.col("event_type").isin("purchase", "signup"),
+    }
+    res = filters_agg(ev, named)
+    return res.select(
+        "bucket", "doc_count", F.round("avg_value", 6).alias("avg_value")
+    )
+
+
+def q_bm25_plus_topk(spark, sf_dir):
+    """BM25+ (Lv & Zhai 2011): BM25 with the per-matched-term delta floor
+    that stops very long docs scoring below non-matching ones
+    (operators/lm.py::score_bm25_plus)."""
+    from defactonlp_spark.operators.bm25 import claim_terms
+    from defactonlp_spark.operators.lm import score_bm25_plus
+    from defactonlp_spark.operators.postings import term_stats
+
+    p = _postings_cached(spark, sf_dir)
+    n_docs, avgdl = _engine_corpus_stats(p)
+    res = score_bm25_plus(
+        p, term_stats(p), claim_terms(_claims_df(spark)), n_docs, avgdl, k=TOPK
+    )
+    return res.select(
+        "claim_id", F.col("rank").cast("long").alias("rank"), "doc_id",
+        F.round("score", 4).alias("score"),
+    )
+
+
+def q_domain_mix_kl(spark, sf_dir):
+    """Training-mix QA: per-source corpus share (n_chars mass) vs the
+    recipe's target mixture, with per-source KL(actual || target)
+    contributions (operators/analytics.py::domain_mix_kl)."""
+    from defactonlp_spark.operators.analytics import domain_mix_kl
+
+    res = domain_mix_kl(_docs(spark, sf_dir), DOMAIN_TARGET_MIX)
+    return res.select(
+        "source", "n_docs", F.round("mass", 6).alias("mass"),
+        "actual_share", "target_share", "kl_contrib",
+    )
+
+
+def q_significant_text(spark, sf_dir):
+    """ES significant_text: significant_terms over each claim's BM25
+    top-20 hits with filter_duplicate_text ON — exact-duplicate hit texts
+    vote once (operators/analytics.py::significant_text)."""
+    from defactonlp_spark.operators.analytics import significant_text
+    from defactonlp_spark.operators.bm25 import claim_terms, score_exhaustive
+    from defactonlp_spark.operators.postings import term_stats
+
+    p = _postings_cached(spark, sf_dir)
+    n_docs, avgdl = _engine_corpus_stats(p)
+    stats = term_stats(p)
+    qt = claim_terms(_claims_df(spark))
+    fg = score_exhaustive(p, stats, qt, n_docs, avgdl, k=SIGTERMS_FG_K,
+                          rank_dp=6).select("claim_id", "doc_id")
+    res = significant_text(
+        _docs(spark, sf_dir), p, stats, fg, n_docs,
+        k=10, min_fg_count=2, exclude=qt,
+    )
+    return res.select(
+        "claim_id", F.col("rank").cast("long").alias("rank"),
+        "term", "fg_count", "bg_count", "jlh",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: WAND top-k over compressed segments on sf0.001."""
     return q_bm25_topk_wand(spark, "/root/testdata/sf0.001")
@@ -4128,12 +4281,13 @@ _WINDOW_R5 = [
     "drqa_tfidf_topk_hashed", "geo_grid_agg", "geo_bbox_stats",
     "percentile_ranks", "matrix_stats", "adjacency_matrix",
     "geo_distance_rings", "weighted_avg_agg",
-    # -- 16 core canaries (already driver-green; re-verified each round) --
-    "bm25_topk", "bm25_topk_wand", "bm25_topk_sharded", "bm25_topk_merged",
-    "term_tf_totals", "corpus_stats", "phrase_topk", "drqa_tfidf_topk",
-    "sentence_topk", "rte_label_agg", "fever_submission", "dedup_exact",
-    "minhash_lsh_pairs", "training_pipeline_stats", "tpch_q1",
-    "cosine_topk",
+    # -- 8 round-5 additions (new surface — need their first driver row) --
+    "top_metrics_agg", "serial_diff_weekly", "rare_terms", "date_range_agg",
+    "filters_agg", "bm25_plus_topk", "domain_mix_kl", "significant_text",
+    # -- 8 core canaries (already driver-green; re-verified each round) --
+    "bm25_topk", "bm25_topk_wand", "term_tf_totals", "corpus_stats",
+    "phrase_topk", "fever_submission", "dedup_exact",
+    "training_pipeline_stats",
 ]
 
 
@@ -4327,6 +4481,15 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_pipeline_stats": q_training_pipeline_stats,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        # -- round-5 additions (ES agg breadth + BM25+ + training-mix QA) --
+        "top_metrics_agg": q_top_metrics,
+        "serial_diff_weekly": q_serial_diff_weekly,
+        "rare_terms": q_rare_terms,
+        "date_range_agg": q_date_range_agg,
+        "filters_agg": q_filters_agg,
+        "bm25_plus_topk": q_bm25_plus_topk,
+        "domain_mix_kl": q_domain_mix_kl,
+        "significant_text": q_significant_text,
     }
 
 
@@ -8040,5 +8203,170 @@ SELECT claim_id, row_number() OVER (PARTITION BY claim_id
 FROM feats
 QUALIFY row_number() OVER (PARTITION BY claim_id
           ORDER BY round({_lw_expr}, 6) DESC, doc_id) <= {TOPK}
+"""
+    # --- round-5 additions ----------------------------------------------
+    d["top_metrics_agg"] = """
+SELECT event_type, rank::BIGINT AS rank, sort_value, round(value, 6) AS value, user_id
+FROM (SELECT event_type, ts AS sort_value, value, user_id,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY ts DESC, event_id) AS rank
+      FROM events)
+WHERE rank <= 2
+"""
+    d["serial_diff_weekly"] = """
+WITH b AS (
+  SELECT (epoch(ts)::BIGINT // 86400) * 86400 AS bucket_start,
+         sum(value) AS sv
+  FROM events GROUP BY 1
+)
+SELECT bucket_start, round(sv, 6) AS sum_value,
+       round(sv - lag(sv, 7) OVER (ORDER BY bucket_start), 6) AS serial_diff
+FROM b
+"""
+    d["rare_terms"] = f"""
+WITH tl AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+              '[^a-z0-9]+'), t -> t <> '') AS t FROM documents),
+big AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS term
+        FROM tl, unnest(range(1, len(t))) AS u(i)),
+pres AS (SELECT DISTINCT term, doc_id FROM big),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM pres GROUP BY 1)
+SELECT term, df FROM dfreq WHERE df <= {RARE_MAX_DF} ORDER BY term LIMIT 100
+"""
+    _dr_vals = ", ".join(
+        "('%s', %s, %s)" % (k, "NULL" if lo is None else lo, "NULL" if hi is None else hi)
+        for k, lo, hi in DATE_RANGES
+    )
+    d["date_range_agg"] = f"""
+WITH r(range_key, from_sec, to_sec) AS (VALUES {_dr_vals}),
+e AS (SELECT epoch(ts)::BIGINT AS t, value FROM events),
+h AS (
+  SELECT r.range_key, count(e.t)::BIGINT AS doc_count, sum(e.value) AS sv
+  FROM r LEFT JOIN e ON (r.from_sec IS NULL OR e.t >= r.from_sec)
+                    AND (r.to_sec IS NULL OR e.t < r.to_sec)
+  GROUP BY 1
+)
+SELECT r.range_key, r.from_sec::BIGINT AS from_sec, r.to_sec::BIGINT AS to_sec,
+       h.doc_count, round(h.sv, 6) AS sum_value
+FROM r JOIN h ON h.range_key = r.range_key
+"""
+    d["filters_agg"] = """
+WITH a AS (
+  SELECT sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n1,
+         avg(CASE WHEN event_type = 'click' THEN value END) AS a1,
+         sum(CASE WHEN value > 100.0 THEN 1 ELSE 0 END)::BIGINT AS n2,
+         avg(CASE WHEN value > 100.0 THEN value END) AS a2,
+         sum(CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END)::BIGINT AS n3,
+         avg(CASE WHEN event_type IN ('purchase', 'signup') THEN value END) AS a3
+  FROM events)
+SELECT 'clicks' AS bucket, n1 AS doc_count, round(a1, 6) AS avg_value FROM a
+UNION ALL SELECT 'high_value', n2, round(a2, 6) FROM a
+UNION ALL SELECT 'purchase_or_signup', n3, round(a3, 6) FROM a
+"""
+    d["bm25_plus_topk"] = f"""
+WITH toks AS ({_TOKS_SQL}),
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+claims(claim_id, claim) AS {_CLAIMS_SQL},
+qterms AS (
+  SELECT DISTINCT claim_id, unnest(list_filter(regexp_split_to_array(lower(claim),
+    '[^a-z0-9]+'), t -> t <> '')) AS term FROM claims
+),
+scored AS (
+  SELECT q.claim_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * {K1 + 1.0}
+                 / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)) + 1.0) ) AS score
+  FROM qterms q
+  JOIN postings p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl l ON l.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT claim_id::BIGINT AS claim_id, rank::BIGINT AS rank,
+       doc_id::BIGINT AS doc_id, round(score, 4) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
+        ORDER BY round(score, 6) DESC, doc_id) AS rank FROM scored)
+WHERE rank <= {TOPK}
+"""
+    _mix_vals = ", ".join(f"('{k}', {v})" for k, v in DOMAIN_TARGET_MIX.items())
+    d["domain_mix_kl"] = f"""
+WITH tgt(source, target_share) AS (VALUES {_mix_vals}),
+agg AS (SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars::DOUBLE) AS mass
+        FROM documents GROUP BY 1),
+tot AS (SELECT sum(mass) AS t FROM agg),
+sh AS (SELECT a.source, a.n_docs, a.mass, round(a.mass / t.t, 9) AS actual_share
+       FROM agg a CROSS JOIN tot t)
+SELECT s.source, s.n_docs, round(s.mass, 6) AS mass, s.actual_share,
+       g.target_share,
+       round(s.actual_share * ln(s.actual_share / g.target_share), 9) AS kl_contrib
+FROM sh s LEFT JOIN tgt g ON g.source = s.source
+ORDER BY s.source
+"""
+    d["significant_text"] = f"""
+WITH toks AS ({_TOKS_SQL}),
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+claims(claim_id, claim) AS {_CLAIMS_SQL},
+qterms AS (
+  SELECT DISTINCT claim_id, unnest(list_filter(regexp_split_to_array(lower(claim),
+    '[^a-z0-9]+'), t -> t <> '')) AS term FROM claims
+),
+scored AS (
+  SELECT q.claim_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * p.tf * {K1 + 1.0}
+              / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)) ) AS score
+  FROM qterms q
+  JOIN postings p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl l ON l.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+fg AS (
+  SELECT claim_id, doc_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY claim_id
+          ORDER BY round(score, 6) DESC, doc_id) AS rn FROM scored)
+  WHERE rn <= {SIGTERMS_FG_K}
+),
+fgh AS (
+  SELECT f.claim_id, f.doc_id, md5(dd.text) AS h
+  FROM fg f JOIN documents dd ON dd.doc_id = f.doc_id
+),
+fgd AS (
+  SELECT claim_id, doc_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY claim_id, h
+          ORDER BY doc_id) AS rn FROM fgh)
+  WHERE rn = 1
+),
+fgsize AS (SELECT claim_id, count(*)::DOUBLE AS fg_size FROM fgd GROUP BY 1),
+fgterms AS (
+  SELECT f.claim_id, p.term, count(*)::BIGINT AS fg_count
+  FROM fgd f JOIN postings p ON p.doc_id = f.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+kept AS (
+  SELECT ft.claim_id, ft.term, ft.fg_count, d.df::BIGINT AS bg_count,
+         (ft.fg_count / z.fg_size) AS fgp, (d.df / s.n) AS bgp
+  FROM fgterms ft
+  JOIN dfreq d ON d.term = ft.term
+  JOIN fgsize z ON z.claim_id = ft.claim_id
+  CROSS JOIN stats s
+  LEFT JOIN qterms q ON q.claim_id = ft.claim_id AND q.term = ft.term
+  WHERE q.term IS NULL AND (ft.fg_count / z.fg_size) > (d.df / s.n)
+)
+SELECT claim_id::BIGINT AS claim_id, rank::BIGINT AS rank, term, fg_count, bg_count,
+       round(jlh, 6) AS jlh
+FROM (SELECT *, (fgp - bgp) * (fgp / bgp) AS jlh,
+             row_number() OVER (PARTITION BY claim_id
+               ORDER BY round((fgp - bgp) * (fgp / bgp), 6) DESC, term) AS rank
+      FROM kept)
+WHERE rank <= 10
 """
     return d

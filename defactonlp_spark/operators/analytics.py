@@ -18,17 +18,23 @@ from pyspark.sql import functions as F
 from defactonlp_spark.operators.dedup import tokens_col
 
 
-def token_bigrams(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def token_bigrams(
+    docs: DataFrame, text_col: str = "text", id_col: str | None = None
+) -> DataFrame:
     """-> one row per in-doc token bigram (w1, w2). JVM-side: slice +
-    arrays_zip + explode, all codegen; no Python, no shuffle."""
+    arrays_zip + explode, all codegen; no Python, no shuffle.
+    ``id_col``: carry a doc identifier through (for presence/df consumers
+    like rare_terms-over-bigrams); None keeps the original bare shape."""
     t = tokens_col(text_col)
     n1 = F.greatest(F.size(t) - 1, F.lit(0))
+    ids = [id_col] if id_col else []
     prep = docs.select(
+        *ids,
         F.slice(t, F.lit(1), n1).alias("w1s"),
         F.slice(t, F.lit(2), n1).alias("w2s"),
     )
-    return prep.select(F.explode(F.arrays_zip("w1s", "w2s")).alias("p")).select(
-        F.col("p.w1s").alias("w1"), F.col("p.w2s").alias("w2")
+    return prep.select(*ids, F.explode(F.arrays_zip("w1s", "w2s")).alias("p")).select(
+        *ids, F.col("p.w1s").alias("w1"), F.col("p.w2s").alias("w2")
     )
 
 
@@ -1436,3 +1442,256 @@ def frequent_item_sets(
     for part in out_parts[1:]:
         allsets = allsets.unionByName(part)
     return allsets.orderBy(F.desc("support"), F.asc("items")).limit(top)
+
+
+def top_metrics(
+    df: DataFrame,
+    group_col: str,
+    sort_col: str,
+    metric_cols: list[str],
+    size: int = 1,
+    descending: bool = True,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """ES ``top_metrics`` aggregation: per bucket, the metric values taken
+    from the row(s) with the top ``sort_col`` value (e.g. "the latest
+    event's value per event type" — a keyed argmax, the thing ES added
+    because top_hits fetches whole documents when you want two fields).
+
+    One window per group (row_number over sort desc); ties break on
+    ``tie_col`` asc (required for engine-portable output when the sort
+    key can repeat). Scale: the window partitions by the bucket key —
+    the same dense shuffle any per-key top-k does; no global sort.
+    -> (group, rank, sort_value, <metric_cols...>)
+    """
+    order = [F.desc(sort_col) if descending else F.asc(sort_col)]
+    if tie_col:
+        order.append(F.asc(tie_col))
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= size)
+        .select(
+            group_col, "rank", F.col(sort_col).alias("sort_value"), *metric_cols
+        )
+    )
+
+
+def serial_diff(
+    events: DataFrame,
+    lag: int = 7,
+    bucket_sec: int = 86400,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """ES ``serial_diff`` pipeline aggregation: date-histogram the metric,
+    then difference each bucket against the bucket ``lag`` steps earlier
+    (lag=7 on daily buckets = week-over-week change; lag=1 = derivative).
+
+    ES computes the lag over the existing bucket SEQUENCE (gaps skipped by
+    its default skip gap policy); this pins the same rule — lag counts
+    buckets, not wall-clock. The ordered window runs over the BUCKET
+    relation (metadata-scale after the histogram aggregate), so the
+    single-partition WindowExec is deliberate — same contract as
+    date_histogram_pipeline. First ``lag`` buckets emit NULL.
+    -> (bucket_start, sum_value, serial_diff)
+    """
+    bucket = (
+        (F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_sec)).cast("long")
+        * F.lit(bucket_sec)
+    )
+    agg = events.groupBy(bucket.alias("bucket_start")).agg(
+        F.sum(F.col(value_col).cast("double")).alias("sum_value")
+    )
+    w = Window.orderBy("bucket_start")
+    return agg.select(
+        "bucket_start",
+        "sum_value",
+        (F.col("sum_value") - F.lag("sum_value", lag).over(w)).alias("serial_diff"),
+    )
+
+
+def rare_terms(
+    stats: DataFrame,
+    max_doc_count: int = 1,
+    limit: int = 100,
+) -> DataFrame:
+    """ES ``rare_terms`` aggregation: the long-tail terms whose document
+    frequency is <= ``max_doc_count`` (the opposite selection of terms/
+    significant_terms — "what almost never occurs").
+
+    Dictionary-scale input (the term stats relation, never postings). The
+    honest cap: on web corpora hapax legomena are ~half the vocabulary
+    (Zipf), so an uncapped result is corpus-sized — ``limit`` (term asc,
+    deterministic) bounds the driver-facing result the same way ES bounds
+    buckets; callers wanting the full relation keep the DataFrame lazy.
+    -> (term, df) ordered term asc
+    """
+    return (
+        stats.filter(F.col("df") <= max_doc_count)
+        .select("term", "df")
+        .orderBy(F.asc("term"))
+        .limit(limit)
+    )
+
+
+def date_range_agg(
+    events: DataFrame,
+    ranges: list[tuple[str, int | None, int | None]],
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """ES ``date_range`` aggregation: explicit [from, to) buckets (epoch
+    seconds; None = open end). ES buckets are INDEPENDENT — overlapping
+    ranges each count the row, which is why this is not a CASE ladder:
+    the tiny range list broadcasts onto one scan and rows multi-match.
+
+    -> (range_key, from_sec, to_sec, doc_count, sum_value); every named
+    range appears even when empty (doc_count 0, sum NULL) — ES contract.
+    """
+    spark = events.sparkSession
+    LO, HI = -(1 << 62), (1 << 62)
+    rdf = spark.createDataFrame(
+        [(k, lo, hi) for k, lo, hi in ranges],
+        "range_key string, from_sec long, to_sec long",
+    ).fillna({"from_sec": LO, "to_sec": HI})
+    ts = F.unix_timestamp(F.col(ts_col))
+    hits = (
+        events.select(ts.alias("_ts"), F.col(value_col).cast("double").alias("_v"))
+        .join(
+            F.broadcast(rdf),
+            (F.col("_ts") >= F.col("from_sec")) & (F.col("_ts") < F.col("to_sec")),
+            "inner",
+        )
+        .groupBy("range_key", "from_sec", "to_sec")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("doc_count"),
+            F.sum("_v").alias("sum_value"),
+        )
+    )
+    return (
+        F.broadcast(rdf)
+        .join(hits, ["range_key", "from_sec", "to_sec"], "left")
+        .select(
+            "range_key",
+            F.when(F.col("from_sec") == LO, F.lit(None)).otherwise(F.col("from_sec")).alias("from_sec"),
+            F.when(F.col("to_sec") == HI, F.lit(None)).otherwise(F.col("to_sec")).alias("to_sec"),
+            F.coalesce(F.col("doc_count"), F.lit(0)).alias("doc_count"),
+            "sum_value",
+        )
+    )
+
+
+def filters_agg(
+    df: DataFrame,
+    named_filters: dict[str, "F.Column"],
+    value_col: str = "value",
+) -> DataFrame:
+    """ES ``filters`` aggregation: one named bucket per predicate, each
+    with doc_count + an avg sub-metric. ONE scan, zero joins: every
+    bucket is a conditional aggregate (sum(when)) in the same scalar
+    aggregate, then the single result row unpivots to (bucket, ...) rows
+    via a literal stack — the plan any columnar engine wants, and the
+    reason this beats N filtered subqueries at 100 TB.
+    -> (bucket, doc_count, avg_value), bucket order = dict order
+    """
+    aggs = []
+    for name, cond in named_filters.items():
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"n_{name}")
+        )
+        aggs.append(
+            F.avg(F.when(cond, F.col(value_col).cast("double"))).alias(f"a_{name}")
+        )
+    row = df.agg(*aggs)
+    names = list(named_filters)
+    stack = ", ".join(f"'{n}', n_{n}, a_{n}" for n in names)
+    return row.selectExpr(
+        f"stack({len(names)}, {stack}) as (bucket, doc_count, avg_value)"
+    )
+
+
+def domain_mix_kl(
+    docs: DataFrame,
+    target_mix: dict[str, float],
+    group_col: str = "source",
+    weight_col: str | None = "n_chars",
+) -> DataFrame:
+    """Training-mix QA: per-source actual share of the corpus (by
+    ``weight_col`` mass, or by docs when None) against a TARGET mixture,
+    with each source's contribution to KL(actual || target) — the number
+    a data-mixing pipeline alarms on when a crawl snapshot drifts from
+    the recipe (Gao 2020 The Pile / Xie 2023 DoReMi report mixtures this
+    way). Sources absent from the target get NULL contrib (undefined
+    support — surfaced, not hidden); shares are rounded to 9 dp BEFORE
+    the log so both engines exponentiate identical doubles.
+    Scale: one hash aggregate over the corpus, then dictionary-sized
+    arithmetic. -> (source, n_docs, mass, actual_share, target_share,
+    kl_contrib) ordered source asc
+    """
+    w = (
+        F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    )
+    agg = docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(w).alias("mass"),
+    )
+    total = agg.agg(F.sum("mass").alias("_t"))
+    spark = docs.sparkSession
+    tgt = spark.createDataFrame(
+        list(target_mix.items()), f"{group_col} string, target_share double"
+    )
+    out = (
+        agg.crossJoin(F.broadcast(total))
+        .withColumn("actual_share", F.round(F.col("mass") / F.col("_t"), 9))
+        .join(F.broadcast(tgt), group_col, "left")
+        .withColumn(
+            "kl_contrib",
+            F.round(
+                F.col("actual_share")
+                * F.log(F.col("actual_share") / F.col("target_share")),
+                9,
+            ),
+        )
+    )
+    return out.select(
+        group_col, "n_docs", "mass", "actual_share", "target_share", "kl_contrib"
+    ).orderBy(F.asc(group_col))
+
+
+def significant_text(
+    docs: DataFrame,
+    postings: DataFrame,
+    stats: DataFrame,
+    fg_docs: DataFrame,
+    n_docs: int,
+    k: int = 10,
+    min_fg_count: int = 2,
+    exclude: DataFrame | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """ES ``significant_text``: significant_terms re-analyzed from the
+    text of the HITS, with the aggregation's signature knob —
+    ``filter_duplicate_text`` — ON: near-boilerplate copies (exact text
+    duplicates here, ES uses a dedup of the analyzed token stream) are
+    dropped from the FOREGROUND before counting, so a mirrored page
+    cannot vote its vocabulary into significance multiple times. The
+    background stays the full corpus stats.
+
+    Composition: md5(text) keep-min-doc_id dedup of the foreground
+    (broadcast-sized — it is a per-claim top-F sampler set), then the
+    pinned JLH scoring of :func:`significant_terms`. -> same schema.
+    """
+    fg_texts = fg_docs.join(
+        docs.select("doc_id", F.md5(F.col(text_col)).alias("_h")), "doc_id", "inner"
+    )
+    w = Window.partitionBy("claim_id", "_h").orderBy(F.asc("doc_id"))
+    fg_dedup = (
+        fg_texts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("claim_id", "doc_id")
+    )
+    return significant_terms(
+        postings, stats, fg_dedup, n_docs, k=k,
+        min_fg_count=min_fg_count, exclude=exclude,
+    )

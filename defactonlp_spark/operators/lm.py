@@ -363,3 +363,52 @@ def score_axiomatic_f2exp(
         .filter(F.col("rank") <= k)
         .select("claim_id", "rank", "doc_id", "score")
     )
+
+
+def score_bm25_plus(
+    postings: DataFrame,
+    dstats: DataFrame,
+    qterms: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k1: float = 1.2,
+    b: float = 0.75,
+    delta: float = 1.0,
+    k: int = 5,
+) -> DataFrame:
+    """BM25+ (Lv & Zhai, CIKM 2011 "Lower-bounding term frequency
+    normalization"): classic BM25 plus a per-matched-term floor ``delta``,
+    fixing BM25's over-penalization of very long documents — a long doc
+    that MATCHES a term can never contribute less than delta * idf, so it
+    always beats a non-matching doc on that term.
+
+      contrib = idf * (tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) + delta)
+
+    idf is the same Robertson-Sparck-Jones log the BM25 path uses
+    (ln(1 + (N - df + 0.5)/(df + 0.5))); same envelope and pinned
+    ranking (round 6 desc, doc_id asc) as every ad-hoc scorer here.
+    """
+    q = qterms.join(dstats.select("term", "df"), "term", "inner")
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    df_ = F.col("df").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - df_ + F.lit(0.5)) / (df_ + F.lit(0.5))
+    )
+    norm = tf + F.lit(float(k1)) * (
+        F.lit(1.0 - b) + F.lit(float(b)) * dl / F.lit(float(avgdl))
+    )
+    contrib = idf * (tf * F.lit(float(k1) + 1.0) / norm + F.lit(float(delta)))
+    scored = (
+        postings.join(F.broadcast(q), "term", "inner")
+        .withColumn("contrib", contrib)
+        .groupBy("claim_id", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    w = Window.partitionBy("claim_id").orderBy(F.round("score", 6).desc(), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("claim_id", "rank", "doc_id", "score")
+    )
