@@ -4251,6 +4251,114 @@ def q_significant_text(spark, sf_dir):
     )
 
 
+# --- round-5 wave 2: URL curation + stratified sampling + span_first ------
+
+SPAN_FIRST_END = 25
+BLOCKLIST_RULES = [
+    # r1 exercises the subdomain-suffix match (blocks every *.example.com
+    # host that r0 didn't already take), r0 an exact canonical host, r2 a
+    # canonical-URL prefix; min(rule_id) pins first-match-wins overlaps.
+    ("r0", "domain", "src3.example.com"),
+    ("r1", "domain", "src5.org"),
+    ("r2", "prefix", "http://src7.example.com/p/1"),
+]
+# recipe covers src0..src14 only — src15+ default to 0 (dropped), the
+# explicit-recipe contract under test
+STRATA_PERMILLE = {
+    f"src{i}": (1000 if i < 3 else (300 if i < 10 else 50)) for i in range(15)
+}
+
+
+def _docs_with_dirty_url(spark, sf_dir):
+    """documents + a deterministic DIRTY url column (mirrored verbatim in
+    the DuckDB twin): groups of 4 consecutive doc_ids share one logical
+    page, each id dressing it differently — bare, UPPERCASE host +
+    default :443, www. + trailing slash + fragment, tracking params +
+    unsorted query — so variants 0/1/2 canonicalize to the SAME key and
+    variant 3 keeps its sorted real params. Exercises every rule of
+    url_canonical_col at once."""
+    d = _docs(spark, sf_dir)
+    g = (F.col("doc_id") / 4).cast("long")
+    v = F.col("doc_id") % 4
+    hostn = (g % 97).cast("string")
+    gs = g.cast("string")
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://h"), hostn, F.lit(".example.com/a/"), gs))
+        .when(v == 1, F.concat(F.lit("HTTPS://H"), hostn, F.lit(".EXAMPLE.COM:443/a/"), gs))
+        .when(v == 2, F.concat(F.lit("https://www.h"), hostn, F.lit(".example.com/a/"), gs, F.lit("/#s2")))
+        .otherwise(F.concat(F.lit("https://h"), hostn, F.lit(".example.com/a/"), gs, F.lit("?utm_source=feed&b=2&a=1")))
+    )
+    return d.select("doc_id", "source", "n_chars", url.alias("url"))
+
+
+def q_url_canonical_dups(spark, sf_dir):
+    """Canonical-URL duplicate groups (functions/urls.py::url_canonical_col
+    + canonical_dup_groups): fragment/case/default-port/www/trailing-slash/
+    tracking-param variants collapse to one key; keep-min doc_id. The
+    DuckDB twin re-implements the normalizer independently, so the oracle
+    cross-checks the canonicalization rules themselves."""
+    from defactonlp_spark.functions.urls import canonical_dup_groups
+
+    res = canonical_dup_groups(_docs_with_dirty_url(spark, sf_dir))
+    return res.select("canonical_url", "n_variants", F.col("keep_id").cast("long").alias("keep_id"))
+
+
+def q_url_blocklist_stats(spark, sf_dir):
+    """URL blocklist audit (operators/curation.py::url_blocklist_filter):
+    zero-shuffle literal-rule scan over canonical URLs (domain-suffix +
+    prefix rules, first-match-wins), counts per winning rule plus the
+    kept bucket."""
+    from defactonlp_spark.operators.curation import url_blocklist_filter
+
+    res = url_blocklist_filter(_docs_with_url(spark, sf_dir), BLOCKLIST_RULES)
+    return (
+        res.groupBy(F.coalesce(F.col("rule_id"), F.lit("(kept)")).alias("rule_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def q_stratified_sample_stats(spark, sf_dir):
+    """Stratified deterministic sampling (operators/curation.py::
+    stratified_sample): per-source md5-bucket gate at the recipe's
+    permille; sources absent from the recipe drop to 0. Reports per-source
+    sampled count, inverse-probability corrected estimate, avg chars."""
+    from defactonlp_spark.operators.curation import stratified_sample
+
+    s = stratified_sample(_docs(spark, sf_dir), STRATA_PERMILLE)
+    rate = F.create_map(*[F.lit(x) for kv in STRATA_PERMILLE.items() for x in kv])
+    return (
+        s.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sampled"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 6).alias("avg_chars"),
+        )
+        .withColumn(
+            "est_count",
+            F.round(F.col("n_sampled") * 1000.0 / rate[F.col("source")], 6),
+        )
+        .select("source", "n_sampled", "est_count", "avg_chars")
+    )
+
+
+def q_span_first_topk(spark, sf_dir):
+    """ES/Lucene span_first (operators/phrase.py::score_span_first): the
+    phrase must sit entirely within the first SPAN_FIRST_END tokens
+    (anchor trick + anchor+plen <= end), BM25 over the phrase terms.
+    Oracle: LIKE containment over the doc's TRUNCATED first-end token
+    string — span end <= end iff the phrase survives truncation."""
+    from defactonlp_spark.operators.phrase import score_span_first
+    from defactonlp_spark.operators.postings import term_stats
+
+    p = _postings_cached(spark, sf_dir)
+    n_docs, avgdl = _engine_corpus_stats(p)
+    phrases = spark.createDataFrame(PHRASE_CLAIMS, "claim_id long, phrase string")
+    res = score_span_first(
+        p, term_stats(p), _tokens_cached(spark, sf_dir), phrases,
+        n_docs, avgdl, end=SPAN_FIRST_END, k=TOPK,
+    )
+    return res.select("claim_id", "doc_id", F.round("score", 4).alias("score"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: WAND top-k over compressed segments on sf0.001."""
     return q_bm25_topk_wand(spark, "/root/testdata/sf0.001")
@@ -4281,13 +4389,15 @@ _WINDOW_R5 = [
     "drqa_tfidf_topk_hashed", "geo_grid_agg", "geo_bbox_stats",
     "percentile_ranks", "matrix_stats", "adjacency_matrix",
     "geo_distance_rings", "weighted_avg_agg",
-    # -- 8 round-5 additions (new surface — need their first driver row) --
+    # -- 12 round-5 additions (new surface — need their first driver row) --
     "top_metrics_agg", "serial_diff_weekly", "rare_terms", "date_range_agg",
     "filters_agg", "bm25_plus_topk", "domain_mix_kl", "significant_text",
-    # -- 8 core canaries (already driver-green; re-verified each round) --
-    "bm25_topk", "bm25_topk_wand", "term_tf_totals", "corpus_stats",
-    "phrase_topk", "fever_submission", "dedup_exact",
-    "training_pipeline_stats",
+    "url_canonical_dups", "url_blocklist_stats", "stratified_sample_stats",
+    "span_first_topk",
+    # -- 4 core canaries (already driver-green in r01-r04 rows; the four
+    # displaced ones — corpus_stats, phrase_topk, dedup_exact,
+    # training_pipeline_stats — keep their earlier driver records) --
+    "bm25_topk", "bm25_topk_wand", "term_tf_totals", "fever_submission",
 ]
 
 
@@ -4490,6 +4600,11 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_plus_topk": q_bm25_plus_topk,
         "domain_mix_kl": q_domain_mix_kl,
         "significant_text": q_significant_text,
+        # -- round-5 wave 2 (URL curation + stratified sampling + span_first) --
+        "url_canonical_dups": q_url_canonical_dups,
+        "url_blocklist_stats": q_url_blocklist_stats,
+        "stratified_sample_stats": q_stratified_sample_stats,
+        "span_first_topk": q_span_first_topk,
     }
 
 
@@ -8368,5 +8483,123 @@ FROM (SELECT *, (fgp - bgp) * (fgp / bgp) AS jlh,
                ORDER BY round((fgp - bgp) * (fgp / bgp), 6) DESC, term) AS rank
       FROM kept)
 WHERE rank <= 10
+"""
+    # --- round-5 wave 2 ---------------------------------------------------
+    # independent SQL re-implementation of url_canonical_col (same pinned
+    # rules, different engine + code path — the oracle cross-checks the
+    # normalizer itself, not just its output plumbing)
+    def _canon_sql(raw_rel: str) -> str:
+        return f"""
+nofrag AS (SELECT *, regexp_replace(url, '#.*$', '') AS u0 FROM ({raw_rel})),
+lc AS (SELECT *, lower(regexp_extract(u0, '^([^/?#]*://[^/?#]*)', 1))
+              || substring(u0, length(regexp_extract(u0, '^([^/?#]*://[^/?#]*)', 1)) + 1) AS u
+       FROM nofrag),
+parts AS (
+  SELECT *, regexp_extract(u, '^([a-z][a-z0-9+.-]*)://', 1) AS scheme,
+         regexp_extract(u, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS hostport,
+         regexp_replace(regexp_extract(u, '://[^/?#]*(/[^?#]*)', 1), '/+$', '') AS cpath,
+         regexp_extract(u, '\\?([^#]*)', 1) AS cquery
+  FROM lc),
+canon AS (
+  SELECT *, scheme || '://'
+       || regexp_replace(regexp_extract(hostport, '^([^:]+)', 1), '^www\\.', '')
+       || (CASE WHEN regexp_extract(hostport, ':([0-9]+)$', 1) = '' THEN ''
+                WHEN scheme = 'https' AND regexp_extract(hostport, ':([0-9]+)$', 1) = '443' THEN ''
+                WHEN scheme = 'http' AND regexp_extract(hostport, ':([0-9]+)$', 1) = '80' THEN ''
+                ELSE ':' || regexp_extract(hostport, ':([0-9]+)$', 1) END)
+       || cpath
+       || (CASE WHEN len(list_filter(string_split(cquery, '&'),
+                    p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|msclkid|ref)='))) > 0
+                THEN '?' || array_to_string(list_sort(list_filter(string_split(cquery, '&'),
+                    p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|msclkid|ref)='))), '&')
+                ELSE '' END) AS canonical_url
+  FROM parts)"""
+
+    _dirty_url_sql = """SELECT doc_id,
+       CASE doc_id % 4
+         WHEN 0 THEN 'https://h' || ((doc_id // 4) % 97) || '.example.com/a/' || (doc_id // 4)
+         WHEN 1 THEN 'HTTPS://H' || ((doc_id // 4) % 97) || '.EXAMPLE.COM:443/a/' || (doc_id // 4)
+         WHEN 2 THEN 'https://www.h' || ((doc_id // 4) % 97) || '.example.com/a/' || (doc_id // 4) || '/#s2'
+         ELSE 'https://h' || ((doc_id // 4) % 97) || '.example.com/a/' || (doc_id // 4) || '?utm_source=feed&b=2&a=1'
+       END AS url
+ FROM documents"""
+    d["url_canonical_dups"] = f"""
+WITH {_canon_sql(_dirty_url_sql)}
+SELECT canonical_url, count(*)::BIGINT AS n_variants, min(doc_id)::BIGINT AS keep_id
+FROM canon GROUP BY 1 HAVING count(*) >= 2
+"""
+    d["url_blocklist_stats"] = f"""
+WITH {_canon_sql("SELECT doc_id, url FROM " + _URL_TEXT_SQL.strip())},
+ch AS (
+  SELECT doc_id, canonical_url,
+         regexp_extract(regexp_extract(canonical_url,
+           '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1), '^([^:]+)', 1) AS chost
+  FROM canon),
+m AS (
+  SELECT doc_id, 'r0' AS rule_id FROM ch
+    WHERE chost = 'src3.example.com' OR chost LIKE '%.src3.example.com'
+  UNION ALL
+  SELECT doc_id, 'r1' FROM ch
+    WHERE chost = 'src5.org' OR chost LIKE '%.src5.org'
+  UNION ALL
+  SELECT doc_id, 'r2' FROM ch
+    WHERE canonical_url LIKE 'http://src7.example.com/p/1%'),
+pick AS (SELECT doc_id, min(rule_id) AS rule_id FROM m GROUP BY 1)
+SELECT coalesce(p.rule_id, '(kept)') AS rule_id, count(*)::BIGINT AS n
+FROM ch LEFT JOIN pick p USING (doc_id) GROUP BY 1
+"""
+    _strata_vals = ", ".join(f"('{k}', {v})" for k, v in STRATA_PERMILLE.items())
+    d["stratified_sample_stats"] = f"""
+WITH rates(source, p) AS (VALUES {_strata_vals}),
+s AS (SELECT d.source, d.n_chars, r.p
+      FROM documents d JOIN rates r USING (source)
+      WHERE (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 1000) < r.p)
+SELECT source, count(*)::BIGINT AS n_sampled,
+       round(count(*) * 1000.0 / p, 6) AS est_count,
+       round(avg(n_chars), 6) AS avg_chars
+FROM s GROUP BY source, p
+"""
+    # span end <= END iff the phrase survives truncation to the first END
+    # tokens — the LIKE containment runs on the truncated normalized string
+    d["span_first_topk"] = f"""
+WITH toks AS ({_TOKS_SQL}),
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+claims(claim_id, phrase) AS {_PHRASE_VALUES},
+qterms AS (
+  SELECT DISTINCT claim_id, unnest(list_filter(regexp_split_to_array(lower(phrase),
+    '[^a-z0-9]+'), t -> t <> '')) AS term FROM claims
+),
+docstr AS (
+  SELECT doc_id, ' ' || array_to_string(list_slice(list_filter(
+    regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> ''),
+    1, {SPAN_FIRST_END}), ' ') || ' ' AS s FROM documents
+),
+pnorm AS (
+  SELECT claim_id, ' ' || array_to_string(list_filter(regexp_split_to_array(lower(phrase),
+    '[^a-z0-9]+'), t -> t <> ''), ' ') || ' ' AS p FROM claims
+),
+matches AS (
+  SELECT pn.claim_id, d.doc_id FROM pnorm pn JOIN docstr d ON d.s LIKE '%' || pn.p || '%'
+),
+scored AS (
+  SELECT q.claim_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * p.tf * {K1 + 1.0}
+              / (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl)) ) AS score
+  FROM qterms q
+  JOIN postings p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl l ON l.doc_id = p.doc_id
+  JOIN matches m ON m.claim_id = q.claim_id AND m.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT claim_id::BIGINT AS claim_id, doc_id::BIGINT AS doc_id, round(score, 4) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY claim_id ORDER BY score DESC, doc_id) AS rn
+      FROM scored)
+WHERE rn <= {TOPK}
 """
     return d

@@ -75,3 +75,91 @@ def domain_rollup(df: DataFrame, url_col: str = "url") -> DataFrame:
             F.round(F.avg("path_depth"), 6).alias("mean_path_depth"),
         )
     )
+
+
+# --- canonicalization (round 5) ---------------------------------------------
+
+TRACKING_PARAM_RE = "^(utm_[^=]*|fbclid|gclid|msclkid|ref)="
+_PREFIX_RE = "^([^/?#]*://[^/?#]*)"
+
+
+def url_canonical_col(url: Column) -> Column:
+    """Canonical form of a URL — the dedup key a crawl pipeline groups on
+    (CCNet / Dolma dedup by canonical URL before any content hashing; the
+    rules below are the common subset of their normalizers and RFC 3986
+    §6.2 syntax-based normalization):
+
+      1. strip the fragment (``#...`` never reaches the server),
+      2. lowercase the scheme and authority ONLY (path/query are
+         case-sensitive by RFC 3986),
+      3. drop a leading ``www.`` host label,
+      4. drop the scheme's default port (https:443, http:80); keep others,
+      5. strip trailing slashes from the path (root ``/`` == no path),
+      6. drop tracking params (``utm_*``, fbclid, gclid, msclkid, ref),
+         byte-sort the survivors, rejoin; an emptied query drops its ``?``.
+
+    Pure codegen column expression — regexp + higher-order array ops, no
+    UDF; the same rules are re-implemented independently in the DuckDB
+    twin, so an oracle match cross-checks the normalizer itself. NULL or
+    scheme-less input -> NULL (surfaced, not guessed).
+    """
+    nofrag = F.regexp_replace(url, "#.*$", "")
+    prefix = F.lower(F.regexp_extract(nofrag, _PREFIX_RE, 1))
+    rest = nofrag.substr(F.length(prefix) + 1, F.length(nofrag))
+    u = F.concat(prefix, rest)
+
+    scheme = F.nullif(F.regexp_extract(u, SCHEME_RE, 1), F.lit(""))
+    hostport = F.regexp_extract(u, HOSTPORT_RE, 1)
+    host = F.regexp_replace(
+        F.regexp_extract(hostport, "^([^:]+)", 1), "^www\\.", ""
+    )
+    port = F.nullif(F.regexp_extract(hostport, PORT_RE, 1), F.lit(""))
+    default_port = (
+        ((scheme == "https") & (port == "443"))
+        | ((scheme == "http") & (port == "80"))
+    )
+    portpart = F.when(
+        port.isNotNull() & ~default_port, F.concat(F.lit(":"), port)
+    ).otherwise(F.lit(""))
+
+    path = F.regexp_replace(F.regexp_extract(u, PATH_RE, 1), "/+$", "")
+    params = F.filter(
+        F.split(F.regexp_extract(u, QUERY_RE, 1), "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    qpart = F.when(
+        F.size(params) > 0,
+        F.concat(F.lit("?"), F.concat_ws("&", F.array_sort(params))),
+    ).otherwise(F.lit(""))
+
+    return F.when(
+        scheme.isNotNull(),
+        F.concat(scheme, F.lit("://"), host, portpart, path, qpart),
+    )
+
+
+def canonical_dup_groups(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-level duplicate groups: rows whose URLs CANONICALIZE to the same
+    key. The cheapest dedup tier a web pipeline runs (before any content
+    hash — no text ever shuffles, only the canonical string + id), and the
+    one that removes ``?utm_source=`` / ``#section`` / ``www.`` recrawls.
+
+    One projection + one hash aggregate on the canonical key.
+    -> (canonical_url, n_variants, keep_id) for groups of >= 2, with
+    keep_id = min id (the same keep-min rule the content-dedup tiers pin).
+    """
+    return (
+        df.select(
+            url_canonical_col(F.col(url_col)).alias("canonical_url"),
+            F.col(id_col),
+        )
+        .filter(F.col("canonical_url").isNotNull())
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_variants"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_variants") >= 2)
+    )

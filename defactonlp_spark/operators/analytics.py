@@ -1569,9 +1569,13 @@ def date_range_agg(
             F.sum("_v").alias("sum_value"),
         )
     )
+    # empty named ranges must still appear: preserve the range list with a
+    # RIGHT outer whose BUILD side is the aggregated hits relation (<= N
+    # ranges rows) — broadcast build-left is the supported shape here;
+    # broadcasting the PRESERVED side of an outer join is not a thing
     return (
-        F.broadcast(rdf)
-        .join(hits, ["range_key", "from_sec", "to_sec"], "left")
+        F.broadcast(hits)
+        .join(rdf, ["range_key", "from_sec", "to_sec"], "right")
         .select(
             "range_key",
             F.when(F.col("from_sec") == LO, F.lit(None)).otherwise(F.col("from_sec")).alias("from_sec"),

@@ -253,3 +253,114 @@ def pack_sequences(
         F.floor(F.col("_excl") / seq_len).cast("long").alias("seq_id"),
         (F.col("_excl") % seq_len).cast("long").alias("seq_offset"),
     )
+
+
+# --- URL blocklist + stratified sampling (round 5) --------------------------
+
+
+def url_blocklist_filter(
+    df: DataFrame,
+    rules: list[tuple[str, str, str]],
+    url_col: str = "url",
+) -> DataFrame:
+    """URL blocklist gate — the first filter a web-corpus pipeline runs
+    (CCNet / Dolma / RefinedWeb all gate on a URL blocklist before fetching
+    text features). ``rules`` = [(rule_id, kind, pattern)] with two kinds:
+
+      - ``domain``: matches when the URL host equals the pattern or is a
+        subdomain of it (``example.com`` blocks ``a.example.com``),
+      - ``prefix``: matches when the CANONICAL url starts with the pattern
+        (so ``?utm_`` noise can't dodge a path rule).
+
+    Zero shuffle, zero join: the rule list compiles into a literal array
+    of structs scanned per row with higher-order functions — the corpus
+    never moves, never duplicates (a theta-join would emit one row per
+    matching rule and need a re-aggregate). First-match-wins is
+    ``array_min`` over matched rule_ids (asc, pinned) so a URL hitting
+    several rules reports ONE rule deterministically. Policy lists are
+    thousands of rules at most — linear per-row scan, same work a join
+    would do without its shuffle; a PSL-scale million-rule list would
+    switch to a broadcast suffix join instead.
+
+    -> df columns + (canonical_url, blocked boolean, rule_id string|NULL).
+    Callers keep ``filter(~blocked)`` or audit ``groupBy(rule_id)``.
+    """
+    from defactonlp_spark.functions.urls import (
+        HOSTPORT_RE,
+        url_canonical_col,
+    )
+
+    rarr = F.array(*[
+        F.struct(
+            F.lit(rid).alias("rule_id"),
+            F.lit(kind).alias("kind"),
+            F.lit(pat).alias("pattern"),
+        )
+        for rid, kind, pat in rules
+    ])
+    canon = df.withColumn("canonical_url", url_canonical_col(F.col(url_col)))
+    # host WITHOUT the port — a canonical URL keeps non-default ports, but
+    # domain rules match the bare host (example.com:8080 is still blocked
+    # by an example.com rule)
+    host = F.regexp_extract(
+        F.regexp_extract(F.coalesce(F.col("canonical_url"), F.lit("")), HOSTPORT_RE, 1),
+        "^([^:]+)",
+        1,
+    )
+
+    def _matches(r):
+        return (
+            (r["kind"] == "domain")
+            & (
+                (host == r["pattern"])
+                | host.endswith(F.concat(F.lit("."), r["pattern"]))
+            )
+        ) | (
+            (r["kind"] == "prefix")
+            & F.coalesce(F.col("canonical_url"), F.lit("")).startswith(r["pattern"])
+        )
+
+    rule_id = F.array_min(
+        F.transform(F.filter(rarr, _matches), lambda r: r["rule_id"])
+    )
+    return canon.withColumn("rule_id", rule_id).withColumn(
+        "blocked", F.col("rule_id").isNotNull()
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates_permille: dict[str, int],
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Stratified deterministic sampling: keep each row iff its md5 bucket
+    (of 1000) falls below its STRATUM's permille rate — the mixture-
+    sampling primitive a training-data pipeline uses to hit a target recipe
+    (downsample CommonCrawl to 30%, keep Wikipedia at 100%, ...).
+
+    Same pinned hash as random_sampler / with_split:
+    ``bucket(id) = int(md5(id)[:8], 16) % 1000`` — reproducible across
+    runs, engines, and cluster sizes; a row's fate never depends on other
+    rows, so the sample composes with any upstream filter. Strata absent
+    from ``rates_permille`` default to 0 (dropped) — an explicit recipe,
+    not a passthrough. The rate map is policy-sized: broadcast join, one
+    codegen filter, no shuffle of the corpus.
+    """
+    for k, v in rates_permille.items():
+        if not 0 <= v <= 1000:
+            raise ValueError(f"rate for {k!r} must be in [0, 1000], got {v}")
+    spark = df.sparkSession
+    rdf = spark.createDataFrame(
+        list(rates_permille.items()), f"{group_col} string, _permille int"
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000
+    )
+    return (
+        df.join(F.broadcast(rdf), group_col, "left")
+        .filter(bucket < F.coalesce(F.col("_permille"), F.lit(0)))
+        .drop("_permille")
+    )

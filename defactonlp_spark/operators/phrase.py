@@ -602,3 +602,73 @@ def top_fragments(
     for c in chosen[1:]:
         out = out.unionByName(c)
     return out
+
+
+def span_first_matches(tokens: DataFrame, qpos: DataFrame, end: int) -> DataFrame:
+    """Lucene/ES ``span_first``: the phrase must occur ENTIRELY within the
+    first ``end`` token positions of the document (match.end() <= end, the
+    SpanFirstQuery contract) — "title-ish" matching on a flat body field.
+
+    Same anchor trick as :func:`phrase_matches` with one extra predicate:
+    a full match at anchor a covers positions [a, a+plen-1], so the span
+    constraint is ``a + plen <= end``. The position filter applies to the
+    TOKENS side before the group-by (pos < end is necessary for any
+    in-window hit), so the shuffle only carries the document heads.
+    """
+    plen = qpos.groupBy("claim_id").agg(F.count(F.lit(1)).alias("plen"))
+    hits = (
+        tokens.filter(F.col("pos") < end)
+        .join(F.broadcast(qpos), "term", "inner")
+        .select(
+            "claim_id",
+            "doc_id",
+            (F.col("pos").cast("long") - F.col("idx")).alias("anchor"),
+        )
+    )
+    return (
+        hits.groupBy("claim_id", "doc_id", "anchor")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .join(F.broadcast(plen), "claim_id", "inner")
+        .filter(
+            (F.col("m") == F.col("plen"))
+            & (F.col("anchor") >= 0)
+            & (F.col("anchor") + F.col("plen") <= end)
+        )
+        .select("claim_id", "doc_id")
+        .distinct()
+    )
+
+
+def score_span_first(
+    postings: DataFrame,
+    stats: DataFrame,
+    tokens: DataFrame,
+    phrases: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    end: int,
+    k: int = 5,
+    params: BM25Params = BM25Params(),
+) -> DataFrame:
+    """Top-k span_first retrieval: :func:`span_first_matches` gates the
+    candidates, then the standard BM25 sum over the phrase's distinct
+    terms — same envelope as :func:`score_phrase`, so span_first results
+    are directly comparable with the exact-phrase path (a span_first hit
+    set is always a subset of the phrase hit set)."""
+    qpos = phrase_positions(phrases)
+    matches = span_first_matches(tokens, qpos, end)
+    qterms = qpos.select("claim_id", "term").distinct()
+    q = qterms.join(stats, "term", "inner")
+    scored = (
+        postings.join(F.broadcast(q), "term", "inner")
+        .withColumn("contrib", bm25_score_expr(n_docs, avgdl, params))
+        .join(matches, ["claim_id", "doc_id"], "left_semi")
+        .groupBy("claim_id", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    w = Window.partitionBy("claim_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("claim_id", "rank", "doc_id", "score")
+    )

@@ -848,6 +848,50 @@ def main():
         must_not=["CartesianProduct", "SortMergeJoin"],
     )
 
+    # 56. filters_agg: ONE scan, conditional aggregates, zero joins — the
+    # unpivot is a driver-free generate over the single aggregate row
+    from defactonlp_spark.operators.analytics import date_range_agg, filters_agg
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    ok &= check(
+        "filters_agg (one scan, no join)",
+        plan_of(filters_agg(ev, {"c": F.col("event_type") == "click",
+                                 "h": F.col("value") > 100.0})),
+        must=["HashAggregate"],
+        must_not=["Join", "CartesianProduct"],
+    )
+
+    # 57. date_range_agg: the range list broadcasts onto one events scan
+    ok &= check(
+        "date_range_agg (broadcast ranges + broadcast hits rejoin)",
+        plan_of(date_range_agg(ev, [("a", None, 100), ("b", 50, None)])),
+        must=["BroadcastNestedLoopJoin", "BroadcastHashJoin"],
+        must_not=["CartesianProduct", "SortMergeJoin"],
+    )
+
+    # 58. url_blocklist_filter: ZERO shuffle — the rule list is a literal
+    # array scanned per row; nothing exchanges, nothing joins
+    from defactonlp_spark.operators.curation import stratified_sample, url_blocklist_filter
+
+    durl = docs.select("doc_id", F.concat(F.lit("https://h"), F.col("doc_id"),
+                                          F.lit(".example.com/p")).alias("url"))
+    ok &= check(
+        "url_blocklist_filter (zero shuffle, zero join)",
+        plan_of(url_blocklist_filter(durl, [("r0", "domain", "example.com"),
+                                            ("r1", "prefix", "https://h1")])),
+        must=["Project"],
+        must_not=["Exchange", "Join"],
+    )
+
+    # 59. stratified_sample: broadcast the permille map, codegen hash
+    # filter — the corpus itself never shuffles
+    ok &= check(
+        "stratified_sample (broadcast rates, no corpus shuffle)",
+        plan_of(stratified_sample(docs, {"src0": 500, "src1": 100})),
+        must=["BroadcastHashJoin"],
+        must_not=["SortMergeJoin", "CartesianProduct"],
+    )
+
     print("\nPLANS " + ("OK" if ok else "NOT OK"))
     spark.stop()
     sys.exit(0 if ok else 1)
