@@ -66,6 +66,8 @@ DO_CURATION = os.environ.get("BENCH_CURATION", "1") == "1"
 #: session-5 ops (dup_spans / pack_sequences / percolate) at the 320k corpus
 DO_S5OPS = os.environ.get("BENCH_S5OPS", "1") == "1"
 DO_R4C = os.environ.get("BENCH_R4C", "1") == "1"
+#: round-5 URL-curation + stratified-sampling ops at 320k synthetic URLs
+DO_R5OPS = os.environ.get("BENCH_R5OPS", "1") == "1"
 MERGE_PAGES = int(os.environ.get("BENCH_MERGE_PAGES", "1000000"))
 # end-to-end near-dup dedup pipeline throughput over the webpages corpus:
 DO_DEDUP = os.environ.get("BENCH_DEDUP", "1") == "1"
@@ -697,6 +699,108 @@ def bench_s5_ops(cores: int) -> dict:
         spark.stop()
 
 
+def bench_r5_ops(cores: int) -> dict:
+    """Round-5 URL-curation + sampling throughput at 320k rows: canonical-
+    URL dedup (projection + one hash agg on the canonical key), the
+    blocklist gate at RULE VOLUME (1,000 literal rules — the zero-shuffle
+    per-row array scan, so docs/s should degrade gently with rule count,
+    not collapse), and the recipe pipeline stratified_sample ->
+    domain_mix_kl (sample to a target mixture, then measure the sampled
+    corpus's drift from it — the two ops a data-mixing job chains)."""
+    from pyspark.sql import functions as F
+
+    from defactonlp_spark.functions.urls import canonical_dup_groups
+    from defactonlp_spark.operators.curation import (
+        stratified_sample,
+        url_blocklist_filter,
+    )
+    from defactonlp_spark.operators.analytics import domain_mix_kl
+
+    spark = _spark(cores)
+    out: dict = {}
+    urls = None
+    try:
+        _warmup(spark)
+        n = 320000
+        did = F.col("id")
+        g = (did / 4).cast("long")
+        hostn = (g % 997).cast("string")
+        gs = g.cast("string")
+        dirty = (
+            F.when(did % 4 == 0, F.concat(F.lit("https://h"), hostn, F.lit(".example.com/a/"), gs))
+            .when(did % 4 == 1, F.concat(F.lit("HTTPS://H"), hostn, F.lit(".EXAMPLE.COM:443/a/"), gs))
+            .when(did % 4 == 2, F.concat(F.lit("https://www.h"), hostn, F.lit(".example.com/a/"), gs, F.lit("/#s")))
+            .otherwise(F.concat(F.lit("https://h"), hostn, F.lit(".example.com/a/"), gs, F.lit("?utm_source=f&b=2&a=1")))
+        )
+        urls = (
+            spark.range(n)
+            .select(
+                did.alias("doc_id"),
+                dirty.alias("url"),
+                F.concat(F.lit("src"), (did % 20).cast("string")).alias("source"),
+                (did % 5000).cast("long").alias("n_chars"),
+            )
+            .persist()
+        )
+        urls.count()  # materialize outside the timed regions
+
+        t0, s0 = time.time(), _steal_jiffies()
+        groups = canonical_dup_groups(urls).count()
+        w = time.time() - t0
+        out["canonical_dedup"] = {
+            "dup_groups": int(groups), "wall_sec": round(w, 2),
+            "urls_per_sec": round(n / w, 1),
+            "steal_jiffies": _steal_jiffies() - s0,
+        }
+
+        rules = (
+            [(f"d{i:04d}", "domain", f"h{i}.example.com") for i in range(500)]
+            + [(f"p{i:04d}", "prefix", f"https://h{500 + i}.example.com/a/") for i in range(500)]
+        )
+        # both plan shapes at the same 1,000 rules: the zero-shuffle
+        # literal scan (O(rules) bound-variable string ops per row — the
+        # let-binding matters: without it the canonicalization re-inlines
+        # per rule element and 1,000 rules extrapolates to HOURS) and the
+        # broadcast suffix-join variant (per-row cost independent of rule
+        # count — the 10^5+-rule shape)
+        from defactonlp_spark.operators.curation import url_blocklist_join
+
+        t0, s0 = time.time(), _steal_jiffies()
+        blocked = url_blocklist_filter(urls, rules).filter("blocked").count()
+        w = time.time() - t0
+        out["blocklist_1000_rules_scan"] = {
+            "rules": len(rules), "blocked": int(blocked),
+            "wall_sec": round(w, 2), "urls_per_sec": round(n / w, 1),
+            "steal_jiffies": _steal_jiffies() - s0,
+        }
+        t0, s0 = time.time(), _steal_jiffies()
+        blocked_j = url_blocklist_join(urls, rules).filter("blocked").count()
+        w = time.time() - t0
+        out["blocklist_1000_rules_join"] = {
+            "rules": len(rules), "blocked": int(blocked_j),
+            "wall_sec": round(w, 2), "urls_per_sec": round(n / w, 1),
+            "steal_jiffies": _steal_jiffies() - s0,
+        }
+        assert blocked_j == blocked, "blocklist variants disagree"
+
+        recipe = {f"src{i}": (1000 if i < 5 else 200) for i in range(20)}
+        target = {k: round(v / sum(recipe.values()), 6) for k, v in recipe.items()}
+        t0, s0 = time.time(), _steal_jiffies()
+        sampled = stratified_sample(urls, recipe)
+        kl_rows = domain_mix_kl(sampled, target).count()
+        w = time.time() - t0
+        out["stratified_mix_pipeline"] = {
+            "strata": int(kl_rows), "wall_sec": round(w, 2),
+            "docs_per_sec": round(n / w, 1),
+            "steal_jiffies": _steal_jiffies() - s0,
+        }
+        return out
+    finally:
+        if urls is not None:
+            urls.unpersist()
+        spark.stop()
+
+
 def bench_dedup_pipeline(cores: int) -> dict:
     """End-to-end near-dup dedup at the synthetic webpages corpus: MinHash
     signatures -> banded LSH pair join -> large-star/small-star connected
@@ -1136,6 +1240,10 @@ def main():
     # -- round-4-continuation ops at 320k ------------------------------------
     if DO_R4C:
         results["r4c_ops"] = bench_r4c_ops(CPUS)
+
+    # -- round-5 URL-curation + sampling ops at 320k -------------------------
+    if DO_R5OPS:
+        results["r5_ops"] = bench_r5_ops(CPUS)
 
     # -- harness queries at SF_DIR ------------------------------------------
     if not DO_HARNESS:

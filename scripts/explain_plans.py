@@ -883,6 +883,20 @@ def main():
         must_not=["Exchange", "Join"],
     )
 
+    # 58b. url_blocklist_join (rule-volume variant): domain rules are an
+    # EQUI-join on the exploded suffix chain, prefix rules equi-join the
+    # pattern host — both broadcast; only the narrow hit relation
+    # aggregates. No SMJ anywhere on the rule side.
+    from defactonlp_spark.operators.curation import url_blocklist_join
+
+    ok &= check(
+        "url_blocklist_join (broadcast suffix equi-joins)",
+        plan_of(url_blocklist_join(durl, [("r0", "domain", "example.com"),
+                                          ("r1", "prefix", "https://h1.example.com/p")])),
+        must=["BroadcastHashJoin", "Explode"],
+        must_not=["BroadcastNestedLoopJoin", "CartesianProduct"],
+    )
+
     # 59. stratified_sample: broadcast the permille map, codegen hash
     # filter — the corpus itself never shuffles
     ok &= check(

@@ -44,6 +44,7 @@ uint63_arrays = st.lists(
 
 
 @given(uint63_arrays)
+@settings(deadline=None)  # first-call numpy warmup under full-suite load
 def test_vbyte_roundtrip(values):
     buf = vb_encode(values)
     out = vb_decode(buf, n_values=values.size)
@@ -52,6 +53,7 @@ def test_vbyte_roundtrip(values):
 
 
 @given(uint63_arrays)
+@settings(deadline=None)
 def test_vbyte_roundtrip_without_count(values):
     # decode must also work with no expected-count hint (merge path)
     out = vb_decode(vb_encode(values))

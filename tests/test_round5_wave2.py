@@ -124,3 +124,39 @@ def test_span_first_subset_of_phrase(spark):
     exact = {(r.claim_id, r.doc_id) for r in span_first_matches(tokens, qpos, end=2).collect()}
     assert exact == {(0, 0)}
     assert span_first_matches(tokens, qpos, end=1).count() == 0
+
+
+def test_blocklist_join_parity(spark):
+    # the rule-volume suffix-join variant must be bit-identical to the
+    # literal-scan variant on every tricky case: subdomain, exact host,
+    # non-default port, prefix-with-utm-noise, multi-rule overlap, no match
+    from defactonlp_spark.operators.curation import url_blocklist_join
+
+    df = spark.createDataFrame(
+        [(0, "https://bad.com/x"), (1, "https://sub.deep.bad.com:8080/x"),
+         (2, "https://notbad.com/x"), (3, "https://ok.com/spam/1?utm_source=z"),
+         (4, "https://ok.com/fine"), (5, "https://bad.com/spam"),
+         (6, "HTTP://WWW.Bad.COM:80/y#f")],
+        "doc_id long, url string",
+    )
+    rules = [
+        ("r2", "domain", "bad.com"),
+        ("r1", "prefix", "https://ok.com/spam"),
+        ("r0", "prefix", "https://bad.com/spam"),
+    ]
+    lit_res = {r.doc_id: (r.canonical_url, r.rule_id, r.blocked)
+               for r in url_blocklist_filter(df, rules).collect()}
+    join_res = {r.doc_id: (r.canonical_url, r.rule_id, r.blocked)
+                for r in url_blocklist_join(df, rules).collect()}
+    assert lit_res == join_res
+    assert lit_res[5][1] == "r0"      # overlap: min rule wins in both
+    assert lit_res[1][1] == "r2"      # deep subdomain via suffix chain
+    assert lit_res[6][1] == "r2"      # www + default port canonicalized
+    # domain-only and prefix-only rule lists also agree
+    for sub in ([rules[0]], rules[1:]):
+        a = {r.doc_id: r.rule_id for r in url_blocklist_filter(df, sub).collect()}
+        b = {r.doc_id: r.rule_id for r in url_blocklist_join(df, sub).collect()}
+        assert a == b
+    # empty rule list: nothing blocked, schema intact
+    z = url_blocklist_join(df, []).collect()
+    assert all(not r.blocked and r.rule_id is None for r in z)
