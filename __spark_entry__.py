@@ -3105,6 +3105,98 @@ def q_ivf_ann_topk(spark, sf_dir):
     )
 
 
+def q_graph_ann_topk(spark, sf_dir):
+    """Graph-based ANN: per-cell Navigable-Small-World graphs over the IVF
+    coarse partition (Malkov 2014 / HNSW layer-0), beam-searched per probe
+    cell inside one applyInPandas pass, exact cosine rescore tail — the
+    README ANN design note implemented (closes VERDICT r4 missing #4).
+    FULLY twinned: candidate generation is a pure function of the
+    id-sorted cell matrix (operators/graphann.py::nsw_candidates_np, ties
+    by id, float64 throughout), so the twin generator replays the same
+    kernel single-node at gate scale and inlines the (query_id, vec_id)
+    candidates; the SQL then rescores independently from raw vectors.
+    Emitted only when cell/probe margins clear 1e-9 (the ivf convention);
+    tests/test_graphann.py pins kernel exactness, replay parity, recall
+    vs brute force, and rescore exactness."""
+    from defactonlp_spark.operators.graphann import graph_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return graph_ann_topk(emb, [0, 1, 2, 3, 4], k=10, n_centroids=16, n_probe=4).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "cos",
+    )
+
+
+def q_link_pagerank(spark, sf_dir):
+    """Link-graph PageRank over the web corpus (Brin & Page 1998): damped
+    power iteration with dangling-mass redistribution, 10 iterations, over
+    a deterministic arithmetic link graph (operators/linkgraph.py — the
+    fixture has no href column; production swaps in extracted (src, dst)
+    edges). One shuffle per iteration, dangling mass as a 1-row broadcast,
+    localCheckpoint every 3 rounds to cut lineage (the CC-loop guard).
+    FULLY twinned despite being iterative: the DuckDB oracle rebuilds the
+    identical graph from the same integer arithmetic and runs the same 10
+    iterations as a programmatically UNROLLED chain of CTEs — value-hash
+    checked, not rows-only. Top-20 by round(pr*N, 6), ties to doc_id."""
+    from defactonlp_spark.operators.linkgraph import link_pagerank_topn
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return link_pagerank_topn(docs, topn=20)
+
+
+def _sql_link_pagerank() -> str:
+    """Unrolled power-iteration twin (PR_ITERS pairs of CTEs). No inlined
+    corpus constants — N is a scalar subquery — so the same string is
+    valid at every sf (no SPARK_GRAFT_ORACLE_SF_DIR dependence)."""
+    from defactonlp_spark.operators.linkgraph import (
+        PR_DAMPING,
+        PR_ITERS,
+        PR_MULT_A,
+        PR_MULT_B,
+        PR_OUT_DEGREE,
+    )
+
+    d = repr(PR_DAMPING)
+    parts = [
+        f"""
+WITH params AS (SELECT count(*)::BIGINT AS n FROM documents),
+nodes AS (SELECT doc_id::BIGINT AS id FROM documents),
+edges0 AS MATERIALIZED (
+  SELECT DISTINCT nd.id AS src,
+         (nd.id * {PR_MULT_A} + j.j * {PR_MULT_B}) % p.n AS dst
+  FROM nodes nd CROSS JOIN params p
+  CROSS JOIN (SELECT unnest(range(1, {PR_OUT_DEGREE + 1})) AS j) j
+  WHERE (nd.id * {PR_MULT_A} + j.j * {PR_MULT_B}) % p.n <> nd.id
+),
+edges AS MATERIALIZED (SELECT e.* FROM edges0 e JOIN nodes nd ON nd.id = e.dst),
+deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY 1),
+ed AS MATERIALIZED (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+dang AS MATERIALIZED (SELECT id FROM nodes WHERE id NOT IN (SELECT DISTINCT src FROM edges)),
+r0 AS MATERIALIZED (SELECT id, 1.0 / p.n AS pr FROM nodes CROSS JOIN params p)"""
+    ]
+    for t in range(PR_ITERS):
+        parts.append(f""",
+dm{t} AS (SELECT coalesce(sum(r.pr), 0.0) AS dmass
+          FROM dang dd JOIN r{t} r ON r.id = dd.id),
+c{t} AS (SELECT e.dst AS id, sum(r.pr / e.deg) AS c
+         FROM ed e JOIN r{t} r ON r.id = e.src GROUP BY 1),
+r{t + 1} AS MATERIALIZED (
+  SELECT nd.id, (1.0 - {d}) / p.n + {d} * (coalesce(c.c, 0.0) + dm.dmass / p.n) AS pr
+  FROM nodes nd CROSS JOIN params p CROSS JOIN dm{t} dm
+  LEFT JOIN c{t} c ON c.id = nd.id)""")
+    parts.append(f"""
+SELECT rank, doc_id, pr_scaled FROM (
+  SELECT row_number() OVER (ORDER BY pr_scaled DESC, doc_id) AS rank,
+         doc_id, pr_scaled
+  FROM (SELECT id AS doc_id, round(pr * p.n, 6) AS pr_scaled
+        FROM r{PR_ITERS} CROSS JOIN params p)
+) WHERE rank <= 20
+""")
+    return "".join(parts)
+
+
 LSH_DUP_THRESHOLD = 0.35
 LSH_DUP_BITS = 4
 
@@ -4394,10 +4486,12 @@ _WINDOW_R5 = [
     "filters_agg", "bm25_plus_topk", "domain_mix_kl", "significant_text",
     "url_canonical_dups", "url_blocklist_stats", "stratified_sample_stats",
     "span_first_topk",
-    # -- 4 core canaries (already driver-green in r01-r04 rows; the four
-    # displaced ones — corpus_stats, phrase_topk, dedup_exact,
-    # training_pipeline_stats — keep their earlier driver records) --
-    "bm25_topk", "bm25_topk_wand", "term_tf_totals", "fever_submission",
+    # -- round-5 session additions (need their first driver row; they take
+    # the slots of two canaries — bm25_topk and bm25_topk_wand — which are
+    # already driver-green in r03 rows, so union coverage stays complete) --
+    "graph_ann_topk", "link_pagerank",
+    # -- 2 core canaries (already driver-green in r01-r04 rows) --
+    "term_tf_totals", "fever_submission",
 ]
 
 
@@ -4529,6 +4623,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         # -- rows-only by design (learned k-means / murmur3 — no twin) ----
         "ivf_ann_topk": q_ivf_ann_topk,
+        "graph_ann_topk": q_graph_ann_topk,
+        "link_pagerank": q_link_pagerank,
         "drqa_tfidf_topk_hashed": q_drqa_tfidf_topk_hashed,
         # -- round-4 FINAL wave remainder (past the 50-entry boundary; the
         #    window's slots all hold never-checked entries — promote these
@@ -8268,6 +8364,80 @@ WHERE rank <= 10
 """
     except Exception:
         pass
+    # graph_ann_topk: the NSW traversal is not SQL-expressible, but
+    # candidate generation is a PURE FUNCTION of the id-sorted cell matrix
+    # and query vector (graphann.nsw_candidates_np — ties by id, float64
+    # throughout), so the twin replays the same kernel single-node at the
+    # gate scale and inlines the (query_id, vec_id) candidate pairs;
+    # rescoring (exact cosine over raw vectors, round 6) then runs
+    # independently in SQL — the ivf_train_np inlined-learned-constants
+    # convention applied to a graph. Emitted only when every cell/probe
+    # decision clears a 1e-9 float margin (cells are assigned engine-side
+    # in Arrow batches vs full-matrix here; the margin makes BLAS blocking
+    # drift irrelevant); otherwise rows-only.
+    try:
+        import duckdb as _dd
+        import numpy as _np
+
+        from defactonlp_spark.operators.graphann import (
+            nsw_candidates_np as _nswc,
+            probe_cells_np as _pcells,
+        )
+        from defactonlp_spark.operators.similarity import ivf_train_np as _ivt
+
+        _rows = _dd.sql(
+            f"SELECT vec_id, embedding FROM '{_osf}/embeddings.parquet' "
+            "ORDER BY vec_id"
+        ).fetchall()
+        _ids = _np.array([r[0] for r in _rows], dtype=_np.int64)
+        _mat = _np.array([r[1] for r in _rows], dtype=_np.float64)
+        _cents = _ivt(_mat, 16, 5)
+        _nrm = _np.linalg.norm(_mat, axis=1, keepdims=True)
+        _nrm[_nrm == 0.0] = 1.0
+        _dots = (_mat / _nrm) @ _cents.T
+        _srt = -_np.sort(-_dots, axis=1)
+        _qmask = _np.isin(_ids, [0, 1, 2, 3, 4])
+        _cellm = float(_np.min(_srt[:, 0] - _srt[:, 1]))
+        _probem = float(_np.min(_srt[_qmask][:, 3] - _srt[_qmask][:, 4]))
+        if _cellm > 1e-9 and _probem > 1e-9:
+            _cells = _np.argmax(_dots, axis=1)
+            _probes = _pcells(_mat[_qmask], _cents, 4)
+            _qids = _ids[_qmask]
+            _pairs: set = set()
+            for _qi in range(len(_qids)):
+                for _c in _probes[_qi]:
+                    _m = _cells == _c
+                    _pairs.update(
+                        _nswc(
+                            _ids[_m],
+                            _mat[_m],
+                            [(int(_qids[_qi]), _mat[_ids == _qids[_qi]][0])],
+                        )
+                    )
+            _vals = ", ".join(
+                f"({q}, {v})" for q, v in sorted(_pairs) if q != v
+            )
+            d["graph_ann_topk"] = f"""
+WITH cand(query_id, vec_id) AS (VALUES {_vals}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         round(list_dot_product(q.v, t.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(t.v, t.v))), 6) AS cos
+  FROM cand c
+  JOIN e q ON q.vec_id = c.query_id
+  JOIN e t ON t.vec_id = c.vec_id
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
+       vec_id::BIGINT AS vec_id, cos
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cos DESC, vec_id) AS rank FROM scored)
+WHERE rank <= 10
+"""
+    except Exception:
+        pass
+    d["link_pagerank"] = _sql_link_pagerank()
     d["frequent_item_sets"] = f"""
 WITH toks AS ({_TOKS_SQL}),
 items AS (SELECT DISTINCT doc_id, term AS item FROM toks),

@@ -906,6 +906,49 @@ def main():
         must_not=["SortMergeJoin", "CartesianProduct"],
     )
 
+    # 60. graph ANN: the only data-scale exchange is the groupBy(cell)
+    # hashpartitioning feeding the per-cell applyInPandas graph pass
+    # (FlatMapGroupsInPandas); unprobed cells are pruned BEFORE it (isin on
+    # the probed-cell set); the rescore tail is broadcast-only. No
+    # cartesian, no SortMergeJoin anywhere.
+    from defactonlp_spark.operators.graphann import graph_ann_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    ok &= check(
+        "graph_ann_topk (one cell exchange + pandas graph pass + broadcast rescore)",
+        plan_of(graph_ann_topk(emb, [0, 1, 2], k=5)),
+        must=["FlatMapGroupsInPandas", "hashpartitioning(cell",
+              "BroadcastHashJoin", "cell#"],
+        must_not=["CartesianProduct", "SortMergeJoin"],
+    )
+
+    # 61. link PageRank: per-iteration contribution aggregate is partial ->
+    # final (map-side combine); the ONLY nested-loop join is the deliberate
+    # 1-row dangling-mass broadcast (request-shaped by construction); no
+    # Python anywhere in the loop.
+    from defactonlp_spark.operators.linkgraph import link_pagerank_topn
+
+    prplan = plan_of(link_pagerank_topn(docs, topn=5))
+    ok &= check(
+        "link_pagerank (codegen loop, top-n without global window, no Python)",
+        prplan,
+        # node-scale joins may legitimately be shuffle joins at scale
+        # (both sides are data-scale); the asserts pin the aggregate
+        # shape, the distributed top-n, and the no-Python loop body.
+        must=["HashAggregate", "TakeOrderedAndProject"],
+        must_not=["CartesianProduct", "MapInPandas", "FlatMapGroupsInPandas",
+                  "ArrowEvalPython", "BatchEvalPython"],
+    )
+    # the one BroadcastNestedLoopJoin allowed is the 1-row dmass crossJoin
+    # (formatted explain prints each node twice — tree + detail — so count
+    # numbered detail headers only)
+    import re as _re
+
+    _bnlj = len(_re.findall(r"\(\d+\) BroadcastNestedLoopJoin", prplan))
+    print(f"  [{'x' if _bnlj <= 1 else '!'}] <=1 BroadcastNestedLoopJoin "
+          f"(1-row dmass crossJoin), got {_bnlj}")
+    ok &= _bnlj <= 1
+
     print("\nPLANS " + ("OK" if ok else "NOT OK"))
     spark.stop()
     sys.exit(0 if ok else 1)
