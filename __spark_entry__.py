@@ -3197,6 +3197,150 @@ SELECT rank, doc_id, pr_scaled FROM (
     return "".join(parts)
 
 
+def q_link_hits(spark, sf_dir):
+    """HITS hubs & authorities (Kleinberg 1998) over the same
+    deterministic link graph as link_pagerank: 6 mutual-reinforcement
+    iterations normalized once at the end (scale-invariant power
+    iteration — operators/linkgraph.py::hits), top-20 authorities with
+    hub scores alongside. FULLY twinned: the DuckDB oracle unrolls the
+    identical unnormalized recursion as MATERIALIZED CTE pairs and
+    normalizes in the final projection."""
+    from defactonlp_spark.operators.linkgraph import link_hits_topn
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return link_hits_topn(docs, topn=20)
+
+
+def q_textrank_keywords(spark, sf_dir):
+    """TextRank corpus keywords (Mihalcea & Tarau 2004): weighted
+    PageRank over the adjacent-term co-occurrence graph (window 2,
+    pairs < min_count pruned), reusing the SAME pagerank loop as
+    link_pagerank with a weight column. The undirected graph has no
+    dangling nodes, so the dangling term is exactly 0 in both engines.
+    FULLY twinned: co-occurrence edges rebuilt in SQL via lead() over
+    the shared tokpos fragment, then the weighted power iteration
+    unrolled as MATERIALIZED CTEs. Top-20 by round(pr*V, 6), ties to
+    term asc."""
+    from defactonlp_spark.operators.linkgraph import textrank_keywords
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textrank_keywords(docs, topn=20, tokens=_tokens_cached(spark, sf_dir))
+
+
+def _sql_link_hits() -> str:
+    """Unrolled HITS twin: the same graph CTEs as the pagerank twin, then
+    HITS_ITERS pairs of (auth, hub) CTEs — MATERIALIZED, since each level
+    is referenced by the next on both sides and default inlining would go
+    exponential — normalized to sum 1 only in the final projection
+    (matching hits()'s end-normalization contract)."""
+    from defactonlp_spark.operators.linkgraph import (
+        HITS_ITERS,
+        PR_MULT_A,
+        PR_MULT_B,
+        PR_OUT_DEGREE,
+    )
+
+    parts = [
+        f"""
+WITH params AS (SELECT count(*)::BIGINT AS n FROM documents),
+nodes AS (SELECT doc_id::BIGINT AS id FROM documents),
+edges0 AS MATERIALIZED (
+  SELECT DISTINCT nd.id AS src,
+         (nd.id * {PR_MULT_A} + j.j * {PR_MULT_B}) % p.n AS dst
+  FROM nodes nd CROSS JOIN params p
+  CROSS JOIN (SELECT unnest(range(1, {PR_OUT_DEGREE + 1})) AS j) j
+  WHERE (nd.id * {PR_MULT_A} + j.j * {PR_MULT_B}) % p.n <> nd.id
+),
+edges AS MATERIALIZED (SELECT e.* FROM edges0 e JOIN nodes nd ON nd.id = e.dst),
+h0 AS MATERIALIZED (SELECT id, 1.0 / p.n AS s FROM nodes CROSS JOIN params p)"""
+    ]
+    for t in range(HITS_ITERS):
+        parts.append(f""",
+a{t + 1} AS MATERIALIZED (
+  SELECT nd.id, coalesce(x.s, 0.0) AS s FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS id, sum(h.s) AS s FROM edges e JOIN h{t} h ON h.id = e.src
+    GROUP BY 1) x ON x.id = nd.id),
+h{t + 1} AS MATERIALIZED (
+  SELECT nd.id, coalesce(x.s, 0.0) AS s FROM nodes nd LEFT JOIN (
+    SELECT e.src AS id, sum(a.s) AS s FROM edges e JOIN a{t + 1} a ON a.id = e.dst
+    GROUP BY 1) x ON x.id = nd.id)""")
+    T = HITS_ITERS
+    parts.append(f""",
+za AS (SELECT sum(s) AS z FROM a{T}),
+zh AS (SELECT sum(s) AS z FROM h{T})
+SELECT rank, doc_id, auth_scaled, hub_scaled FROM (
+  SELECT row_number() OVER (ORDER BY auth_scaled DESC, doc_id) AS rank,
+         doc_id, auth_scaled, hub_scaled
+  FROM (SELECT a.id AS doc_id,
+               round(CASE WHEN za.z <> 0.0 THEN a.s / za.z ELSE 0.0 END * p.n, 6)
+                 AS auth_scaled,
+               round(CASE WHEN zh.z <> 0.0 THEN h.s / zh.z ELSE 0.0 END * p.n, 6)
+                 AS hub_scaled
+        FROM a{T} a JOIN h{T} h USING (id)
+        CROSS JOIN za CROSS JOIN zh CROSS JOIN params p)
+) WHERE rank <= 20
+""")
+    return "".join(parts)
+
+
+def _sql_textrank_keywords() -> str:
+    """Unrolled weighted-PageRank twin over the SQL-rebuilt co-occurrence
+    graph. No dangling-mass CTEs: the undirected edge relation gives every
+    node out-edges, so the engine's dangling term is exactly 0.0 and
+    base + d*(c + 0.0) == base + d*c bit-for-bit."""
+    from defactonlp_spark.operators.linkgraph import (
+        PR_DAMPING,
+        TEXTRANK_ITERS,
+        TEXTRANK_MIN_COUNT,
+    )
+
+    dmp = repr(PR_DAMPING)
+    parts = [
+        f"""
+WITH tl AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS t FROM documents
+),
+tokpos AS (
+  SELECT doc_id, i AS pos, t[i] AS term FROM tl, unnest(range(1, len(t) + 1)) AS u(i)
+),
+nxt AS (
+  SELECT doc_id, pos, term,
+         lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM tokpos
+),
+prs AS (SELECT least(term, nxt) AS t1, greatest(term, nxt) AS t2
+        FROM nxt WHERE nxt IS NOT NULL AND nxt <> term),
+und AS MATERIALIZED (
+  SELECT t1, t2, count(*)::DOUBLE AS w FROM prs GROUP BY 1, 2
+  HAVING count(*) >= {TEXTRANK_MIN_COUNT}),
+edges AS MATERIALIZED (
+  SELECT t1 AS src, t2 AS dst, w FROM und
+  UNION ALL SELECT t2 AS src, t1 AS dst, w FROM und),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+params AS (SELECT count(*)::BIGINT AS n FROM nodes),
+deg AS (SELECT src, sum(w) AS deg FROM edges GROUP BY 1),
+ed AS MATERIALIZED (SELECT e.src, e.dst, e.w, d.deg FROM edges e JOIN deg d USING (src)),
+r0 AS MATERIALIZED (SELECT id, 1.0 / p.n AS pr FROM nodes CROSS JOIN params p)"""
+    ]
+    for t in range(TEXTRANK_ITERS):
+        parts.append(f""",
+c{t} AS (SELECT e.dst AS id, sum(r.pr * e.w / e.deg) AS c
+         FROM ed e JOIN r{t} r ON r.id = e.src GROUP BY 1),
+r{t + 1} AS MATERIALIZED (
+  SELECT nd.id, (1.0 - {dmp}) / p.n + {dmp} * coalesce(c.c, 0.0) AS pr
+  FROM nodes nd CROSS JOIN params p LEFT JOIN c{t} c ON c.id = nd.id)""")
+    parts.append(f"""
+SELECT rank, term, score_scaled FROM (
+  SELECT row_number() OVER (ORDER BY score_scaled DESC, term) AS rank,
+         term, score_scaled
+  FROM (SELECT id AS term, round(pr * p.n, 6) AS score_scaled
+        FROM r{TEXTRANK_ITERS} CROSS JOIN params p)
+) WHERE rank <= 20
+""")
+    return "".join(parts)
+
+
 LSH_DUP_THRESHOLD = 0.35
 LSH_DUP_BITS = 4
 
@@ -4487,11 +4631,11 @@ _WINDOW_R5 = [
     "url_canonical_dups", "url_blocklist_stats", "stratified_sample_stats",
     "span_first_topk",
     # -- round-5 session additions (need their first driver row; they take
-    # the slots of two canaries — bm25_topk and bm25_topk_wand — which are
-    # already driver-green in r03 rows, so union coverage stays complete) --
-    "graph_ann_topk", "link_pagerank",
-    # -- 2 core canaries (already driver-green in r01-r04 rows) --
-    "term_tf_totals", "fever_submission",
+    # the slots of the four canaries — bm25_topk / bm25_topk_wand (r03) /
+    # term_tf_totals (r03) / fever_submission (r04) are all already
+    # driver-green, so union coverage stays complete and every window slot
+    # holds a never-driver-checked entry) --
+    "graph_ann_topk", "link_pagerank", "link_hits", "textrank_keywords",
 ]
 
 
@@ -4625,6 +4769,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": q_ivf_ann_topk,
         "graph_ann_topk": q_graph_ann_topk,
         "link_pagerank": q_link_pagerank,
+        "link_hits": q_link_hits,
+        "textrank_keywords": q_textrank_keywords,
         "drqa_tfidf_topk_hashed": q_drqa_tfidf_topk_hashed,
         # -- round-4 FINAL wave remainder (past the 50-entry boundary; the
         #    window's slots all hold never-checked entries — promote these
@@ -8438,6 +8584,8 @@ WHERE rank <= 10
     except Exception:
         pass
     d["link_pagerank"] = _sql_link_pagerank()
+    d["link_hits"] = _sql_link_hits()
+    d["textrank_keywords"] = _sql_textrank_keywords()
     d["frequent_item_sets"] = f"""
 WITH toks AS ({_TOKS_SQL}),
 items AS (SELECT DISTINCT doc_id, term AS item FROM toks),

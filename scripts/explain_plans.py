@@ -949,6 +949,41 @@ def main():
           f"(1-row dmass crossJoin), got {_bnlj}")
     ok &= _bnlj <= 1
 
+    # 62. HITS: same loop discipline as pagerank — no Python, no cartesian;
+    # the only nested-loop joins are the TWO 1-row normalization broadcasts
+    # (end-normalization contract).
+    from defactonlp_spark.operators.linkgraph import link_hits_topn
+
+    hplan = plan_of(link_hits_topn(docs, topn=5))
+    ok &= check(
+        "link_hits (no Python, distributed top-n)",
+        hplan,
+        must=["HashAggregate", "TakeOrderedAndProject"],
+        must_not=["CartesianProduct", "MapInPandas", "FlatMapGroupsInPandas",
+                  "ArrowEvalPython", "BatchEvalPython"],
+    )
+    _hb = len(_re.findall(r"\(\d+\) BroadcastNestedLoopJoin", hplan))
+    print(f"  [{'x' if _hb <= 2 else '!'}] <=2 BroadcastNestedLoopJoin "
+          f"(two 1-row norm broadcasts), got {_hb}")
+    ok &= _hb <= 2
+
+    # 63. TextRank: ONE Python stage (the positional tokenizer kernel) and
+    # the per-doc lead() window; the weighted power iteration itself is
+    # all-relational.
+    from defactonlp_spark.operators.linkgraph import textrank_keywords
+
+    tplan = plan_of(textrank_keywords(docs, topn=5))
+    ok &= check(
+        "textrank_keywords (one tokenizer kernel, relational iteration)",
+        tplan,
+        must=["MapInPandas", "HashAggregate", "TakeOrderedAndProject"],
+        must_not=["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"],
+    )
+    _tb = len(_re.findall(r"\(\d+\) BroadcastNestedLoopJoin", tplan))
+    print(f"  [{'x' if _tb <= 1 else '!'}] <=1 BroadcastNestedLoopJoin "
+          f"(1-row dmass crossJoin), got {_tb}")
+    ok &= _tb <= 1
+
     print("\nPLANS " + ("OK" if ok else "NOT OK"))
     spark.stop()
     sys.exit(0 if ok else 1)

@@ -63,6 +63,84 @@ def test_no_damping_is_uniform(spark):
     assert (abs(pr.pr - 0.25) < 1e-12).all()
 
 
+def test_hits_hub_authority_split(spark):
+    """Directed star 0->{1,2,3}: node 0 is the pure hub, 1-3 the pure
+    authorities; after normalization auth(1..3)=1/3 each, hub(0)=1."""
+    from defactonlp_spark.operators.linkgraph import hits
+
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    edges = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "src long, dst long")
+    r = hits(nodes, edges, iters=4).toPandas().set_index("id").sort_index()
+    assert abs(r.loc[0, "hub"] - 1.0) < 1e-12 and abs(r.loc[0, "auth"]) < 1e-12
+    for v in (1, 2, 3):
+        assert abs(r.loc[v, "auth"] - 1 / 3) < 1e-12
+        assert abs(r.loc[v, "hub"]) < 1e-12
+    assert abs(r.auth.sum() - 1.0) < 1e-9 and abs(r.hub.sum() - 1.0) < 1e-9
+
+
+def test_hits_edgeless_all_zero(spark):
+    from defactonlp_spark.operators.linkgraph import hits
+
+    nodes = spark.createDataFrame([(0,), (1,)], "id long")
+    edges = spark.createDataFrame([], "src long, dst long")
+    r = hits(nodes, edges, iters=2).toPandas()
+    assert (r.auth == 0.0).all() and (r.hub == 0.0).all()
+
+
+def test_link_hits_entry(spark, docs):
+    from defactonlp_spark.operators.linkgraph import link_hits_topn
+
+    a = link_hits_topn(docs, topn=10).toPandas()
+    assert list(a.columns) == ["rank", "doc_id", "auth_scaled", "hub_scaled"]
+    assert list(a["rank"]) == list(range(1, 11))
+    assert a.equals(link_hits_topn(docs, topn=10).toPandas())
+
+
+def test_cooccurrence_edges_contract(spark):
+    """Adjacent pairs only, identical-adjacent excluded, symmetric output,
+    min_count prunes."""
+    from defactonlp_spark.operators.linkgraph import cooccurrence_edges
+
+    toks = spark.createDataFrame(
+        # doc 0: "a b a b"  -> pair (a,b) x3 ; doc 1: "c c d" -> (c,d) x1
+        [(0, 0, "a"), (0, 1, "b"), (0, 2, "a"), (0, 3, "b"),
+         (1, 0, "c"), (1, 1, "c"), (1, 2, "d")],
+        "doc_id long, pos int, term string",
+    )
+    e = cooccurrence_edges(toks, min_count=2).toPandas()
+    assert set(map(tuple, e[["src", "dst"]].values)) == {("a", "b"), ("b", "a")}
+    assert (e.w == 3.0).all()  # both directions carry the undirected count
+    e1 = cooccurrence_edges(toks, min_count=1).toPandas()
+    assert ("c", "c") not in set(map(tuple, e1[["src", "dst"]].values))
+    assert ("c", "d") in set(map(tuple, e1[["src", "dst"]].values))
+
+
+def test_textrank_central_term_wins(spark):
+    """A hub term adjacent to many distinct frequent partners out-ranks a
+    term locked in a single pair loop of the same raw frequency."""
+    from defactonlp_spark.operators.linkgraph import textrank_keywords
+
+    rows = []
+    # 'core' co-occurs with 6 partners, each pair 3 times
+    for i, p in enumerate(["p1", "p2", "p3", "p4", "p5", "p6"]):
+        rows.append((i, " ".join(["core " + p] * 3)))
+    # 'loner' only ever pairs with 'mate', 18 times total
+    rows.append((10, " ".join(["loner mate"] * 18)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    r = textrank_keywords(docs, topn=20, min_count=2).toPandas()
+    ranks = {t: int(k) for k, t in zip(r["rank"], r["term"])}
+    assert ranks["core"] < ranks["loner"]
+    assert ranks["core"] == 1
+
+
+def test_textrank_empty_corpus(spark):
+    from defactonlp_spark.operators.linkgraph import textrank_keywords
+
+    docs = spark.createDataFrame([(0, "x"), (1, "")], "doc_id long, text string")
+    r = textrank_keywords(docs, topn=5, min_count=2).toPandas()
+    assert len(r) == 0  # no pair reaches min_count -> empty graph -> empty
+
+
 def test_topn_entry_shape_and_determinism(spark, docs):
     a = link_pagerank_topn(docs, topn=20).toPandas()
     b = link_pagerank_topn(docs, topn=20).toPandas()
