@@ -63,3 +63,71 @@ def extract_text_udf(html: pd.Series) -> pd.Series:  # pragma: no cover (thin wr
 def with_extracted_text(df, html_col: str = "html", out_col: str = "text"):
     """Add/replace ``out_col`` with the extracted text of ``html_col``."""
     return df.withColumn(out_col, extract_text_udf(F.col(html_col)))
+
+
+# --- link extraction (the hyperlink front door for operators/linkgraph) ---
+#
+# Pinned spec, frozen by tests/test_extract.py::test_extract_links_*:
+# 1. decode as in extract_text_one (undecodable page -> no links),
+# 2. take every <a ...> tag's href attribute value (case-insensitive tag
+#    and attribute, single/double/no quotes), BEFORE any block stripping —
+#    nav/header links are links,
+# 3. entity-unescape the value (&amp; in query strings),
+# 4. drop fragment-only ('#...'), javascript:, mailto:, data: targets,
+# 5. resolve relative targets against the page url (urljoin semantics),
+#    drop the fragment, keep everything else verbatim — canonicalization
+#    is a SEPARATE, composable step (functions/urls.py::url_canonical_col),
+# 6. de-duplicate per page, preserving first-occurrence order.
+
+_HREF_RE = re.compile(
+    r"""<a\b[^>]*?\bhref\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""",
+    re.IGNORECASE | re.DOTALL,
+)
+_SKIP_SCHEME_RE = re.compile(r"^(javascript|mailto|data):", re.IGNORECASE)
+
+
+def extract_links_one(html_bytes: bytes | None, base_url: str | None) -> list[str]:
+    """Scalar reference implementation (used by tests and the UDF)."""
+    from urllib.parse import urldefrag, urljoin
+
+    if html_bytes is None:
+        return []
+    try:
+        s = bytes(html_bytes).decode("utf-8", errors="strict")
+    except UnicodeDecodeError:
+        return []
+    out: list[str] = []
+    seen: set[str] = set()
+    for m in _HREF_RE.finditer(s):
+        raw = m.group(2) if m.group(2) is not None else (
+            m.group(3) if m.group(3) is not None else m.group(4)
+        )
+        href = _html.unescape(raw).strip()
+        if not href or href.startswith("#") or _SKIP_SCHEME_RE.match(href):
+            continue
+        target = urljoin(base_url, href) if base_url else href
+        target = urldefrag(target)[0]
+        if target and target not in seen:
+            seen.add(target)
+            out.append(target)
+    return out
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def extract_links_udf(html: pd.Series, url: pd.Series) -> pd.Series:  # pragma: no cover
+    return pd.Series(
+        [extract_links_one(h, u) for h, u in zip(html, url)]
+    )
+
+
+def link_edges(pages, html_col: str = "html", url_col: str = "url"):
+    """(url, html) pages -> exploded (src, dst) hyperlink edge relation:
+    one Arrow kernel pass + an explode, no shuffle. Feed it (joined to the
+    corpus's url->doc_id map) straight into ``operators/linkgraph.py``'s
+    pagerank/hits — the production replacement for the fixture-only
+    ``synthetic_edges``. Dedup per page preserves the pinned first-seen
+    order; cross-page duplicates are the caller's aggregation to weight."""
+    return pages.select(
+        F.col(url_col).alias("src"),
+        F.explode(extract_links_udf(F.col(html_col), F.col(url_col))).alias("dst"),
+    )

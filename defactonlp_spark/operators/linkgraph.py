@@ -33,8 +33,10 @@ and runs the identical power iteration as a programmatically UNROLLED
 chain of CTEs (one pair of CTEs per iteration) — a full value-hash twin
 for an iterative algorithm that would otherwise get only a rows-only
 check. In production the same operators run over real (src, dst) edges
-extracted from the HTML (functions/extract.py's link extraction slot);
-only ``synthetic_edges`` is fixture-specific.
+extracted from the HTML — ``functions/extract.py::link_edges`` (href
+kernel + urljoin resolution, pinned spec, tested end-to-end into this
+pagerank in test_extract.py::test_link_edges_feed_pagerank); only
+``synthetic_edges`` is fixture-specific.
 
 Float contract: ranks are reported scaled by N (so magnitudes are O(1))
 and rounded to 6 dp; per-node in-degree is ~out_degree, so cross-engine

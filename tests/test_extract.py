@@ -60,3 +60,87 @@ def test_spark_udf_matches_scalar(spark):
     pd.testing.assert_series_equal(
         out["extracted"], out["text"], check_names=False
     )
+
+
+# --- link extraction (functions/extract.py::extract_links_one/link_edges) ---
+
+def test_extract_links_scalar_spec():
+    from defactonlp_spark.functions.extract import extract_links_one
+
+    html = (
+        "<html><head><a href='/in-head'>x</a></head><body>"
+        '<A HREF="https://other.example/a?x=1&amp;y=2#frag">abs</A>'
+        "<a href='/rel/path'>rel</a>"
+        "<a href=bare.html>bare</a>"
+        "<a href='#frag-only'>skip</a>"
+        "<a href='javascript:void(0)'>skip</a>"
+        "<a href='MAILTO:x@y.z'>skip</a>"
+        "<a href='/rel/path'>dup</a>"
+        "</body></html>"
+    ).encode()
+    got = extract_links_one(html, "https://site.example/dir/page.html")
+    assert got == [
+        "https://site.example/in-head",      # head links count (pre-strip)
+        "https://other.example/a?x=1&y=2",   # entity-unescaped, defragged
+        "https://site.example/rel/path",     # root-relative
+        "https://site.example/dir/bare.html",  # doc-relative, unquoted attr
+    ]
+
+
+def test_extract_links_degenerate():
+    from defactonlp_spark.functions.extract import extract_links_one
+
+    assert extract_links_one(None, "https://x.example/") == []
+    assert extract_links_one(b"\xff\xfe", "https://x.example/") == []  # undecodable
+    assert extract_links_one(b"<p>no links</p>", "https://x.example/") == []
+    # no base url: absolute kept, relative kept verbatim
+    got = extract_links_one(b"<a href='https://a.example/x'>1</a><a href='/y'>2</a>", None)
+    assert got == ["https://a.example/x", "/y"]
+
+
+def test_link_edges_dataframe(spark):
+    from defactonlp_spark.functions.extract import extract_links_one, link_edges
+
+    rows = [
+        ("https://s.example/p1",
+         b"<a href='/p2'><a href='https://ext.example/'>"),
+        ("https://s.example/p2", b"<a href='/p1'>"),
+        ("https://s.example/p3", None),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    got = link_edges(pages).toPandas().sort_values(["src", "dst"]).values.tolist()
+    want = []
+    for u, h in rows:
+        for d in extract_links_one(h, u):
+            want.append([u, d])
+    assert got == sorted(want)
+
+
+def test_link_edges_feed_pagerank(spark):
+    """The production path: extracted (src,dst) url edges -> id-joined ->
+    the same pagerank loop the synthetic fixture graph uses."""
+    from defactonlp_spark.functions.extract import link_edges
+    from defactonlp_spark.operators.linkgraph import pagerank
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("https://s.example/a", b"<a href='/b'><a href='/c'>"),
+        ("https://s.example/b", b"<a href='/c'>"),
+        ("https://s.example/c", b"<a href='/a'>"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    ids = pages.select("url").withColumn(
+        "id", F.row_number().over(__import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy("url")).cast("long")
+    )
+    e = link_edges(pages)
+    edges = (
+        e.join(ids.withColumnRenamed("url", "src").withColumnRenamed("id", "sid"), "src")
+        .join(ids.withColumnRenamed("url", "dst").withColumnRenamed("id", "did"), "dst")
+        .select(F.col("sid").alias("src"), F.col("did").alias("dst"))
+    )
+    pr = pagerank(ids.select("id"), edges, 3, iters=10).toPandas()
+    assert abs(pr.pr.sum() - 1.0) < 1e-9
+    # c has two in-edges (a and b) -> highest rank
+    top = pr.sort_values("pr", ascending=False).iloc[0]
+    cid = ids.toPandas().set_index("url").loc["https://s.example/c", "id"]
+    assert int(top["id"]) == int(cid)
