@@ -68,6 +68,8 @@ DO_S5OPS = os.environ.get("BENCH_S5OPS", "1") == "1"
 DO_R4C = os.environ.get("BENCH_R4C", "1") == "1"
 #: round-5 URL-curation + stratified-sampling ops at 320k synthetic URLs
 DO_R5OPS = os.environ.get("BENCH_R5OPS", "1") == "1"
+#: round-5 graph family (pagerank/HITS/textrank at 320k, NSW ANN at 100k)
+DO_GRAPH = os.environ.get("BENCH_GRAPH", "1") == "1"
 MERGE_PAGES = int(os.environ.get("BENCH_MERGE_PAGES", "1000000"))
 # end-to-end near-dup dedup pipeline throughput over the webpages corpus:
 DO_DEDUP = os.environ.get("BENCH_DEDUP", "1") == "1"
@@ -801,6 +803,119 @@ def bench_r5_ops(cores: int) -> dict:
         spark.stop()
 
 
+def bench_graph_ops(cores: int, n_vectors: int = 100_000) -> dict:
+    """Round-5 graph-family throughput at volume:
+
+    - link_pagerank over the 320k-page corpus (10 damped iterations with
+      dangling mass over the deterministic 5-out-degree edge relation, +
+      hyperlink edges are one extract kernel away — functions/extract.py::
+      link_edges): nodes/sec over the whole loop.
+    - HITS (6 end-normalized iterations) over the same graph.
+    - textrank_keywords over the corpus (one positional-tokenize kernel
+      pass feeds the co-occurrence graph; the iteration runs on the
+      dictionary-scale term graph): docs/sec.
+    - graph_ann: per-cell NSW build + serve over ``n_vectors`` synthetic
+      CLUSTERED 64-d vectors (clustered is the honest ANN case — isotropic
+      random has no neighbor structure): end-to-end wall for 50 queries,
+      plus recall@10 vs the exact brute-force cosine_topk on the same
+      queries — the quality number that makes the throughput meaningful.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from defactonlp_spark.operators.graphann import graph_ann_topk
+    from defactonlp_spark.operators.linkgraph import (
+        link_hits_topn,
+        link_pagerank_topn,
+        textrank_keywords,
+    )
+    from defactonlp_spark.operators.similarity import cosine_topk
+    from defactonlp_spark.plans.build import prepare_webpages
+
+    spark = _spark(cores)
+    out: dict = {}
+    corpus = emb = None
+    try:
+        _warmup(spark)
+        corpus = prepare_webpages(spark.read.parquet(_webpages_path())).persist()
+        n = corpus.count()
+        out["docs"] = n
+
+        t0, s0 = time.time(), _steal_jiffies()
+        top = link_pagerank_topn(corpus, topn=20).collect()
+        w = time.time() - t0
+        out["link_pagerank_320k"] = {
+            "iters": 10, "top1_pr_scaled": float(top[0]["pr_scaled"]),
+            "wall_sec": round(w, 2), "nodes_per_sec": round(n / w, 1),
+            "steal_jiffies": _steal_jiffies() - s0,
+        }
+
+        t0, s0 = time.time(), _steal_jiffies()
+        link_hits_topn(corpus, topn=20).collect()
+        w = time.time() - t0
+        out["link_hits_320k"] = {
+            "iters": 6, "wall_sec": round(w, 2),
+            "nodes_per_sec": round(n / w, 1),
+            "steal_jiffies": _steal_jiffies() - s0,
+        }
+
+        t0, s0 = time.time(), _steal_jiffies()
+        kw = textrank_keywords(corpus, topn=20).collect()
+        w = time.time() - t0
+        out["textrank_320k"] = {
+            "keywords": len(kw), "wall_sec": round(w, 2),
+            "docs_per_sec": round(n / w, 1),
+            "steal_jiffies": _steal_jiffies() - s0,
+        }
+
+        # clustered synthetic vectors: 32 gaussian clusters in 64-d
+        rng = np.random.RandomState(0)
+        centers = rng.randn(32, 64)
+        assign = rng.randint(0, 32, size=n_vectors)
+        mat = (centers[assign] + 0.35 * rng.randn(n_vectors, 64)).astype(np.float32)
+        emb = spark.createDataFrame(
+            pd.DataFrame({"vec_id": np.arange(n_vectors, dtype=np.int64),
+                          "embedding": mat.tolist()}),
+            "vec_id long, embedding array<float>",
+        ).persist()
+        emb.count()
+        qids = list(range(0, 5000, 100))  # 50 queries
+        t0, s0 = time.time(), _steal_jiffies()
+        approx = graph_ann_topk(emb, qids, k=10, n_centroids=32, n_probe=4)
+        apdf = approx.toPandas()
+        w = time.time() - t0
+        exact = cosine_topk(emb, qids, k=10).toPandas()
+        hits = sum(
+            len(set(apdf[apdf.query_id == q].vec_id)
+                & set(exact[exact.query_id == q].vec_id))
+            for q in qids
+        )
+        # recall@10 under-counts on clustered data where the top-10
+        # boundary is a sea of near-ties (the diagnostic showed approx
+        # mean-cos within 0.004 of exact while overlap dipped to 5/10);
+        # the similarity ratio (mean approx cos / mean exact cos, the ANN
+        # literature's relative-error metric) is the honest quality
+        # number alongside it.
+        out["graph_ann_100k"] = {
+            "vectors": n_vectors, "queries": len(qids),
+            "wall_sec": round(w, 2),
+            "queries_per_sec": round(len(qids) / w, 2),
+            "recall_at_10": round(hits / (10 * len(qids)), 3),
+            "sim_ratio": round(
+                float(apdf.cos.mean()) / float(exact.cos.mean()), 4
+            ),
+            "steal_jiffies": _steal_jiffies() - s0,
+        }
+        return out
+    finally:
+        if corpus is not None:
+            corpus.unpersist()
+        if emb is not None:
+            emb.unpersist()
+        spark.stop()
+
+
 def bench_dedup_pipeline(cores: int) -> dict:
     """End-to-end near-dup dedup at the synthetic webpages corpus: MinHash
     signatures -> banded LSH pair join -> large-star/small-star connected
@@ -1245,6 +1360,10 @@ def main():
     if DO_R5OPS:
         results["r5_ops"] = bench_r5_ops(CPUS)
 
+    # -- round-5 graph family: pagerank/HITS/textrank at 320k, NSW ANN at 100k
+    if DO_GRAPH:
+        results["graph_ops"] = bench_graph_ops(CPUS)
+
     # -- harness queries at SF_DIR ------------------------------------------
     if not DO_HARNESS:
         results["queries"] = {}
@@ -1352,6 +1471,11 @@ def _emit(results: dict) -> None:
     bg = results.get("bluegreen") or {}
     if bg:
         compact["bluegreen_drill_sec"] = bg.get("drill_wall_sec")
+    g = results.get("graph_ops") or {}
+    if g:
+        compact["pagerank_nodes_per_sec"] = (g.get("link_pagerank_320k") or {}).get("nodes_per_sec")
+        compact["graph_ann_recall_at_10"] = (g.get("graph_ann_100k") or {}).get("recall_at_10")
+        compact["graph_ann_sim_ratio"] = (g.get("graph_ann_100k") or {}).get("sim_ratio")
     if "fixtures_warmup_sec" in results:
         compact["fixtures_warmup_sec"] = results["fixtures_warmup_sec"]
     print(json.dumps(_fit_line(compact)))

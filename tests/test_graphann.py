@@ -110,6 +110,11 @@ def test_recall_vs_brute_force(spark, emb):
         hits += len(a & e)
         tot += len(e)
     assert hits / tot >= 0.5, f"recall@10 {hits}/{tot}"
+    # the tie-robust quality gate: returned neighbors must be essentially
+    # as close as the exact ones even where identities churn (the ANN
+    # relative-error metric — see bench_graph_ops for the measured story)
+    ratio = float(approx.cos.mean()) / float(exact.cos.mean())
+    assert ratio >= 0.9, f"sim ratio {ratio}"
 
 
 def test_rescore_is_exact(spark, emb):
