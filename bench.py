@@ -285,19 +285,22 @@ def _serve_in_subprocess(cores: int, idx_dir: str, n_claims: int) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-def bench_serving_scaling(idx_dir: str, n_claims: int = 400) -> dict:
+def bench_serving_scaling(idx_dir: str, n_claims: int = 800) -> dict:
     """QUERY-SERVING N-vs-4N scaling over the same stored index — the
     north rule's two-cluster-size criterion applied to the serving path,
     not just the build. Same discipline as the build section: interleaved
     (4N, N) pinned subprocess pairs so host drift cancels per-pair;
     efficiency = (T_N / T_4N) / (N_LARGE/N_SMALL); the headline pair is
     the CLEANEST one (least combined steal, ties by combined wall), with
-    every raw run published. 400 claims / 8 per batch = 50 cogroup
-    groups, so even the 4-core level has 12x task slack — the comparison
+    every raw run published. 800 claims / 8 per batch = 100 cogroup
+    groups, so even the 4-core level has 25x task slack — the comparison
     varies only the core count, never the plan. Serving walls carry a
     fixed driver-side term (planning + the merge window) that the build
-    doesn't have; the batch is sized to amortize it, and the remaining
-    Amdahl dampening is reported as-is rather than corrected away."""
+    doesn't have; 800 claims (doubled from 400 per VERDICT r4 #2 — the
+    driver-window raw pairs read 0.737 median at 400 while the builder's
+    quiet window read 0.87) halves that term's share, and the remaining
+    Amdahl dampening is additionally decomposed out below rather than
+    corrected away in the raw ratios."""
     import statistics
 
     pairs = []
