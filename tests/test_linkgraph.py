@@ -63,6 +63,41 @@ def test_no_damping_is_uniform(spark):
     assert (abs(pr.pr - 0.25) < 1e-12).all()
 
 
+def test_pagerank_matches_numpy_reference(spark):
+    """Random digraphs vs an independent dense numpy power iteration
+    (same damping/dangling semantics): every rank within 1e-9."""
+    import numpy as np
+
+    for seed in (1, 7, 42):
+        rng = np.random.RandomState(seed)
+        n = int(rng.randint(5, 25))
+        mask = rng.rand(n, n) < 0.25
+        np.fill_diagonal(mask, False)
+        edges = [(int(i), int(j)) for i in range(n) for j in range(n) if mask[i, j]]
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        edf = spark.createDataFrame(edges or [(0, 1)], "src long, dst long")
+        if not edges:
+            edges = [(0, 1)]
+        got = (
+            pagerank(nodes, edf, n, damping=0.85, iters=12)
+            .toPandas().set_index("id").sort_index().pr.to_numpy()
+        )
+        # dense reference
+        A = np.zeros((n, n))
+        for i, j in edges:
+            A[i, j] = 1.0
+        outdeg = A.sum(axis=1)
+        r = np.full(n, 1.0 / n)
+        for _ in range(12):
+            dmass = r[outdeg == 0].sum()
+            contrib = np.zeros(n)
+            for i in range(n):
+                if outdeg[i]:
+                    contrib += r[i] * A[i] / outdeg[i]
+            r = (1 - 0.85) / n + 0.85 * (contrib + dmass / n)
+        assert np.abs(got - r).max() < 1e-9, f"seed {seed}"
+
+
 def test_hits_hub_authority_split(spark):
     """Directed star 0->{1,2,3}: node 0 is the pure hub, 1-3 the pure
     authorities; after normalization auth(1..3)=1/3 each, hub(0)=1."""

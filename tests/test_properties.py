@@ -475,3 +475,57 @@ def test_auto_dh_ladder_selection_is_monotone(epochs):
     r2 = pick(lo, hi + 10_000_000)
     assert r2 >= r1
     assert hi // r1 - lo // r1 + 1 <= target or r1 == AUTO_DH_LADDER[-1]
+
+
+# --- NSW kernel (operators/graphann.py) ------------------------------------
+
+@given(st.integers(min_value=0, max_value=10_000), st.integers(min_value=2, max_value=40))
+@settings(deadline=None, max_examples=40)
+def test_nsw_exhaustive_when_ef_covers_cell(seed, n):
+    """With ef >= n the beam search degenerates to exhaustive: the kernel
+    must return EVERY cell member ordered exactly (sim desc, id asc) —
+    the property the twin's correctness argument leans on."""
+    from defactonlp_spark.operators.graphann import nsw_candidates_np
+
+    rng = np.random.RandomState(seed)
+    mat = rng.randn(n, 8)
+    ids = rng.permutation(np.arange(1000, 1000 + n)).astype(np.int64)
+    q = rng.randn(8)
+    got = [v for _, v in nsw_candidates_np(ids, mat, [(7, q)], M=6, ef=n)]
+    order = np.argsort(ids, kind="stable")
+    sids, smat = ids[order], mat[order]
+    h = smat / np.linalg.norm(smat, axis=1, keepdims=True)
+    sims = h @ (q / np.linalg.norm(q))
+    want = [int(sids[i]) for i in sorted(range(n), key=lambda i: (-sims[i], i))]
+    assert got == want
+
+
+@given(st.integers(min_value=0, max_value=10_000), st.integers(min_value=5, max_value=60))
+@settings(deadline=None, max_examples=30)
+def test_nsw_row_order_invariance(seed, n):
+    from defactonlp_spark.operators.graphann import nsw_candidates_np
+
+    rng = np.random.RandomState(seed)
+    mat = rng.randn(n, 6)
+    ids = np.arange(n, dtype=np.int64)
+    q = rng.randn(6)
+    a = nsw_candidates_np(ids, mat, [(0, q)], M=4, ef=10)
+    perm = rng.permutation(n)
+    b = nsw_candidates_np(ids[perm], mat[perm], [(0, q)], M=4, ef=10)
+    assert a == b
+
+
+# --- link extraction (functions/extract.py) --------------------------------
+
+@given(st.binary(max_size=2000))
+@settings(deadline=None)
+def test_extract_links_total_on_arbitrary_bytes(raw):
+    """Never raises, never emits fragments/empty/javascript-family
+    targets, never emits duplicates — on ANY byte soup."""
+    from defactonlp_spark.functions.extract import extract_links_one
+
+    got = extract_links_one(raw, "https://base.example/dir/p.html")
+    assert len(got) == len(set(got))
+    for u in got:
+        assert u and "#" not in u
+        assert not u.lower().startswith(("javascript:", "mailto:", "data:"))
