@@ -104,6 +104,49 @@ def pagerank(
     unrounded) double ranks summing to ~1. One shuffle per iteration;
     dangling mass is a 1-row broadcast.
     """
+    return _power_iteration(
+        nodes, edges, n_docs, damping, iters, checkpoint_every, weight_col, None
+    )
+
+
+def personalized_pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_docs: int,
+    seeds: list,
+    damping: float = PR_DAMPING,
+    iters: int = PR_ITERS,
+    checkpoint_every: int = 1,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Topic-sensitive / personalized PageRank (Haveliwala 2002): the
+    teleport distribution concentrates on ``seeds`` (uniform over the seed
+    set) instead of all nodes, so ranks measure proximity TO the seeds —
+    the "related pages" / topic-affinity variant. Dangling mass recycles
+    to the seed set too (the random surfer restarts at the topic). Seeds
+    are request-shaped (a Python list) by contract, like query ids."""
+    if not seeds:
+        raise ValueError("personalized_pagerank: empty seed set")
+    return _power_iteration(
+        nodes, edges, n_docs, damping, iters, checkpoint_every, weight_col,
+        list(seeds),
+    )
+
+
+def _power_iteration(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_docs: int,
+    damping: float,
+    iters: int,
+    checkpoint_every: int,
+    weight_col: str | None,
+    seeds: list | None,
+) -> DataFrame:
+    """Shared damped power-iteration core. ``seeds=None`` teleports
+    uniformly (classic PageRank); a seed list teleports uniformly over the
+    seeds (personalized). The teleport column ``tp`` is a codegen
+    expression, not a join — seeds are an in-plan literal IN-list."""
     if weight_col is None:
         edges = edges.select("src", "dst", F.lit(1.0).alias("w"))
     else:
@@ -114,9 +157,33 @@ def pagerank(
     dangling = nodes.join(
         edges.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
     ).persist()
-    base = (1.0 - damping) / n_docs
+    if seeds is None:
+        # classic teleport: this branch's float expression is PINNED —
+        # base + d*(c + dmass/N), the exact operation order the unrolled
+        # DuckDB twins replay — do not reassociate it.
+        base = (1.0 - damping) / n_docs
+        init = F.lit(1.0 / n_docs)
 
-    ranks = nodes.withColumn("pr", F.lit(1.0 / n_docs))
+        def new_pr():
+            return (
+                F.lit(base)
+                + F.lit(damping)
+                * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dmass") / n_docs)
+            )
+    else:
+        # personalized: teleport (and dangling recycle) concentrate on the
+        # seed IN-list; codegen expression, no join
+        tp = F.when(F.col("id").isin(seeds), F.lit(1.0 / len(seeds))).otherwise(
+            F.lit(0.0)
+        )
+        init = tp
+
+        def new_pr():
+            return (
+                F.lit(1.0 - damping) + F.lit(damping) * F.col("dmass")
+            ) * tp + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+
+    ranks = nodes.withColumn("pr", init)
     for t in range(iters):
         dm = dangling.join(ranks, "id").agg(
             F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dmass")
@@ -129,14 +196,7 @@ def pagerank(
         ranks = (
             nodes.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
             .crossJoin(F.broadcast(dm))
-            .select(
-                "id",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dmass") / n_docs)
-                ).alias("pr"),
-            )
+            .select("id", new_pr().alias("pr"))
         )
         if (t + 1) % checkpoint_every == 0 and t + 1 < iters:
             ranks = ranks.localCheckpoint(eager=True)

@@ -98,6 +98,34 @@ def test_pagerank_matches_numpy_reference(spark):
         assert np.abs(got - r).max() < 1e-9, f"seed {seed}"
 
 
+def test_personalized_pagerank(spark):
+    """Seed-teleport variant: mass stays 1, ranks decay with distance
+    from the seed, damping=0 degenerates to the teleport vector, empty
+    seeds raise."""
+    import pytest as _pt
+
+    from defactonlp_spark.operators.linkgraph import personalized_pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+    pr = (
+        personalized_pagerank(nodes, edges, 4, seeds=[0], iters=20)
+        .toPandas().set_index("id").sort_index().pr
+    )
+    assert abs(pr.sum() - 1.0) < 1e-9
+    assert pr[0] > pr[1] > pr[2] > pr[3] > 0  # proximity to the seed
+    flat = (
+        personalized_pagerank(nodes, edges, 4, seeds=[1, 2], damping=0.0, iters=3)
+        .toPandas().set_index("id").sort_index().pr
+    )
+    assert abs(flat[1] - 0.5) < 1e-12 and abs(flat[2] - 0.5) < 1e-12
+    assert flat[0] == 0.0 and flat[3] == 0.0
+    with _pt.raises(ValueError):
+        personalized_pagerank(nodes, edges, 4, seeds=[])
+
+
 def test_hits_hub_authority_split(spark):
     """Directed star 0->{1,2,3}: node 0 is the pure hub, 1-3 the pure
     authorities; after normalization auth(1..3)=1/3 each, hub(0)=1."""
