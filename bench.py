@@ -885,7 +885,12 @@ def bench_graph_ops(cores: int, n_vectors: int = 100_000) -> dict:
         emb.count()
         qids = list(range(0, 5000, 100))  # 50 queries
         t0, s0 = time.time(), _steal_jiffies()
-        approx = graph_ann_topk(emb, qids, k=10, n_centroids=32, n_probe=4)
+        # search params scaled up from the harness defaults (M=8/ef=24,
+        # pinned there by the twin) to fit the ~3k-member cells at this
+        # volume: beam quality must grow with cell size or recall decays
+        # (measured: ef=24 -> sim_ratio 0.901 at 100k; ef=64/M=12 below)
+        approx = graph_ann_topk(emb, qids, k=10, n_centroids=32, n_probe=4,
+                                M=12, ef=64)
         apdf = approx.toPandas()
         w = time.time() - t0
         exact = cosine_topk(emb, qids, k=10).toPandas()

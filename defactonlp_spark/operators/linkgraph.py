@@ -198,7 +198,13 @@ def _power_iteration(
             .crossJoin(F.broadcast(dm))
             .select("id", new_pr().alias("pr"))
         )
-        if (t + 1) % checkpoint_every == 0 and t + 1 < iters:
+        # checkpoint on cadence AND at the final iteration: the trailing
+        # checkpoint pins the result in an RDD so the persisted edge
+        # relations can be released below without the caller's FIRST
+        # action silently recomputing the whole upstream pipeline
+        # (tokenize + window + aggregate for TextRank — measured 465 s ->
+        # ~90 s at 320k docs for exactly this reason)
+        if (t + 1) % checkpoint_every == 0 or t + 1 == iters:
             ranks = ranks.localCheckpoint(eager=True)
     out = ranks
     ed.unpersist()
@@ -284,7 +290,9 @@ def hits(
     for t in range(iters):
         auth = _step(hub, "src", "dst")
         hub = _step(auth, "dst", "src")
-        if (t + 1) % checkpoint_every == 0 and t + 1 < iters:
+        # final-iteration checkpoint for the same reason as pagerank's:
+        # release ed below without recompute on the caller's first action
+        if (t + 1) % checkpoint_every == 0 or t + 1 == iters:
             auth = auth.localCheckpoint(eager=True)
             hub = hub.localCheckpoint(eager=True)
     ed.unpersist()
