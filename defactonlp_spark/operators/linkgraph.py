@@ -89,6 +89,7 @@ def pagerank(
     iters: int = PR_ITERS,
     checkpoint_every: int = 1,
     weight_col: str | None = None,
+    checkpoint_final: bool = True,
 ) -> DataFrame:
     """Power iteration with damping and dangling-mass redistribution:
 
@@ -105,7 +106,8 @@ def pagerank(
     dangling mass is a 1-row broadcast.
     """
     return _power_iteration(
-        nodes, edges, n_docs, damping, iters, checkpoint_every, weight_col, None
+        nodes, edges, n_docs, damping, iters, checkpoint_every, weight_col, None,
+        checkpoint_final,
     )
 
 
@@ -129,7 +131,7 @@ def personalized_pagerank(
         raise ValueError("personalized_pagerank: empty seed set")
     return _power_iteration(
         nodes, edges, n_docs, damping, iters, checkpoint_every, weight_col,
-        list(seeds),
+        list(seeds), True,
     )
 
 
@@ -142,6 +144,7 @@ def _power_iteration(
     checkpoint_every: int,
     weight_col: str | None,
     seeds: list | None,
+    checkpoint_final: bool = True,
 ) -> DataFrame:
     """Shared damped power-iteration core. ``seeds=None`` teleports
     uniformly (classic PageRank); a seed list teleports uniformly over the
@@ -204,7 +207,12 @@ def _power_iteration(
         # action silently recomputing the whole upstream pipeline
         # (tokenize + window + aggregate for TextRank — measured 465 s ->
         # ~90 s at 320k docs for exactly this reason)
-        if (t + 1) % checkpoint_every == 0 or t + 1 == iters:
+        # cadence governs non-final iterations; the final iteration is
+        # governed solely by checkpoint_final (False = keep the loop body
+        # visible in the returned plan, for audits)
+        if (t + 1 < iters and (t + 1) % checkpoint_every == 0) or (
+            checkpoint_final and t + 1 == iters
+        ):
             ranks = ranks.localCheckpoint(eager=True)
     out = ranks
     ed.unpersist()
@@ -252,6 +260,7 @@ def hits(
     edges: DataFrame,
     iters: int = HITS_ITERS,
     checkpoint_every: int = 3,
+    checkpoint_final: bool = True,
 ) -> DataFrame:
     """HITS hubs & authorities (Kleinberg 1998, JACM): mutual
     reinforcement over the link graph —
@@ -292,7 +301,9 @@ def hits(
         hub = _step(auth, "dst", "src")
         # final-iteration checkpoint for the same reason as pagerank's:
         # release ed below without recompute on the caller's first action
-        if (t + 1) % checkpoint_every == 0 or t + 1 == iters:
+        if (t + 1 < iters and (t + 1) % checkpoint_every == 0) or (
+            checkpoint_final and t + 1 == iters
+        ):
             auth = auth.localCheckpoint(eager=True)
             hub = hub.localCheckpoint(eager=True)
     ed.unpersist()

@@ -925,19 +925,40 @@ def main():
     # 61. link PageRank: per-iteration contribution aggregate is partial ->
     # final (map-side combine); the ONLY nested-loop join is the deliberate
     # 1-row dangling-mass broadcast (request-shaped by construction); no
-    # Python anywhere in the loop.
-    from defactonlp_spark.operators.linkgraph import link_pagerank_topn
+    # Python anywhere in the loop. checkpoint_final=False keeps the loop
+    # body VISIBLE in the final plan (the production default eagerly pins
+    # the result RDD, which would hide the audited operators behind a
+    # Scan ExistingRDD).
+    from defactonlp_spark.operators.linkgraph import (
+        pagerank,
+        synthetic_edges,
+    )
 
-    prplan = plan_of(link_pagerank_topn(docs, topn=5))
+    n_pr = docs.count()
+    pr_nodes = docs.select(F.col("doc_id").cast("long").alias("id"))
+    prplan = plan_of(
+        pagerank(pr_nodes, synthetic_edges(docs, n_pr), n_pr, iters=2,
+                 checkpoint_every=1, checkpoint_final=False)
+    )
     ok &= check(
-        "link_pagerank (codegen loop, top-n without global window, no Python)",
+        "link_pagerank loop body (codegen iteration, no Python)",
         prplan,
         # node-scale joins may legitimately be shuffle joins at scale
         # (both sides are data-scale); the asserts pin the aggregate
-        # shape, the distributed top-n, and the no-Python loop body.
-        must=["HashAggregate", "TakeOrderedAndProject"],
+        # shape and the no-Python loop body.
+        must=["HashAggregate"],
         must_not=["CartesianProduct", "MapInPandas", "FlatMapGroupsInPandas",
                   "ArrowEvalPython", "BatchEvalPython"],
+    )
+    # ...and the top-n tail: sort+limit (TakeOrderedAndProject), never an
+    # unpartitioned row_number window over the node set
+    from defactonlp_spark.operators.linkgraph import link_pagerank_topn
+
+    ok &= check(
+        "link_pagerank top-n tail (distributed sort+limit)",
+        plan_of(link_pagerank_topn(docs, topn=5)),
+        must=["TakeOrderedAndProject"],
+        must_not=["CartesianProduct", "MapInPandas", "ArrowEvalPython"],
     )
     # the one BroadcastNestedLoopJoin allowed is the 1-row dmass crossJoin
     # (formatted explain prints each node twice — tree + detail — so count
@@ -968,21 +989,23 @@ def main():
     ok &= _hb <= 2
 
     # 63. TextRank: ONE Python stage (the positional tokenizer kernel) and
-    # the per-doc lead() window; the weighted power iteration itself is
-    # all-relational.
-    from defactonlp_spark.operators.linkgraph import textrank_keywords
+    # the per-doc lead() window feed the co-occurrence graph; the weighted
+    # power iteration itself is all-relational (audited above via the
+    # shared pagerank core). The end-to-end entry's returned plan sits
+    # behind the eager final checkpoint, so audit the GRAPH-CONSTRUCTION
+    # half here: tokens kernel -> window -> pair aggregate -> symmetric
+    # union.
+    from defactonlp_spark.functions.tokenize import tokenize_tokens
+    from defactonlp_spark.operators.linkgraph import cooccurrence_edges
 
-    tplan = plan_of(textrank_keywords(docs, topn=5))
+    tplan = plan_of(cooccurrence_edges(tokenize_tokens(docs)))
     ok &= check(
-        "textrank_keywords (one tokenizer kernel, relational iteration)",
+        "textrank co-occurrence graph (one tokenizer kernel -> window -> agg)",
         tplan,
-        must=["MapInPandas", "HashAggregate", "TakeOrderedAndProject"],
-        must_not=["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"],
+        must=["MapInPandas", "HashAggregate", "Window", "Union"],
+        must_not=["CartesianProduct", "ArrowEvalPython", "BatchEvalPython",
+                  "BroadcastNestedLoopJoin"],
     )
-    _tb = len(_re.findall(r"\(\d+\) BroadcastNestedLoopJoin", tplan))
-    print(f"  [{'x' if _tb <= 1 else '!'}] <=1 BroadcastNestedLoopJoin "
-          f"(1-row dmass crossJoin), got {_tb}")
-    ok &= _tb <= 1
 
     print("\nPLANS " + ("OK" if ok else "NOT OK"))
     spark.stop()

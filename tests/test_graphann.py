@@ -37,6 +37,10 @@ def emb(spark):
 
 
 def test_kernel_exact_when_beam_covers_cell():
+    # NOTE: exhaustiveness at ef == n holds at THIS pinned fixture but is
+    # not an NSW invariant — backlink pruning can orphan a node (see
+    # test_properties.py::test_nsw_beam_output_contract for the general
+    # contract); this test pins the deterministic behavior at seed 7.
     rng = np.random.RandomState(7)
     mat = rng.randn(30, 16)
     ids = np.arange(100, 130, dtype=np.int64)
