@@ -144,3 +144,66 @@ def test_link_edges_feed_pagerank(spark):
     top = pr.sort_values("pr", ascending=False).iloc[0]
     cid = ids.toPandas().set_index("url").loc["https://s.example/c", "id"]
     assert int(top["id"]) == int(cid)
+
+
+
+# --- anchor-text extraction (functions/extract.py::anchor_edges) -----------
+
+def test_extract_anchors_scalar_spec():
+    from defactonlp_spark.functions.extract import extract_anchors_one
+
+    html = (
+        "<body>"
+        '<a href="/page-a">Visit <b>Page&amp;A</b> now</a>'
+        "<a href='/page-a'>Page A</a>"            # repeat target, new text
+        "<a href='/img'><img src='x.png'/></a>"   # image-only -> dropped
+        "<a href='javascript:x()'>skip</a>"
+        "<a href='/empty'>   </a>"                # whitespace-only -> dropped
+        "</body>"
+    ).encode()
+    got = extract_anchors_one(html, "https://s.example/d/p.html")
+    assert got == [
+        ("https://s.example/page-a", "Visit Page&A now"),
+        ("https://s.example/page-a", "Page A"),
+    ]
+    assert extract_anchors_one(None, "https://s.example/") == []
+    assert extract_anchors_one(b"\xff\xfe", "https://s.example/") == []
+
+
+def test_anchor_edges_to_anchor_field(spark):
+    """The composition web engines run: in-link anchor text aggregates
+    into the TARGET document's anchor field; a page heavily linked as
+    'quantum widgets' must dominate that field's term stats even if its
+    own body never says so."""
+    from pyspark.sql import functions as F
+
+    from defactonlp_spark.functions.extract import anchor_edges
+    from defactonlp_spark.functions.tokenize import tokenize_postings
+
+    pages = spark.createDataFrame(
+        [
+            ("https://s.example/hub1",
+             b"<a href='/target'>quantum widgets</a><a href='/other'>misc</a>"),
+            ("https://s.example/hub2", b"<a href='/target'>Quantum widgets</a>"),
+            ("https://s.example/target", b"<p>nothing relevant here</p>"),
+            ("https://s.example/other", b"<p>other</p>"),
+        ],
+        "url string, html binary",
+    )
+    edges = anchor_edges(pages)
+    got = edges.toPandas()
+    assert len(got) == 3
+    # anchor field per target: concat in-link texts, key by a doc id map
+    ids = pages.select("url").withColumn(
+        "doc_id", F.xxhash64("url")  # any stable id works for the field join
+    )
+    field = (
+        edges.groupBy("dst").agg(F.concat_ws(" ", F.collect_list("anchor")).alias("text"))
+        .join(ids.withColumnRenamed("url", "dst"), "dst")
+        .select("doc_id", "text")
+    )
+    p = tokenize_postings(field).toPandas()
+    target_id = ids.filter(F.col("url") == "https://s.example/target").head()["doc_id"]
+    tf = {r.term: r.tf for r in p[p.doc_id == target_id].itertuples()}
+    assert tf.get("quantum") == 2 and tf.get("widgets") == 2
+    assert "nothing" not in tf  # body text is NOT the anchor field
