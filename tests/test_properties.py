@@ -541,3 +541,16 @@ def test_extract_links_total_on_arbitrary_bytes(raw):
     for u in got:
         assert u and "#" not in u
         assert not u.lower().startswith(("javascript:", "mailto:", "data:"))
+
+
+@given(st.binary(max_size=2000))
+@settings(deadline=None)
+def test_extract_anchors_total_on_arbitrary_bytes(raw):
+    """Anchor extraction never raises and never emits empty text, empty
+    targets, fragments, or javascript-family targets on ANY byte soup."""
+    from defactonlp_spark.functions.extract import extract_anchors_one
+
+    for target, text in extract_anchors_one(raw, "https://base.example/p"):
+        assert target and "#" not in target
+        assert not target.lower().startswith(("javascript:", "mailto:", "data:"))
+        assert text == text.strip() and text
